@@ -1,0 +1,224 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.4).
+
+Lazy Dataset composition::
+
+    read_parquet(transcripts, columns=3)            # prune at the read
+      -> validate (vectorized regex, quarantine)    # S3
+      -> MentionDetector map_batches actor pool     # per-turn, NO shuffle
+      -> groupby(conv_id).map_groups(assemble)      # shuffle 1 (mention rows only)
+      -> triples Dataset                            # occursIn/mentionedIn/hasType/...
+
+plus the recorded-answer parity path (stages/answers.py) which runs the
+reference's parse->resolve->type semantics per conversation.
+
+``run_kg_job`` is the checkpointed job wrapper: bucket by conv hash,
+skip completed buckets on resume, write partitioned Parquet atomically
+with per-bucket lineage + counters (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .. import schema
+from ..sources.gazetteer import load_dictionary_rows
+from ..sources.transcripts import read_transcripts, validate_transcripts
+from ..stages.answers import answers_as_rows, parse_answer_group
+from ..stages.extract import MentionDetector, make_conversation_assembler
+from ..testdata import hash_u32
+
+
+def build_triples(
+    transcripts_path: str,
+    dictionary_path: str | None = None,
+    *,
+    extractor: str = "gazetteer",
+    answers_path: str | None = None,
+    validate: str | None = "quarantine",
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+    dict_ref=None,
+) -> ray.data.Dataset:
+    """Lazy triples Dataset for either extractor backend.
+
+    extractor="gazetteer": broadcast-dictionary mention detection (the
+    production path; dictionary_path or a pre-``ray.put`` dict_ref
+    required).  extractor="answers": recorded structured-text/JSON
+    answers parsed with exact reference semantics (parity path;
+    answers_path required).
+    """
+    if extractor == "answers":
+        if answers_path is None:
+            raise ValueError("answers_path required for extractor='answers'")
+        tds = read_transcripts(
+            transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+        )
+        ds = tds.union(answers_as_rows(answers_path))
+        return ds.groupby("conv_id").map_groups(
+            parse_answer_group, batch_format="pyarrow"
+        )
+
+    if extractor != "gazetteer":
+        raise ValueError(f"unknown extractor {extractor!r}")
+    if dict_ref is None:
+        if dictionary_path is None:
+            raise ValueError("dictionary_path or dict_ref required")
+        dict_ref = ray.put(load_dictionary_rows(dictionary_path))
+    ds = read_transcripts(transcripts_path)
+    if validate:
+        ds = validate_transcripts(ds, mode=validate)
+    mentions = ds.map_batches(
+        MentionDetector,
+        fn_constructor_args=(dict_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return mentions.groupby("conv_id").map_groups(
+        make_conversation_assembler(dict_ref), batch_format="pyarrow"
+    )
+
+
+def split_errors(triples: ray.data.Dataset):
+    """(ok, dead_letter) split on the __error__ sentinel predicate."""
+    ok = triples.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred"], "__error__")), batch_format="pyarrow"
+    )
+    bad = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "__error__")), batch_format="pyarrow"
+    )
+    return ok, bad
+
+
+def add_bucket(ds: ray.data.Dataset, n_buckets: int, col: str = "conv_id") -> ray.data.Dataset:
+    """Deterministic conv-hash bucket column (FNV-1a, stable across processes)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        buckets = pa.array([hash_u32(v) % n_buckets for v in vals], pa.int32())
+        return batch.append_column("bucket", buckets)
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def nodes_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct entity + conversation nodes from the edge set."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ent = batch.filter(pc.equal(batch["pred"], "hasType"))
+        conv = batch.filter(pc.equal(batch["pred"], "mentionedIn"))
+        rows = [
+            {"node_id": f"entity:{s}", "kind": "entity", "name": s, "type": t}
+            for s, t in zip(ent["subj"].to_pylist(), ent["obj"].to_pylist())
+        ] + [
+            {"node_id": f"conv:{c}", "kind": "conversation", "name": c, "type": ""}
+            for c in set(conv["obj"].to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=schema.NODES)
+
+    # per-batch partial dedup, then a global exact dedup on node_id
+    parts = triples.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("node_id").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def run_kg_job(
+    transcripts_path: str,
+    dictionary_path: str | None,
+    out_root: str,
+    *,
+    extractor: str = "gazetteer",
+    answers_path: str | None = None,
+    n_buckets: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Checkpointed KG job: triples + nodes + dead-letter, resumable per bucket.
+
+    Stage "triples": each conv-hash bucket is written atomically
+    (temp-dir rename) and recorded in MANIFEST.json with row counts and
+    lineage; on resume, completed buckets are filtered out BEFORE
+    extraction so their compute is skipped entirely.  Stage "nodes"
+    derives the node table from the written edge partitions.
+
+    At 100 TB scale the same layout holds: buckets are key ranges of
+    conv hash, each an independent re-runnable unit.
+    """
+    import os
+
+    from ..state.checkpoint import Manifest, bucket_dir, write_bucket_atomic
+
+    manifest = Manifest(out_root)
+    done = manifest.done_buckets("triples") if resume else set()
+    todo = [b for b in range(n_buckets) if b not in done]
+    counters = {"buckets_skipped": len(done), "buckets_computed": len(todo)}
+
+    if todo:
+        triples = build_triples(
+            transcripts_path,
+            dictionary_path,
+            extractor=extractor,
+            answers_path=answers_path,
+        )
+        triples = add_bucket(triples, n_buckets)
+        if done:
+            done_arr = list(done)
+            triples = triples.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["bucket"], value_set=pa.array(done_arr)))
+                ),
+                batch_format="pyarrow",
+            )
+        # Small-output materialize: triples are orders of magnitude smaller
+        # than the transcript input; pinning them avoids re-running
+        # extraction once per bucket during the per-bucket atomic writes.
+        mat = triples.materialize()
+        for b in todo:
+            part = mat.filter(expr=f"bucket == {b}")
+            tables = [ray.get(ref) for ref in part.to_arrow_refs()]
+            table = (
+                pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
+                if any(t.num_rows for t in tables)
+                else pa.Table.from_pylist([], schema=schema.TRIPLES.append(pa.field("bucket", pa.int32())))
+            )
+            err_rows = int(pc.sum(pc.equal(table["pred"], "__error__").cast(pa.int64())).as_py() or 0) if table.num_rows else 0
+            if "bucket" in table.column_names:
+                table = table.drop_columns(["bucket"])  # the bucket=<k> dir name carries it (hive layout)
+            rows = write_bucket_atomic(table, out_root, "triples", b)
+            manifest.mark_bucket(
+                "triples",
+                b,
+                rows,
+                lineage={"input": transcripts_path, "extractor": extractor, "errors": err_rows},
+            )
+        manifest.add_counter("triples", "rows_written", sum(
+            v["rows"] for v in manifest.stage("triples")["buckets"].values()
+        ))
+
+    # stage 2: node table from the checkpointed edge partitions
+    edge_dirs = [
+        bucket_dir(out_root, "triples", b)
+        for b in sorted(manifest.done_buckets("triples"))
+        if os.path.isdir(bucket_dir(out_root, "triples", b))
+    ]
+    if edge_dirs and not manifest.stage_complete("nodes", 1):
+        import glob as _glob
+
+        edge_files = [
+            f for d in edge_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        edges = ray.data.read_parquet(edge_files)
+        ok, _bad = split_errors(edges)
+        nodes_tbl = pa.concat_tables(
+            [ray.get(r) for r in nodes_from_triples(ok).to_arrow_refs()],
+            promote_options="default",
+        )
+        rows = write_bucket_atomic(nodes_tbl, out_root, "nodes", 0)
+        manifest.mark_bucket("nodes", 0, rows, lineage={"input": "triples/*"})
+    counters["triples_rows"] = sum(
+        v["rows"] for v in manifest.stage("triples")["buckets"].values()
+    )
+    return counters

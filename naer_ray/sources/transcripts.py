@@ -1,0 +1,83 @@
+"""Transcript table source + format validation.
+
+Reads the Parquet transcript table mandated by BASELINE.json's
+input_hint (conv_id, turn_idx, role, text, tool, ts) with column
+pruning at the read, and applies the reference's one-sentence-per-line
+format rule (SoftwareArchitectureDocumentation.checkTextFormat:76-100)
+as a vectorized per-batch validator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+#: the reference's sentence-terminator rule, :88 (regex on the trimmed line)
+_TERMINATOR_RE = r".*[.!?]$"
+
+CORE_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+
+def read_transcripts(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """read_parquet over a transcripts file/dir, pruning to ``columns``.
+
+    ``columns`` defaults to the three columns the KG pipeline needs —
+    never read role/tool/ts unless asked (prune at the read).
+    """
+    if os.path.isdir(path):
+        tdir = os.path.join(path, "transcripts")
+        if os.path.isdir(tdir):
+            path = tdir
+    return ray.data.read_parquet(path, columns=columns or list(CORE_COLUMNS))
+
+
+def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Boolean mask: trimmed text non-empty and ends in [.!?] (reference :76-100)."""
+    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    nonempty = pc.not_equal(trimmed, "")
+    terminated = pc.match_substring_regex(trimmed, _TERMINATOR_RE)
+    return pc.and_kleene(pc.and_kleene(pc.is_valid(batch["text"]), nonempty), terminated)
+
+
+class FormatError(ValueError):
+    """Strict-mode analogue of the reference's IllegalArgumentException."""
+
+
+def validate_transcripts(
+    ds: ray.data.Dataset, mode: str = "quarantine"
+) -> ray.data.Dataset:
+    """Apply the SAD format rule per batch.
+
+    mode="strict": raise on the first invalid row (reference behavior,
+    single-document semantics).  mode="quarantine": drop invalid rows
+    (scaled-mode dead-letter; callers can route them separately with
+    :func:`invalid_transcripts`).
+    """
+    if mode == "strict":
+
+        def check(batch: pa.Table) -> pa.Table:
+            mask = validity_mask(batch)
+            if not pc.all(mask).as_py():
+                bad = batch.filter(pc.invert(mask))
+                raise FormatError(
+                    "invalid SAD text format: "
+                    f"{bad.num_rows} bad row(s), first: {bad.slice(0, 1).to_pylist()}"
+                )
+            return batch
+
+        return ds.map_batches(check, batch_format="pyarrow")
+
+    return ds.map_batches(
+        lambda batch: batch.filter(validity_mask(batch)), batch_format="pyarrow"
+    )
+
+
+def invalid_transcripts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The dead-letter side: rows failing the format rule."""
+    return ds.map_batches(
+        lambda batch: batch.filter(pc.invert(validity_mask(batch))),
+        batch_format="pyarrow",
+    )
