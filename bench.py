@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship KG pipeline + query suite.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": T/s}
+
+Headline = the full KG-construction pipeline (read shuffled transcript
+parquet -> validate -> MentionDetector actor pool -> conv groupby ->
+assemble -> triples -> write parquet) over the generated NAER bench
+corpus matching $GRAFT_SF_DIR's scale factor.
+
+``--scaling`` runs the headline twice in fresh subprocesses
+(num_cpus=8 and 32 by default) on the same input and reports both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def sf_name(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from naer_ray.pipelines.kg import build_triples
+    from naer_ray.pipelines.queries import REGISTRY
+    from naer_ray.testdata import corpus_dir
+
+    tier = f"bench-{sf_name(sf_dir)}"
+    corpus = corpus_dir(tier)  # generated once, cached
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        manifest = json.load(f)
+    turns = manifest["n_rows"]
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    pq.read_table(os.path.join(corpus, "transcripts"))
+
+    out_dir = f"/tmp/naer_bench_out/{tier}-{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    triples = build_triples(
+        os.path.join(corpus, "transcripts"),
+        dictionary_path=os.path.join(corpus, "entity_dictionary.parquet"),
+    )
+    triples.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": sf_name(sf_dir),
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / headline, 1),
+        "queries": {},
+    }
+
+    if include_queries:
+        for name, (fn, _sql) in REGISTRY.items():
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            if hasattr(res, "count"):  # Dataset: consume it
+                res.count()
+            result["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes (sandbox
+    stand-in for the N vs 4N node rule)."""
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   NAER_BENCH_NO_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "kg_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_name(sf_dir),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "cpus": [lo, hi],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    include_queries = os.environ.get("NAER_BENCH_NO_QUERIES") != "1"
+    result = run_bench(sf_dir, num_cpus, include_queries=include_queries)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

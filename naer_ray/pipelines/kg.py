@@ -32,15 +32,18 @@ from ..testdata import hash_u32
 
 
 def build_triples(
-    transcripts_path: str,
+    transcripts_path: str | None,
     dictionary_path: str | None = None,
     *,
     extractor: str = "gazetteer",
     answers_path: str | None = None,
     validate: str | None = "quarantine",
     batch_size: int = 4096,
-    concurrency=(1, 8),
+    concurrency=(2, 16),
     dict_ref=None,
+    transcripts_ds: "ray.data.Dataset | None" = None,
+    dict_rows: list[dict] | None = None,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Lazy triples Dataset for either extractor backend.
 
@@ -56,28 +59,31 @@ def build_triples(
         tds = read_transcripts(
             transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
         )
-        ds = tds.union(answers_as_rows(answers_path))
-        return ds.groupby("conv_id").map_groups(
+        ds = add_bucket(tds.union(answers_as_rows(answers_path)), n_buckets)
+        return ds.groupby("bucket").map_groups(
             parse_answer_group, batch_format="pyarrow"
         )
 
     if extractor != "gazetteer":
         raise ValueError(f"unknown extractor {extractor!r}")
     if dict_ref is None:
-        if dictionary_path is None:
-            raise ValueError("dictionary_path or dict_ref required")
-        dict_ref = ray.put(load_dictionary_rows(dictionary_path))
-    ds = read_transcripts(transcripts_path)
+        if dict_rows is not None:
+            dict_ref = ray.put(dict_rows)
+        elif dictionary_path is not None:
+            dict_ref = ray.put(load_dictionary_rows(dictionary_path))
+        else:
+            raise ValueError("dictionary_path, dict_rows or dict_ref required")
+    ds = transcripts_ds if transcripts_ds is not None else read_transcripts(transcripts_path)
     if validate:
         ds = validate_transcripts(ds, mode=validate)
     mentions = ds.map_batches(
         MentionDetector,
-        fn_constructor_args=(dict_ref,),
+        fn_constructor_args=(dict_ref, n_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return mentions.groupby("conv_id").map_groups(
+    return mentions.groupby("bucket").map_groups(
         make_conversation_assembler(dict_ref), batch_format="pyarrow"
     )
 

@@ -1,0 +1,691 @@
+"""Driver-contract query suite: Ray Data implementation + DuckDB oracle SQL.
+
+Each entry in :data:`REGISTRY` is ``name -> (ray_fn, sql | None)`` where
+``ray_fn(sf_dir)`` returns a Dataset / pandas DataFrame / pyarrow Table
+and ``sql`` is the ANSI-SQL equivalent DuckDB runs over the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings).  Column names match exactly on
+both sides (the driver hashes values after sorting columns by name).
+
+Exact-parity discipline:
+* money/double sums go through the integer-cents trick —
+  ``floor(x * 100 + 0.5)`` summed as int64 — so aggregation order can
+  never change a bit (IEEE double sums are order-dependent; integer
+  sums are not);
+* every top-k has a deterministic tie-break key;
+* ratios are single divisions of identical integer operands.
+
+The KG-shaped queries (kg_*) derive a transcripts-shaped table from
+``documents`` (10-word chunks as turns) so the reference pipeline's
+mention/occurrence semantics are oracle-checked end-to-end on the
+driver's own tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Inline mention dictionary for the kg_* oracle queries: frequent tokens
+# of the synthetic documents vocabulary.
+KG_ENTITIES = ("spark", "window", "join", "merge", "stream", "sort", "filter")
+
+_CHUNK = 10  # words per derived turn
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100 + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------------------ TPC-H-ish
+
+
+def q01_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial aggregation (A-class op).
+
+    Pre-aggregates inside map_batches (one row per key per batch), then
+    a tiny groupby over partials — the shuffle moves O(keys × batches)
+    rows, not O(rows).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty=batch["l_quantity"].to_numpy().astype(np.int64),
+            base_c=_cents(batch["l_extendedprice"].to_numpy()),
+            disc_c=_cents(
+                batch["l_extendedprice"].to_numpy() * (1 - batch["l_discount"].to_numpy())
+            ),
+            n=1,
+        )
+        g = (
+            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+                ["qty", "base_c", "disc_c", "n"]
+            ].sum()
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_c", alias_name="base_c"),
+        Sum("disc_c", alias_name="disc_c"),
+        Sum("n", alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    df["sum_base_price"] = df.pop("base_c") / 100.0
+    df["sum_disc_price"] = df.pop("disc_c") / 100.0
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    df["count_order"] = df["count_order"].astype("int64")
+    return df[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+    ]
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(sf_dir: str):
+    """Top-10 orders by lineitem revenue: bucketed high-cardinality sum
+    (stages/agg.py) -> per-bucket local top-k -> tiny global top-k."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def with_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_c": _cents(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1 - batch["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    revs = ds.map_batches(with_rev, batch_format="pandas", batch_size=65536)
+    agg = bucketed_sum(revs, ["l_orderkey"], ["rev_c"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10)
+
+    df = (
+        agg.map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    df["revenue"] = df.pop("rev_c") / 100.0
+    return df[["l_orderkey", "revenue"]]
+
+
+Q02_SQL = """
+SELECT l_orderkey,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q03_orders_by_segment(sf_dir: str):
+    """orders ⋈ customer broadcast join (small side shipped once via ray.put)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class Joiner:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.assign(
+                c_mktsegment=batch["o_custkey"].map(self.seg),
+                price_c=_cents(batch["o_totalprice"].to_numpy()),
+                n=1,
+            )
+            return batch.groupby("c_mktsegment", as_index=False)[["price_c", "n"]].sum()
+
+    agg = (
+        ds.map_batches(Joiner, batch_format="pandas", batch_size=65536, concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_c", alias_name="price_c"), Sum("n", alias_name="n_orders"))
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df.pop("price_c") / 100.0
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["c_mktsegment", "n_orders", "total_price"]]
+
+
+Q03_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q04_supplier_region(sf_dir: str):
+    """Three-way dimension join via broadcast (supplier ⋈ nation ⋈ region)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    class Joiner:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.assign(r_name=batch["s_nationkey"].map(self.lookup), n=1)
+            return batch.groupby("r_name", as_index=False)[["n"]].sum()
+
+    agg = (
+        ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 2))
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+    )
+    df = agg.to_pandas()
+    df["n_suppliers"] = df["n_suppliers"].astype("int64")
+    return df[["r_name", "n_suppliers"]]
+
+
+Q04_SQL = """
+SELECT r.r_name, COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q05_filtered_revenue(sf_dir: str):
+    """Pushed-down filter + single global aggregate (TPC-H Q6 shape)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], 0.05),
+                pc.less_equal(batch["l_discount"], 0.07),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        sel = batch.filter(mask)
+        rev = np.asarray(sel["l_extendedprice"]) * np.asarray(sel["l_discount"])
+        return pa.table(
+            {
+                "rev_c": pa.array([int(_cents(rev).sum())], pa.int64()),
+                "n": pa.array([sel.num_rows], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).sum(["rev_c", "n"])
+    return pd.DataFrame(
+        {"revenue": [agg["sum(rev_c)"] / 100.0], "n_rows": [int(agg["sum(n)"])]}
+    )
+
+
+Q05_SQL = """
+SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q06_distinct_flags(sf_dir: str):
+    """Exact distinct on a composite key (D-class: hash-partition + first)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    dedup = (
+        ds.map_batches(
+            lambda t: t.group_by(["l_returnflag", "l_linestatus"]).aggregate([]),
+            batch_format="pyarrow",
+        )  # partial dedup per batch
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return dedup
+
+
+Q06_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ------------------------------------------------------------------ events
+
+
+def q07_sessionize(sf_dir: str):
+    """Per-user session windows (30-min gap rule) via groupby + map_groups."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
+        n_sessions = 1 + int((gaps > 1800).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(ts)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+Q07_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+def q08_tumbling_hour(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            window_start=batch["ts"].dt.floor("h"),
+            value_c=np.floor(batch["value"].to_numpy() * 1000 + 0.5).astype(np.int64),
+            n=1,
+        )
+        return batch.groupby(["window_start", "event_type"], as_index=False)[
+            ["value_c", "n"]
+        ].sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n_events"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df.pop("value_c") / 1000.0
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["window_start", "event_type", "n_events", "sum_value"]]
+
+
+Q08_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) / 1000.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ documents
+
+
+def q09_doc_token_stats(sf_dir: str):
+    """Per-document token statistics (text analysis, vectorized per batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n_tokens = pc.list_value_length(toks)
+        uniq = [len(set(t)) for t in toks.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens.cast(pa.int64()),
+                "n_uniq_tokens": pa.array(uniq, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=8192)
+
+
+Q09_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+FROM documents
+"""
+
+STOPWORDS = ("the", "a", "data", "key", "row")
+
+
+def q10_doc_quality(sf_dir: str):
+    """Stopword-ratio quality score (single division of integer operands)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").to_pylist()
+        n_stop = [sum(1 for w in t if w in stop) for t in toks]
+        n_tok = [len(t) for t in toks]
+        ratio = [s / n if n else 0.0 for s, n in zip(n_stop, n_tok)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "stop_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+Q10_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) AS n_stop,
+       COUNT(*) AS n_tok,
+       SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS stop_ratio
+FROM toks GROUP BY doc_id
+"""
+
+
+def q11_dedup_exact(sf_dir: str):
+    """Exact text dedup: hash-partition on content, keep min doc_id per text."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_dups")
+    )
+    df = agg.to_pandas()[["rep_doc_id", "n_dups"]]
+    df["n_dups"] = df["n_dups"].astype("int64")
+    return df
+
+
+Q11_SQL = """
+SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def q12_lang_source_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    agg = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+Q12_SQL = "SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source"
+
+
+# ------------------------------------------------------------------ embeddings
+
+
+def q13_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector.
+
+    Per-batch numpy matmul against the broadcast query vector, per-batch
+    local top-k, then a tiny global sort — the baseline ANN path
+    (IVF/LSH variants live in stages/ann.py).
+    """
+    import pyarrow.parquet as pq
+
+    emb0 = None
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    emb0 = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[ids == 0][0]
+    qnorm = emb0 / np.linalg.norm(emb0)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        sims = (mat @ qnorm) / np.linalg.norm(mat, axis=1)
+        vec_ids = batch["vec_id"].to_numpy()
+        order = np.lexsort((vec_ids, -sims))[:10]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+    return top[["vec_id"]].reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT vec_id
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ KG over documents
+
+
+def _derive_transcripts(sf_dir: str):
+    """documents -> transcripts-shaped rows: 10-word chunks as turns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        conv, turn, text = [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = t.split(" ")
+            for k in range(0, len(words), _CHUNK):
+                conv.append(str(doc_id))
+                turn.append(k // _CHUNK + 1)
+                text.append(" ".join(words[k : k + _CHUNK]))
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "text": pa.array(text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=8192)
+
+
+_DERIVE_SQL = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+         CAST((i - 1) // {_CHUNK} + 1 AS INTEGER) AS turn_idx,
+         string_agg(w, ' ' ORDER BY i) AS text
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+  GROUP BY doc_id, (i - 1) // {_CHUNK}
+"""
+
+
+def q14_kg_transcripts(sf_dir: str):
+    return _derive_transcripts(sf_dir)
+
+
+Q14_SQL = f"SELECT * FROM ({_DERIVE_SQL})"
+
+
+def q15_kg_occurs_triples(sf_dir: str):
+    """occursIn triples over the derived transcripts for an inline dictionary
+    (token-exact matching — the oracle-checked slice of KG semantics)."""
+    ds = _derive_transcripts(sf_dir)
+    entities = KG_ENTITIES
+
+    def triples(batch: pa.Table) -> pa.Table:
+        out = {"subj": [], "pred": [], "obj": [], "conv_id": [], "turn_idx": []}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            toks = set(text.split(" "))
+            for e in entities:
+                if e in toks:
+                    out["subj"].append(e)
+                    out["pred"].append("occursIn")
+                    out["obj"].append(f"{conv_id}#{turn_idx}")
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+        return pa.table(
+            {
+                "subj": pa.array(out["subj"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(triples, batch_format="pyarrow")
+
+
+Q15_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)})
+SELECT d.entity AS subj, 'occursIn' AS pred,
+       t.conv_id || '#' || CAST(t.turn_idx AS VARCHAR) AS obj,
+       t.conv_id, t.turn_idx
+FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity)
+"""
+
+
+def q16_kg_cooccurrence(sf_dir: str):
+    """Entity co-occurrence edges: (a, b) both mentioned in the same doc."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    entities = KG_ENTITIES
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for text in batch["text"].to_pylist():
+            toks = set(text.split(" "))
+            present = [e for e in entities if e in toks]
+            for i, a in enumerate(present):
+                for b in present[i + 1 :]:
+                    rows.append((a, b) if a < b else (b, a))
+        if not rows:
+            return pd.DataFrame({"subj": [], "obj": [], "n": []})
+        df = pd.DataFrame(rows, columns=["subj", "obj"])
+        df["n"] = 1
+        return df.groupby(["subj", "obj"], as_index=False)[["n"]].sum()
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
+        .groupby(["subj", "obj"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df[["subj", "obj", "n_docs"]]
+
+
+Q16_SQL = f"""
+WITH d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+pres AS (
+  SELECT doc_id, entity FROM documents
+  JOIN d ON list_contains(string_split(text, ' '), entity))
+SELECT a.entity AS subj, b.entity AS obj, COUNT(*) AS n_docs
+FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.entity < b.entity
+GROUP BY a.entity, b.entity
+"""
+
+
+def q17_kg_flagship(sf_dir: str):
+    """The FULL flagship KG pipeline (MentionDetector actor pool ->
+    conv-groupby -> assembler -> triples) over transcripts derived from
+    the documents table, with an inline dictionary — oracle-checked
+    end-to-end against a UNION-ALL SQL reconstruction."""
+    from .kg import build_triples
+
+    dict_rows = [
+        {
+            "entity_id": f"kg-{i:03d}",
+            "canonical_name": e,
+            "type": "COMPONENT",
+            "aliases": [],
+            "interface_of": None,
+        }
+        for i, e in enumerate(KG_ENTITIES)
+    ]
+    return build_triples(
+        None,
+        transcripts_ds=_derive_transcripts(sf_dir),
+        dict_rows=dict_rows,
+        validate=None,
+    )
+
+
+Q17_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+occ AS (
+  SELECT d.entity AS subj, t.conv_id, t.turn_idx
+  FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity)),
+ent AS (SELECT DISTINCT subj, conv_id FROM occ)
+SELECT subj, 'hasType' AS pred, 'COMPONENT' AS obj, conv_id,
+       CAST(NULL AS INTEGER) AS turn_idx, CAST(NULL AS VARCHAR) AS ref_type
+FROM ent
+UNION ALL
+SELECT subj, 'mentionedIn', conv_id, conv_id, NULL, NULL FROM ent
+UNION ALL
+SELECT subj, 'occursIn', conv_id || '#' || CAST(turn_idx AS VARCHAR),
+       conv_id, turn_idx, 'DIRECT'
+FROM occ
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
+    "q03_orders_by_segment": (q03_orders_by_segment, Q03_SQL),
+    "q04_supplier_region": (q04_supplier_region, Q04_SQL),
+    "q05_filtered_revenue": (q05_filtered_revenue, Q05_SQL),
+    "q06_distinct_flags": (q06_distinct_flags, Q06_SQL),
+    "q07_sessionize": (q07_sessionize, Q07_SQL),
+    "q08_tumbling_hour": (q08_tumbling_hour, Q08_SQL),
+    "q09_doc_token_stats": (q09_doc_token_stats, Q09_SQL),
+    "q10_doc_quality": (q10_doc_quality, Q10_SQL),
+    "q11_dedup_exact": (q11_dedup_exact, Q11_SQL),
+    "q12_lang_source_counts": (q12_lang_source_counts, Q12_SQL),
+    "q13_ann_topk": (q13_ann_topk, Q13_SQL),
+    "q14_kg_transcripts": (q14_kg_transcripts, Q14_SQL),
+    "q15_kg_occurs_triples": (q15_kg_occurs_triples, Q15_SQL),
+    "q16_kg_cooccurrence": (q16_kg_cooccurrence, Q16_SQL),
+    "q17_kg_flagship": (q17_kg_flagship, Q17_SQL),
+}

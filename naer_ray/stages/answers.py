@@ -49,28 +49,13 @@ def answers_as_rows(answers_path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(answers_path).map_batches(to_rows, batch_format="pyarrow")
 
 
-def parse_answer_group(group: pa.Table) -> pa.Table:
-    """Per-conversation kernel: ordered lines + recorded answer -> triples.
+def _parse_one(conv_id: str, lines: list[str], answers: list[tuple[str, str]], rows: list[dict]) -> None:
+    """One conversation: ordered lines + recorded answers -> triple rows.
 
     Mirrors NamedEntityRecognizer.recognize minus the live chat call:
     slice (M3/M4) happens implicitly in refsem parsers; fromString /
     fromJson semantics per NamedEntityParser.java:39-204.
     """
-    group = group.sort_by([("turn_idx", "ascending")])
-    conv_id = group["conv_id"][0].as_py()
-    turn_idxs = group["turn_idx"].to_pylist()
-    roles = group["role"].to_pylist()
-    texts = group["text"].to_pylist()
-
-    lines: list[str] = []
-    answers: list[tuple[str, str]] = []  # (format, answer)
-    for turn_idx, role, text in zip(turn_idxs, roles, texts):
-        if role and role.startswith(ANSWER_ROLE_PREFIX):
-            answers.append((role[len(ANSWER_ROLE_PREFIX) :], text))
-        elif turn_idx >= 1:
-            lines.append(text)
-
-    rows: list[dict] = []
     sad = refsem.Sad(lines, validate=False)
     for fmt, answer in answers:
         try:
@@ -91,4 +76,34 @@ def parse_answer_group(group: pa.Table) -> pa.Table:
             )
             continue
         rows.extend(refsem.entities_to_triples(entities, conv_id))
+
+
+def parse_answer_group(group: pa.Table) -> pa.Table:
+    """Bucket-group kernel: walks conversation runs, parses each one.
+
+    Works for both a single-conversation group and a multi-conversation
+    hash bucket (the scale path — Ray group dispatch stays O(buckets)).
+    """
+    group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv_ids = group["conv_id"].to_pylist()
+    turn_idxs = group["turn_idx"].to_pylist()
+    roles = group["role"].to_pylist()
+    texts = group["text"].to_pylist()
+
+    rows: list[dict] = []
+    i, n = 0, len(conv_ids)
+    while i < n:
+        conv_id = conv_ids[i]
+        j = i
+        lines: list[str] = []
+        answers: list[tuple[str, str]] = []  # (format, answer)
+        while j < n and conv_ids[j] == conv_id:
+            role, text = roles[j], texts[j]
+            if role and role.startswith(ANSWER_ROLE_PREFIX):
+                answers.append((role[len(ANSWER_ROLE_PREFIX) :], text))
+            elif turn_idxs[j] >= 1:
+                lines.append(text)
+            j += 1
+        _parse_one(conv_id, lines, answers, rows)
+        i = j
     return triples_table(rows)
