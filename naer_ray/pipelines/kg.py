@@ -27,7 +27,11 @@ from .. import schema
 from ..sources.gazetteer import load_dictionary_rows
 from ..sources.transcripts import read_transcripts, validate_transcripts
 from ..stages.answers import answers_as_rows, parse_answer_group
-from ..stages.extract import MentionDetector, make_conversation_assembler
+from ..stages.extract import (
+    MentionDetector,
+    make_conversation_assembler,
+    make_mention_detector,
+)
 from ..testdata import hash_u32
 
 
@@ -44,6 +48,8 @@ def build_triples(
     transcripts_ds: "ray.data.Dataset | None" = None,
     dict_rows: list[dict] | None = None,
     n_buckets: int = 64,
+    detector: str = "tasks",
+    include_alias_edges: bool = False,
 ) -> ray.data.Dataset:
     """Lazy triples Dataset for either extractor backend.
 
@@ -76,16 +82,69 @@ def build_triples(
     ds = transcripts_ds if transcripts_ds is not None else read_transcripts(transcripts_path)
     if validate:
         ds = validate_transcripts(ds, mode=validate)
-    mentions = ds.map_batches(
-        MentionDetector,
-        fn_constructor_args=(dict_ref, n_buckets),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    return mentions.groupby("bucket").map_groups(
+    if detector == "actors":
+        mentions = ds.map_batches(
+            MentionDetector,
+            fn_constructor_args=(dict_ref, n_buckets),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:  # "tasks": elastic stateless stage, matcher cached per worker process
+        mentions = ds.map_batches(
+            make_mention_detector(dict_ref, n_buckets),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    triples = mentions.groupby("bucket").map_groups(
         make_conversation_assembler(dict_ref), batch_format="pyarrow"
     )
+    if include_alias_edges:
+        triples = triples.union(alias_interface_edges(triples, dict_ref))
+    return triples
+
+
+def alias_interface_edges(triples: ray.data.Dataset, dict_ref) -> ray.data.Dataset:
+    """Entity-scoped (subj, hasAlternativeName, alias) edges for every
+    entity observed anywhere in the corpus — distinct subjects (small)
+    joined against the broadcast dictionary, emitted once globally
+    (conv_id = "")."""
+    from .. import schema as _schema
+    from ..sources.gazetteer import matcher_from_ref
+
+    def partial_subjects(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["pred"], "hasType"))
+        subj = sorted(set(sel["subj"].to_pylist()))
+        return pa.table({"subj": pa.array(subj, pa.string())})
+
+    subjects = (
+        triples.map_batches(partial_subjects, batch_format="pyarrow")
+        .groupby("subj")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        matcher = matcher_from_ref(dict_ref)
+        by_name: dict[str, list[str]] = {}
+        for row in matcher.by_id.values():
+            if row.get("aliases"):
+                by_name.setdefault(row["canonical_name"], []).extend(row["aliases"])
+        rows = []
+        for subj in batch["subj"].to_pylist():
+            for alias in sorted(set(by_name.get(subj, []))):
+                rows.append(
+                    {
+                        "subj": subj,
+                        "pred": "hasAlternativeName",
+                        "obj": alias,
+                        "conv_id": "",
+                        "turn_idx": None,
+                        "ref_type": None,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=_schema.TRIPLES)
+
+    return subjects.map_batches(expand, batch_format="pyarrow")
 
 
 def split_errors(triples: ray.data.Dataset):

@@ -670,6 +670,273 @@ FROM occ
 """
 
 
+# --------------------------------------------- training-data operator queries
+
+
+def _docs_with_mutants(sf_dir: str):
+    """documents ∪ near-dup mutants (doc_id + 1_000_000, case-mutated).
+
+    Deterministic construction so near-dup detection has a knowable
+    ground truth: the mutant differs only in casing, which the
+    (lowercasing) shingle/simhash normalizers erase — similarity is
+    exactly 1.0, so every original pairs with exactly its mutant and
+    the cluster oracle is closed-form.  Partial-similarity behavior is
+    covered by unit tests; the oracle checks the full distributed
+    pipeline (shingle -> minhash -> band -> groupby -> pairs ->
+    union-find) end to end."""
+    import ray.data
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_ids = list(ids) + [i + 1_000_000 for i in ids]
+        out_texts = list(texts) + [t.upper() for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(mutate, batch_format="pyarrow", batch_size=8192)
+
+
+def _planted_only(pairs_ds):
+    """Restrict near-dup pairs to the planted (i, i + 1M) mutants.
+
+    The word-soup documents contain GENUINE cross-document near-dups
+    (observed: 12 extra simhash-identical pairs at sf0.001), so a
+    closed-form oracle can only assert recall of the planted pairs;
+    precision/extra-pair behavior is covered by tests/test_dedup.py.
+    """
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].cast(pa.int64())
+        b = batch["id_b"].cast(pa.int64())
+        t = pa.table({"id_a": a, "id_b": b})
+        return t.filter(pc.equal(pc.subtract(t["id_b"], t["id_a"]), 1_000_000))
+
+    return pairs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def d01_minhash_planted_pairs(sf_dir: str):
+    """MinHash-LSH near-dup detection over documents ∪ injected mutants:
+    the full shingle → minhash → band → groupby → candidate-pair path
+    must recover every planted (i, i+1M) pair (est_jaccard = 1.0)."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import minhash_bands, minhash_candidate_pairs
+
+    ds = _docs_with_mutants(sf_dir)
+    pairs = minhash_candidate_pairs(minhash_bands(ds, "doc_id", "text"), "doc_id")
+    strong = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], 0.95)),
+        batch_format="pyarrow",
+    )
+    return _planted_only(strong)
+
+
+D01_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+"""
+
+
+def d02_simhash_pairs(sf_dir: str):
+    """SimHash near-dup detection over documents ∪ mutants: planted
+    (i, i+1M) pairs at Hamming distance 0."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _docs_with_mutants(sf_dir)
+    return _planted_only(simhash_pairs(ds, "doc_id", "text", max_hamming=0))
+
+
+D02_SQL = D01_SQL
+
+
+def d03_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup via hyperplane LSH over embeddings ∪
+    direction-preserving copies (vec_id + 1M, scaled 2x): cosine exactly 1."""
+    import ray.data
+
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        vecs = batch["embedding"].to_pylist()
+        out_ids = list(ids) + [i + 1_000_000 for i in ids]
+        out_vecs = list(vecs) + [[2.0 * x for x in v] for v in vecs]
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float32())),
+            }
+        )
+
+    both = ds.map_batches(mutate, batch_format="pyarrow", batch_size=4096)
+    pairs = embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999999)
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()),
+                "id_b": t["id_b"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+D03_SQL = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+"""
+
+
+def c01_canonical_labels(sf_dir: str):
+    """Distributed canonicalization (pool explode -> exact edges ->
+    union-find) over part names ∪ their UPPER variants; oracle: each
+    name labels with least(name, UPPER(name)).  Fuzzy JW disabled so the
+    exact-edge + label-propagation path is SQL-checkable."""
+    import ray.data
+
+    from ..stages.canon import canonical_labels
+
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        names = sorted(set(batch["p_name"].to_pylist()))
+        out = names + [n.upper() for n in names]
+        return pa.table({"name": pa.array(out, pa.string())})
+
+    names_ds = ds.map_batches(variants, batch_format="pyarrow")
+    return canonical_labels(names_ds, jw_threshold=1.01)
+
+
+C01_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT p_name AS node, LEAST(p_name, UPPER(p_name)) AS label FROM names
+UNION ALL
+SELECT UPPER(p_name) AS node, LEAST(p_name, UPPER(p_name)) AS label FROM names
+"""
+
+
+def t01_lang_id(sf_dir: str):
+    """Heuristic language ID over documents (rows-only check)."""
+    from ..stages.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def t02_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rows-only check)."""
+    from ..stages.text import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def t03_quality(sf_dir: str):
+    """Composite quality score (rows-only check)."""
+    from ..stages.text import quality_score
+
+    return quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return mat[np.argsort(ids)[:3]]
+
+
+def a01_lsh_topk(sf_dir: str):
+    """Hyperplane-LSH ANN top-5 for 3 fixed queries (rows-only check)."""
+    from ..stages.ann import lsh_topk
+
+    got = lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=5,
+    )
+    return got[["query_id", "vec_id"]]
+
+
+def a02_ivf_topk(sf_dir: str):
+    """IVF ANN top-5 for 3 fixed queries (rows-only check)."""
+    from ..stages.ann import ivf_topk
+
+    got = ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=5,
+    )
+    return got[["query_id", "vec_id"]]
+
+
+def a03_brute_topk_multi(sf_dir: str):
+    """Exact multi-query cosine top-5 — oracle-checked against DuckDB."""
+    from ..stages.ann import brute_force_topk
+
+    got = brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=5,
+    )
+    return got[["query_id", "vec_id"]]
+
+
+A03_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qvec) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC,
+                                     e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN q)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id FROM scored WHERE rn <= 5
+"""
+
+
+def m01_multimodal_features(sf_dir: str):
+    """Multimodal decode/feature plumbing over synthetic media rows
+    (deterministic fake decoder; rows-only check)."""
+    import ray.data
+
+    from ..stages.multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(128))
+    out = decode_features(ds).to_pandas()
+    return out[["media_id", "kind", "n_bytes", "mean_luma"]]
+
+
+def kg_parity_eval(sf_dir: str):
+    """The north-rule parity gate as a query: distributed pipeline over
+    recorded answers vs the sequential reference-semantics oracle's
+    expected triples; returns one row of P/R/F1 (rows-only check — the
+    values themselves are asserted >= 0.95 in pytest)."""
+    import os
+
+    from ..testdata import corpus_dir
+    from .evaluate import eval_vs_expected
+    from .kg import build_triples, split_errors
+
+    c = corpus_dir("ref")
+    triples = build_triples(
+        os.path.join(c, "transcripts"),
+        extractor="answers",
+        answers_path=os.path.join(c, "llm_answers.parquet"),
+    )
+    ok, _bad = split_errors(triples)
+    m = eval_vs_expected(ok, os.path.join(c, "expected_triples.parquet"))
+    return pd.DataFrame([m])
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -688,4 +955,16 @@ REGISTRY: dict[str, tuple] = {
     "q15_kg_occurs_triples": (q15_kg_occurs_triples, Q15_SQL),
     "q16_kg_cooccurrence": (q16_kg_cooccurrence, Q16_SQL),
     "q17_kg_flagship": (q17_kg_flagship, Q17_SQL),
+    "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
+    "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
+    "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
+    "c01_canonical_labels": (c01_canonical_labels, C01_SQL),
+    "t01_lang_id": (t01_lang_id, None),
+    "t02_fingerprints": (t02_fingerprints, None),
+    "t03_quality": (t03_quality, None),
+    "a01_lsh_topk": (a01_lsh_topk, None),
+    "a02_ivf_topk": (a02_ivf_topk, None),
+    "a03_brute_topk_multi": (a03_brute_topk_multi, A03_SQL),
+    "m01_multimodal_features": (m01_multimodal_features, None),
+    "kg_parity_eval": (kg_parity_eval, None),
 }

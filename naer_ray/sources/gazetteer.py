@@ -28,12 +28,26 @@ from ..names import camel_split
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
+# token -> camel-split lowercase parts; corpus vocabularies are small and
+# repeat heavily, so memoizing the split removes the regex from the hot loop
+_TOKEN_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _split_token(tok: str) -> tuple[str, ...]:
+    parts = _TOKEN_CACHE.get(tok)
+    if parts is None:
+        parts = tuple(p.lower() for p in camel_split(tok))
+        if len(_TOKEN_CACHE) > 500_000:
+            _TOKEN_CACHE.clear()
+        _TOKEN_CACHE[tok] = parts
+    return parts
+
 
 def tokenize(text: str) -> list[str]:
     """Word tokens, camelCase-split, lowercased: 'the PersistenceProvider' -> ['the','persistence','provider']."""
     out: list[str] = []
     for tok in _WORD_RE.findall(text):
-        out.extend(p.lower() for p in camel_split(tok))
+        out.extend(_split_token(tok))
     return out
 
 

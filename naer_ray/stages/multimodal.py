@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns travelling beside them.  The Ray-side plumbing —
+schemas, actor-pool stage shape, small batches for large rows, output
+layout — is real and tested; the actual codec work is STUBBED because
+the image/audio libraries are not in this container:
+
+* :class:`StubImageDecoder` raises ``NotImplementedError`` when asked
+  for a real decode, and produces a deterministic fake decode (seeded
+  pixel statistics from the payload hash) when ``fake=True`` — the
+  mode tests and fixtures use.
+
+Sizing note (100 TB reality): binary rows are large, so these stages
+run with small ``batch_size`` (default 64) and explicit ``num_cpus``;
+blocks stay under target_max_block_size because Arrow binary columns
+count toward block size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..testdata import hash_u32
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("mean_luma", pa.float64()),  # fake-decoded statistic
+        ("feature", pa.list_(pa.float32())),  # 16-dim stub feature
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 3) -> pa.Table:
+    """Deterministic fake media rows for fixtures (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + int(rng.randint(0, 1024)))
+        rows["media_id"].append(f"m{i:05d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        rows["width"].append(int(rng.randint(16, 512)) if kind != "audio" else -1)
+        rows["height"].append(int(rng.randint(16, 512)) if kind != "audio" else -1)
+        rows["duration_ms"].append(int(rng.randint(100, 60000)) if kind != "image" else -1)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class StubImageDecoder:
+    """Actor-pool decode/feature stage (``map_batches(cls, batch_size=64)``).
+
+    __init__ is where a real build would load libjpeg/ffmpeg/a model —
+    run once per actor.  __call__ decodes per batch.  Real decoding is
+    not available in this container: ``fake=False`` raises
+    NotImplementedError; ``fake=True`` derives deterministic pixel
+    statistics and a 16-dim feature from the payload hash, keeping the
+    whole pipeline (schema, batching, actor signature, output layout)
+    executable and testable.
+    """
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image/audio decoding requires codec libraries not present "
+                "in this environment; run with fake=True"
+            )
+        out = {k: [] for k in FEATURE_SCHEMA.names}
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            h = hash_u32(mid) ^ hash_u32(str(len(payload)))
+            rng = np.random.RandomState(h % (2**31))
+            out["media_id"].append(mid)
+            out["kind"].append(kind)
+            out["n_bytes"].append(len(payload))
+            out["mean_luma"].append(round(float(rng.uniform(0, 255)), 4))
+            out["feature"].append(rng.standard_normal(16).astype(np.float32).tolist())
+        return pa.table(out, schema=FEATURE_SCHEMA)
+
+
+def decode_features(ds, concurrency=(1, 4), batch_size: int = 64, fake: bool = True):
+    """media rows -> feature rows via the actor-pool decode stage."""
+    return ds.map_batches(
+        StubImageDecoder,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -391,6 +391,7 @@ def generate_corpus(
         os.path.join(out_dir, "expected_triples.parquet"),
     )
     manifest = {
+        "tier_version": _TIER_VERSION,
         "seed": seed,
         "n_rows": n,
         "n_synth_convs": n_synth_convs,
@@ -413,13 +414,15 @@ def hash_u32(s: str) -> int:
 
 
 _TIERS = {
-    # name -> (n_synth_convs, mean_turns, n_synth_entities, include_reference)
-    "tiny": (3, 12, 20, False),
-    "ref": (10, 20, 50, True),
-    "bench-sf0.001": (60, 25, 200, True),
-    "bench-sf0.01": (600, 50, 200, True),
-    "bench-sf0.1": (6000, 100, 300, True),
+    # name -> (n_synth_convs, mean_turns, n_synth_entities, include_reference, n_files)
+    "tiny": (3, 12, 20, False, 2),
+    "ref": (10, 20, 50, True, 4),
+    "bench-sf0.001": (240, 25, 200, True, 8),
+    "bench-sf0.01": (2400, 50, 200, True, 16),
+    "bench-sf0.1": (24000, 100, 300, True, 32),
 }
+
+_TIER_VERSION = 2  # bump to invalidate cached corpora when generation changes
 
 
 def corpus_dir(tier: str, root: str = "/tmp/naer_corpus") -> str:
@@ -428,13 +431,17 @@ def corpus_dir(tier: str, root: str = "/tmp/naer_corpus") -> str:
         raise KeyError(f"unknown corpus tier {tier!r}; known: {sorted(_TIERS)}")
     out = os.path.join(root, tier)
     marker = os.path.join(out, "manifest.json")
-    if not os.path.exists(marker):
-        convs, turns, ents, include_ref = _TIERS[tier]
-        generate_corpus(
-            out,
-            n_synth_convs=convs,
-            mean_turns=turns,
-            n_synth_entities=ents,
-            include_reference=include_ref,
-        )
+    convs, turns, ents, include_ref, n_files = _TIERS[tier]
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("tier_version") == _TIER_VERSION:
+                return out
+    generate_corpus(
+        out,
+        n_synth_convs=convs,
+        mean_turns=turns,
+        n_synth_entities=ents,
+        include_reference=include_ref,
+        n_transcript_files=n_files,
+    )
     return out

@@ -1,0 +1,122 @@
+"""Text analysis, ANN, and multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+
+class TestTextScalars:
+    def test_detect_language(self):
+        from naer_ray.stages.text import detect_language
+
+        assert detect_language("the cat is in the house and it is happy")[0] == "en"
+        assert detect_language("der Hund ist in dem Haus und die Katze auch")[0] == "de"
+        assert detect_language("el perro es un animal y la casa es grande")[0] == "es"
+        assert detect_language("")[0] == "unknown"
+
+    def test_fingerprint_deterministic(self):
+        from naer_ray.stages.text import winnow_fingerprint
+
+        a = winnow_fingerprint("some document text for fingerprinting purposes")
+        b = winnow_fingerprint("some document text for fingerprinting purposes")
+        c = winnow_fingerprint("entirely different body of text with other words")
+        assert a == b and a != c
+
+
+def test_text_stages_over_documents(ray_session):
+    import ray.data
+
+    from naer_ray.stages.text import fingerprints, lang_id, quality_score, token_counts
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    li = lang_id(ds).to_pandas()
+    assert set(li.columns) == {"doc_id", "pred_lang", "lang_confidence"}
+    assert len(li) == 500
+    q = quality_score(ds).to_pandas()
+    assert q["quality"].between(0, 1).all()
+    tc = token_counts(ds).to_pandas()
+    assert (tc["bpe_tokens"] >= tc["ws_tokens"]).all()
+    fp = fingerprints(ds).to_pandas()
+    assert fp["fingerprint"].nunique() > 400  # near-unique on distinct docs
+
+
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def queries(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return mat[:3]
+
+    def test_brute_force_matches_numpy(self, emb_ds, queries):
+        import pyarrow.parquet as pq
+
+        from naer_ray.stages.ann import brute_force_topk
+
+        got = brute_force_topk(emb_ds, queries, k=5)
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = t["vec_id"].to_numpy()
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = unit @ qn.T
+        for qi in range(3):
+            expect = ids[np.lexsort((ids, -sims[:, qi]))[:5]].tolist()
+            have = got[got["query_id"] == qi]["vec_id"].tolist()
+            assert have == expect
+
+    def test_lsh_finds_self(self, emb_ds, queries):
+        from naer_ray.stages.ann import lsh_topk
+
+        got = lsh_topk(emb_ds, queries, k=3)
+        for qi in range(3):
+            top = got[got["query_id"] == qi].iloc[0]
+            assert top["sim"] == pytest.approx(1.0, abs=1e-9)  # finds itself
+
+    def test_ivf_finds_self(self, emb_ds, queries):
+        from naer_ray.stages.ann import ivf_topk
+
+        got = ivf_topk(emb_ds, queries, k=3)
+        for qi in range(3):
+            assert got[got["query_id"] == qi].iloc[0]["sim"] == pytest.approx(
+                1.0, abs=1e-9
+            )
+
+
+class TestMultimodal:
+    def test_decode_features_fake(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.multimodal import (
+            FEATURE_SCHEMA,
+            decode_features,
+            synth_media_table,
+        )
+
+        ds = ray.data.from_arrow(synth_media_table(32))
+        out = decode_features(ds).to_pandas()
+        assert len(out) == 32
+        assert list(out.columns) == FEATURE_SCHEMA.names
+        assert out["feature"].map(len).eq(16).all()
+        # deterministic across runs
+        out2 = decode_features(ray.data.from_arrow(synth_media_table(32))).to_pandas()
+        assert out.sort_values("media_id")["mean_luma"].tolist() == out2.sort_values(
+            "media_id"
+        )["mean_luma"].tolist()
+
+    def test_real_decode_raises(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.multimodal import decode_features, synth_media_table
+
+        ds = ray.data.from_arrow(synth_media_table(4))
+        with pytest.raises(Exception):
+            decode_features(ds, fake=False).materialize()
