@@ -903,6 +903,46 @@ SELECT CAST(query_id AS BIGINT) AS query_id, vec_id FROM scored WHERE rn <= 5
 """
 
 
+def q18_native_hash_join(sf_dir: str):
+    """Both-sides-large partitioned hash join via the native
+    ``Dataset.join`` (lineitem ⋈ part on partkey), then a small grouped
+    aggregate per p_brand — the non-broadcast join path."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(qty=batch["l_quantity"].astype("int64"), n=1)
+        return batch.groupby("p_brand", as_index=False)[["qty", "n"]].sum()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("p_brand")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Sum("n", alias_name="n_rows"))
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df[["p_brand", "sum_qty", "n_rows"]]
+
+
+Q18_SQL = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 def m01_multimodal_features(sf_dir: str):
     """Multimodal decode/feature plumbing over synthetic media rows
     (deterministic fake decoder; rows-only check)."""
@@ -955,6 +995,7 @@ REGISTRY: dict[str, tuple] = {
     "q15_kg_occurs_triples": (q15_kg_occurs_triples, Q15_SQL),
     "q16_kg_cooccurrence": (q16_kg_cooccurrence, Q16_SQL),
     "q17_kg_flagship": (q17_kg_flagship, Q17_SQL),
+    "q18_native_hash_join": (q18_native_hash_join, Q18_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),

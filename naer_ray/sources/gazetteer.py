@@ -56,6 +56,42 @@ def load_dictionary_rows(path: str) -> list[dict]:
     return pq.read_table(path).to_pylist()
 
 
+def read_gazetteer_csv(
+    path: str, entity_type: str = "COMPONENT", id_prefix: str = ""
+) -> list[dict]:
+    """modelElementID_to_ComponentName.csv -> dictionary rows (reference S5).
+
+    GoldstandardParser.parsePossibleComponents:92-114: skip header,
+    column 2 is the component name, blanks dropped; names dedup into a
+    sorted set.  Small side — plain csv module, returned as the
+    broadcastable dictionary-row list.
+    """
+    import csv
+
+    rows: list[dict] = []
+    seen: set[str] = set()
+    with open(path, encoding="utf-8") as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        for parts in reader:
+            if len(parts) >= 2 and parts[1].strip():
+                name = parts[1].strip()
+                if name in seen:
+                    continue
+                seen.add(name)
+                rows.append(
+                    {
+                        "entity_id": f"{id_prefix}{parts[0].strip()}",
+                        "canonical_name": name,
+                        "type": entity_type,
+                        "aliases": [],
+                        "interface_of": None,
+                    }
+                )
+    rows.sort(key=lambda r: r["canonical_name"])
+    return rows
+
+
 class GazetteerMatcher:
     """Token-n-gram index over dictionary surface forms; built once per worker."""
 

@@ -1,0 +1,131 @@
+"""Optional LLM-extractor plugin (reference ST1-ST4 parity surface).
+
+The reference drives recognition through a chat model
+(NamedEntityRecognizer.recognize:57-81): assemble prompt -> chat ->
+slice -> parse -> on parse failure build a repair prompt and retry
+ONCE -> second failure is fatal (per document).  This module
+re-creates that surface with a pluggable ``chat_fn`` so the engine
+runs without network access: tests inject deterministic fakes; a real
+deployment would plug an HTTP client (built once per actor).
+
+Semantics ported exactly:
+
+* system message  — "You are a software engineer and software
+  architect." (Prompt.java:21)
+* prompt assembly — prompt text + "\\nText:\\n" + document text joined
+  with "\\n" (JsonOutputPrompt.process:70-72; getText joins lines,
+  SoftwareArchitectureDocumentation.java:107-109)
+* gazetteer injection — one-shot append of the support block
+  (Prompt.addPossibleEntities:56-85): second call raises, empty map is
+  a no-op
+* repair loop — "The following output is invalid. Reformat it so it
+  precisely adheres to the expected output format..." + expected
+  format + invalid output + error (NamedEntityRecognizer.java:63-79);
+  one retry, then the row dead-letters (scaled-mode analogue of the
+  reference's per-project try/catch).
+
+Never on the correctness path: the deterministic gazetteer extractor
+is the default backend; this plugin shares its output schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from .. import refsem
+from .extract import triples_table
+
+SYSTEM_MESSAGE = "You are a software engineer and software architect."
+
+SUPPORT_HEADER = (
+    "\n\nAs support, here is a list of entities that could be mentioned in the text:\n"
+)
+
+REPAIR_PREFIX = (
+    "The following output is invalid. Reformat it so it precisely adheres "
+    "to the expected output format!\nExpected output format:\n"
+)
+
+STRUCTURED_TEXT_FORMAT = "structured-text"
+JSON_FORMAT = "json"
+
+
+class Prompt:
+    """Prompt with one-shot gazetteer injection (Prompt.java:19-112)."""
+
+    def __init__(self, text: str, answer_format: str = STRUCTURED_TEXT_FORMAT):
+        self.text = text
+        self.answer_format = answer_format
+        self._entities_added = False
+
+    def add_possible_entities(self, possible: dict[str, list[str]]) -> None:
+        """Append the support block once; reference :56-85."""
+        if self._entities_added:
+            raise RuntimeError("possible entities were already added to this prompt")
+        if not possible:
+            return
+        self._entities_added = True
+        block = SUPPORT_HEADER
+        for etype in sorted(possible):
+            names = ", ".join(possible[etype])
+            block += f"{etype.lower()} entities: {names}\n"
+        self.text += block
+
+    def render(self, lines: list[str]) -> str:
+        """prompt + '\\nText:\\n' + joined document text (M1)."""
+        return self.text + "\nText:\n" + "\n".join(lines)
+
+
+def _slice_and_parse(answer: str, fmt: str, sad: refsem.Sad) -> list[refsem.Entity]:
+    if fmt == JSON_FORMAT:
+        return refsem.parse_json_answer(refsem.slice_json(answer), sad)
+    return refsem.parse_structured_text(answer, sad)
+
+
+class LLMExtractor:
+    """Per-conversation extractor with the reference's repair loop.
+
+    ``chat_fn(system, prompt) -> str`` is the pluggable backend,
+    constructed once per actor in a real deployment.  ``extract`` is the
+    Extractor-protocol contract: conversation lines in, triple rows out
+    (same schema as the gazetteer path).
+    """
+
+    def __init__(self, chat_fn: Callable[[str, str], str], prompt: Prompt):
+        self.chat_fn = chat_fn
+        self.prompt = prompt
+
+    def recognize(self, lines: list[str]) -> list[refsem.Entity]:
+        """NamedEntityRecognizer.recognize:57-81 minus the network."""
+        sad = refsem.Sad(lines, validate=False)
+        answer = self.chat_fn(SYSTEM_MESSAGE, self.prompt.render(lines))
+        try:
+            return _slice_and_parse(answer, self.prompt.answer_format, sad)
+        except refsem.ParseError as first_error:
+            repair_prompt = (
+                f"{REPAIR_PREFIX}{self.prompt.answer_format}\n"
+                f"Invalid output:\n{answer}\nError: {first_error}"
+            )
+            repaired = self.chat_fn(SYSTEM_MESSAGE, repair_prompt)
+            return _slice_and_parse(repaired, self.prompt.answer_format, sad)
+
+    def extract(self, conv_id: str, lines: list[str]) -> pa.Table:
+        """Extractor protocol: triples table (dead-letter row on failure)."""
+        try:
+            entities = self.recognize(lines)
+        except Exception as exc:  # noqa: BLE001 — second failure dead-letters
+            return triples_table(
+                [
+                    {
+                        "subj": conv_id,
+                        "pred": "__error__",
+                        "obj": f"{type(exc).__name__}: {exc}",
+                        "conv_id": conv_id,
+                        "turn_idx": None,
+                        "ref_type": None,
+                    }
+                ]
+            )
+        return triples_table(refsem.entities_to_triples(entities, conv_id))

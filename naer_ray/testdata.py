@@ -108,31 +108,70 @@ def make_mock_answer(project: dict, rng: np.random.RandomState) -> str:
         for sent in sents:
             if sent < 1 or sent > len(lines):
                 continue
-            text = lines[sent - 1]
-            r = rng.random_sample()
-            if r < 0.70:
-                pass  # exact
-            elif r < 0.85:
-                text = text.upper()
-            elif r < 0.95 and len(set(text.lower())) >= 10 and "~" not in text:
-                text = text + "~"
-            else:
-                text = "zzzz qqqq jjjj xxxx"
+            text = _mutate_occurrence_text(lines[sent - 1], rng)
             text = text.replace("'", "")  # keep the ^(.*?),\s*'(.*)'$ regex unambiguous
             out.append(f"{name}, '{text}'")
     out.append("Alternative names:")
     for name in by_name:
-        variants = [
-            a
-            for a in alias_variants(name)
-            if len(a) >= 3 and ":" not in a and "," not in a and a.lower() != "none"
-        ]
-        if variants and rng.random_sample() < 0.4:
-            k = 1 + int(rng.random_sample() * min(2, len(variants) - 1 + 1e-9))
-            out.append(f"{name}: " + ", ".join(variants[:k]))
+        variants = _answer_aliases(name, rng)
+        if variants:
+            out.append(f"{name}: " + ", ".join(variants))
         else:
             out.append(f"{name}: None")
     return "\n".join(out)
+
+
+def _answer_aliases(name: str, rng: np.random.RandomState) -> list[str]:
+    variants = [
+        a
+        for a in alias_variants(name)
+        if len(a) >= 3 and ":" not in a and "," not in a and a.lower() != "none"
+    ]
+    if variants and rng.random_sample() < 0.4:
+        k = 1 + int(rng.random_sample() * min(2, len(variants) - 1 + 1e-9))
+        return variants[:k]
+    return []
+
+
+def _mutate_occurrence_text(text: str, rng: np.random.RandomState) -> str:
+    r = rng.random_sample()
+    if r < 0.70:
+        pass  # exact
+    elif r < 0.85:
+        text = text.upper()
+    elif r < 0.95 and len(set(text.lower())) >= 10 and "~" not in text:
+        text = text + "~"
+    else:
+        text = "zzzz qqqq jjjj xxxx"
+    return text
+
+
+def make_mock_answer_json(project: dict, rng: np.random.RandomState) -> str:
+    """JSON-array answer (JsonOutputPrompt format, NamedEntityParser.fromJson:39-67)
+    with the same seeded occurrence mutations as the structured-text
+    variant, wrapped in noise so the bracket slicer (M3) is exercised."""
+    import json as _json
+
+    lines = project["lines"]
+    by_name: dict[str, list[int]] = {}
+    for name, sent in project["gold"]:
+        by_name.setdefault(name, []).append(sent)
+    arr = []
+    for name, sents in by_name.items():
+        occurrences = []
+        for sent in sents:
+            if sent < 1 or sent > len(lines):
+                continue
+            occurrences.append(_mutate_occurrence_text(lines[sent - 1], rng))
+        arr.append(
+            {
+                "name": name,
+                "type": "COMPONENT",
+                "alternativeNames": _answer_aliases(name, rng),
+                "occurrences": occurrences,
+            }
+        )
+    return "Here are the recognized entities:\n" + _json.dumps(arr) + "\nDone."
 
 
 # ---------------------------------------------------------------- synthetic corpus
@@ -309,11 +348,18 @@ def generate_corpus(
                         "interface_of": None,
                     }
                 )
-            answer = make_mock_answer(proj, rng)
-            answer_rows.append((conv_id, "structured-text", answer))
-            # sequential reference-semantics oracle -> expected triples
+            # alternate answer formats so both parser paths (M5 JSON /
+            # M6 structured-text) are exercised end-to-end
+            use_json = len(answer_rows) % 2 == 1
             sad = refsem.Sad(proj["lines"], validate=False)
-            entities = refsem.parse_structured_text(answer, sad)
+            if use_json:
+                answer = make_mock_answer_json(proj, rng)
+                answer_rows.append((conv_id, "json", answer))
+                entities = refsem.parse_json_answer(refsem.slice_json(answer), sad)
+            else:
+                answer = make_mock_answer(proj, rng)
+                answer_rows.append((conv_id, "structured-text", answer))
+                entities = refsem.parse_structured_text(answer, sad)
             expected.extend(refsem.entities_to_triples(entities, conv_id))
 
     synth_dict = synth_dictionary(n_synth_entities)
@@ -422,7 +468,7 @@ _TIERS = {
     "bench-sf0.1": (24000, 100, 300, True, 32),
 }
 
-_TIER_VERSION = 2  # bump to invalidate cached corpora when generation changes
+_TIER_VERSION = 3  # bump to invalidate cached corpora when generation changes
 
 
 def corpus_dir(tier: str, root: str = "/tmp/naer_corpus") -> str:
