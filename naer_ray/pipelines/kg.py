@@ -200,6 +200,7 @@ def run_kg_job(
     answers_path: str | None = None,
     n_buckets: int = 16,
     resume: bool = True,
+    canonicalize: bool = False,
 ) -> dict:
     """Checkpointed KG job: triples + nodes + dead-letter, resumable per bucket.
 
@@ -283,6 +284,57 @@ def run_kg_job(
         )
         rows = write_bucket_atomic(nodes_tbl, out_root, "nodes", 0)
         manifest.mark_bucket("nodes", 0, rows, lineage={"input": "triples/*"})
+    # stage 3 (optional): cross-corpus canonicalization — union-find over
+    # name-pool similarity edges; materialized as a labels table plus
+    # (node, sameAs, label) edges for non-identity labels
+    if canonicalize and edge_dirs and not manifest.stage_complete("canon", 1):
+        import glob as _glob
+
+        from ..stages.canon import canonical_labels
+
+        edge_files = [
+            f for d in edge_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        edges = ray.data.read_parquet(edge_files)
+        ok, _bad = split_errors(edges)
+
+        def subj_names(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.equal(batch["pred"], "hasType"))
+            return pa.table(
+                {"name": pa.array(sorted(set(sel["subj"].to_pylist())), pa.string())}
+            )
+
+        names_ds = ok.map_batches(subj_names, batch_format="pyarrow")
+        labels = canonical_labels(names_ds)
+        labels_tbl = pa.concat_tables(
+            [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
+        )
+        rows = write_bucket_atomic(labels_tbl, out_root, "canonical_labels", 0)
+        same_as = [
+            {
+                "subj": n,
+                "pred": "sameAs",
+                "obj": l,
+                "conv_id": "",
+                "turn_idx": None,
+                "ref_type": None,
+            }
+            for n, l in zip(
+                labels_tbl["node"].to_pylist(), labels_tbl["label"].to_pylist()
+            )
+            if n != l
+        ]
+        write_bucket_atomic(
+            pa.Table.from_pylist(same_as, schema=schema.TRIPLES),
+            out_root,
+            "canon",
+            0,
+        )
+        manifest.mark_bucket(
+            "canon", 0, len(same_as), lineage={"labels_rows": rows}
+        )
+        counters["same_as_edges"] = len(same_as)
+
     counters["triples_rows"] = sum(
         v["rows"] for v in manifest.stage("triples")["buckets"].values()
     )
