@@ -943,6 +943,168 @@ GROUP BY p.p_brand
 """
 
 
+def q19_semi_anti_join(sf_dir: str):
+    """Broadcast semi/anti join: per mktsegment, customers WITH orders
+    (semi) and WITHOUT orders (anti).  The order-custkey set is the
+    broadcast side (at 100 TB scale a Bloom filter replaces the exact
+    set; exact here for the oracle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    okeys = set(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    keys_ref = ray.put(okeys)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        has = batch["c_custkey"].isin(keys)
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "with_orders": has.astype("int64"),
+                "without_orders": (~has).astype("int64"),
+            }
+        )
+        return out.groupby("c_mktsegment", as_index=False)[
+            ["with_orders", "without_orders"]
+        ].sum()
+
+    agg = (
+        ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("with_orders", alias_name="with_orders"),
+            Sum("without_orders", alias_name="without_orders"),
+        )
+    )
+    df = agg.to_pandas()
+    df["with_orders"] = df["with_orders"].astype("int64")
+    df["without_orders"] = df["without_orders"].astype("int64")
+    return df[["c_mktsegment", "with_orders", "without_orders"]]
+
+
+Q19_SQL = """
+SELECT c_mktsegment,
+       SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS with_orders,
+       SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS without_orders
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q20_sliding_window(sf_dir: str):
+    """3-hour sliding window stepped hourly per event_type.
+
+    Window starts = DISTINCT event hours (small; broadcast).  Each event
+    expands to the <=3 windows covering it inside map_batches (no
+    self-join), partial-aggregated, then a tiny groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    hours_df = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pd.DataFrame({"h": b["ts"].dt.floor("h").unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    valid_hours = set(pd.unique(hours_df["h"]))
+    hours_ref = ray.put(valid_hours)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        valid = ray.get(hours_ref)
+        h = batch["ts"].dt.floor("h")
+        frames = []
+        for k in range(3):  # event at hour h is inside windows starting h, h-1, h-2
+            ws = h - pd.Timedelta(hours=k)
+            frames.append(
+                pd.DataFrame({"window_start": ws, "event_type": batch["event_type"]})
+            )
+        ex = pd.concat(frames, ignore_index=True)
+        ex = ex[ex["window_start"].isin(valid)]
+        ex["n"] = 1
+        return ex.groupby(["window_start", "event_type"], as_index=False)[["n"]].sum()
+
+    agg = (
+        ds.map_batches(expand, batch_format="pandas", batch_size=65536)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["window_start", "event_type", "n_events"]]
+
+
+Q20_SQL = """
+WITH hours AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+SELECT hours.h AS window_start, e.event_type, COUNT(*) AS n_events
+FROM hours JOIN events e
+  ON e.ts >= hours.h AND e.ts < hours.h + INTERVAL 3 HOUR
+GROUP BY 1, 2
+"""
+
+
+def q21_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT o_custkey) per orderpriority — bucketed
+    partial-distinct then a small merge (the exact twin of the HLL
+    sketch in stages/sketch.py)."""
+    from ray.data.aggregate import Sum
+
+    from ..testdata import hash_u32
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates()
+        comb = g["o_orderpriority"].astype(str) + "|" + g["o_custkey"].astype(str)
+        g = g.assign(bucket=(comb.map(hash_u32) % 64).astype("int32"))
+        return g
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # each distinct (priority, custkey) pair lands in exactly one
+        # bucket, so per-bucket nunique sums to the exact global count
+        out = (
+            group.drop_duplicates(subset=["o_orderpriority", "o_custkey"])
+            .groupby("o_orderpriority", as_index=False)["o_custkey"]
+            .nunique()
+            .rename(columns={"o_custkey": "n_partial"})
+        )
+        return out
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    agg = parts.groupby("o_orderpriority").aggregate(
+        Sum("n_partial", alias_name="n_customers")
+    )
+    out = agg.to_pandas()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out[["o_orderpriority", "n_customers"]]
+
+
+Q21_SQL = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q22_hll_distinct(sf_dir: str):
+    """Approximate distinct users in events via mergeable HLL sketches
+    (rows-only check; accuracy asserted in pytest vs the exact count)."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
 def m01_multimodal_features(sf_dir: str):
     """Multimodal decode/feature plumbing over synthetic media rows
     (deterministic fake decoder; rows-only check)."""
@@ -996,6 +1158,10 @@ REGISTRY: dict[str, tuple] = {
     "q16_kg_cooccurrence": (q16_kg_cooccurrence, Q16_SQL),
     "q17_kg_flagship": (q17_kg_flagship, Q17_SQL),
     "q18_native_hash_join": (q18_native_hash_join, Q18_SQL),
+    "q19_semi_anti_join": (q19_semi_anti_join, Q19_SQL),
+    "q20_sliding_window": (q20_sliding_window, Q20_SQL),
+    "q21_distinct_count": (q21_distinct_count, Q21_SQL),
+    "q22_hll_distinct": (q22_hll_distinct, None),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
