@@ -731,10 +731,8 @@ def d01_minhash_planted_pairs(sf_dir: str):
     from ..stages.dedup import minhash_bands, minhash_candidate_pairs
 
     ds = _docs_with_mutants(sf_dir)
-    pairs = minhash_candidate_pairs(minhash_bands(ds, "doc_id", "text"), "doc_id")
-    strong = pairs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], 0.95)),
-        batch_format="pyarrow",
+    strong = minhash_candidate_pairs(
+        minhash_bands(ds, "doc_id", "text"), "doc_id", min_est=0.95
     )
     return _planted_only(strong)
 

@@ -48,14 +48,21 @@ def shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def _stable_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Deterministic (process-independent) hashed shingles via FNV-1a."""
-    t = text.lower()
+    """Deterministic hashed byte k-shingles, fully vectorized.
+
+    FNV-1a over the utf-8 bytes of each k-gram window, computed as k
+    column-folds over a sliding window view (k vector ops total instead
+    of len(text) x k Python iterations)."""
+    t = text.lower().encode("utf-8")
     if len(t) < k:
-        return np.array([hash_u32(t)], dtype=np.uint64)
-    out = np.empty(len(t) - k + 1, dtype=np.uint64)
-    for i in range(len(t) - k + 1):
-        out[i] = hash_u32(t[i : i + k])
-    return np.unique(out)
+        return np.array([hash_u32(text.lower())], dtype=np.uint64)
+    buf = np.frombuffer(t, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint32)
+    h = np.full(windows.shape[0], 2166136261, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for c in range(k):
+            h = (h ^ windows[:, c]) * np.uint32(16777619)
+    return np.unique(h.astype(np.uint64))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -108,43 +115,65 @@ def minhash_bands(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for rid, text in zip(ids, texts):
-            sig = minhash_signature(_stable_shingles(text, shingle_k), a, b)
+        n = len(ids)
+        sigs = np.empty((n, num_perm), dtype=np.int64)
+        for i, text in enumerate(texts):
+            sigs[i] = minhash_signature(_stable_shingles(text, shingle_k), a, b)
+        # band hashes vectorized: fold each band's rows with a mixed sum
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_hash = np.empty(bands * n, dtype=np.int64)
+        with np.errstate(over="ignore"):
             for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hash_u32("|".join(map(str, chunk)))
-                out_band.append(bi)
-                out_hash.append(h)
-                out_id.append(rid)
-                out_sig.append(sig.tolist())
+                chunk = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band].astype(
+                    np.uint64
+                )
+                acc = np.full(n, 1469598103934665603, dtype=np.uint64)  # FNV-1a 64 basis
+                for c in range(rows_per_band):
+                    acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
+                out_hash[bi * n : (bi + 1) * n] = acc.astype(np.int64)
+        # signatures travel as packed binary (one object per row through
+        # pandas stages, not 64 boxed ints — the list<int64> representation
+        # made every downstream pandas conversion the bottleneck)
+        sig_arr = pa.array([row.tobytes() for row in sigs], pa.binary())
+        idx = pa.array(np.tile(np.arange(n), bands))
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.int64()),
-                id_col: pa.array(out_id),
-                "signature": pa.array(out_sig, pa.list_(pa.int64())),
+                id_col: pa.array(ids).take(idx),
+                "signature": sig_arr.take(idx),
             }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
 
 
-def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64):
+def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
+                  min_group_size: int = 1):
     """Bucketed fine-grained groupby: hash the composite key into
     ``n_buckets`` Ray groups, run ``kernel`` per logical key-run inside
     a pandas loop — Ray dispatch stays O(n_buckets) even with millions
-    of distinct keys (same rationale as stages/agg.py)."""
+    of distinct keys (same rationale as stages/agg.py).
+
+    ``min_group_size=2`` vectorized-drops singleton key groups before
+    the Python loop — for pair-generation kernels (LSH buckets are
+    overwhelmingly singletons) this removes ~99% of the tiny-DataFrame
+    creations that otherwise dominate.
+    """
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
             batch["bucket"] = pd.Series([], dtype="int32")
             return batch
-        comb = batch[keys].astype(str).agg("|".join, axis=1)
+        comb = batch[keys[0]].astype(str)
+        for k in keys[1:]:
+            comb = comb + "|" + batch[k].astype(str)
         batch["bucket"] = (comb.map(hash_u32) % n_buckets).astype("int32")
         return batch
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
+        if min_group_size >= 2 and not group.empty:
+            group = group[group.duplicated(subset=keys, keep=False)]
         outs = [kernel(sub) for _, sub in group.groupby(keys, sort=False)]
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
@@ -158,9 +187,17 @@ def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64):
     )
 
 
-def minhash_candidate_pairs(band_rows, id_col: str, max_bucket: int = 200):
+def minhash_candidate_pairs(
+    band_rows, id_col: str, max_bucket: int = 200, min_est: float = 0.0
+):
     """LSH buckets -> distinct candidate (id_a < id_b) pairs with the
-    minhash-estimated Jaccard from full signatures."""
+    minhash-estimated Jaccard from full signatures.
+
+    ``min_est`` pushes the downstream similarity threshold into the
+    pair-generation kernel so sub-threshold pairs are never
+    materialized or shuffled (the corpus can contain heavy genuine
+    near-dup structure: 735k candidate pairs from 10k docs observed).
+    """
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -169,15 +206,21 @@ def minhash_candidate_pairs(band_rows, id_col: str, max_bucket: int = 200):
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        sigs = np.array(g["signature"].to_list(), dtype=np.int64)
-        rows = []
+        blob = b"".join(g["signature"].tolist())
+        sigs = np.frombuffer(blob, dtype=np.int64).reshape(len(ids), -1)
+        out_a, out_b, out_e = [], [], []
         for i in range(len(ids)):
             eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off, est in enumerate(eq):
-                rows.append((ids[i], ids[i + 1 + off], float(est)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+            keep = np.flatnonzero(eq >= min_est)
+            if keep.size:
+                out_a.extend([ids[i]] * keep.size)
+                out_b.extend(ids[i + 1 + keep])
+                out_e.extend(eq[keep])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "est_jaccard": np.asarray(out_e, dtype=float)}
+        )
 
-    cands = _grouped_runs(band_rows, ["band_id", "band_hash"], pairs)
+    cands = _grouped_runs(band_rows, ["band_id", "band_hash"], pairs, min_group_size=2)
 
     # distinct pairs (same pair surfaces from multiple bands)
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -360,13 +403,7 @@ def minhash_lsh_clusters(
     """Full MinHash-LSH near-dup pipeline: returns (node, label) clusters
     for all rows participating in a pair with est_jaccard >= threshold."""
     bands_ds = minhash_bands(ds, id_col, text_col, num_perm, bands, shingle_k)
-    pairs = minhash_candidate_pairs(bands_ds, id_col)
-    import pyarrow.compute as pc
-
-    strong = pairs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
-        batch_format="pyarrow",
-    )
+    strong = minhash_candidate_pairs(bands_ds, id_col, min_est=threshold)
     return connected_components(strong)
 
 
@@ -430,7 +467,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=4096)
-    cands = _grouped_runs(band_rows, ["band_id", "band_val"], pairs)
+    cands = _grouped_runs(band_rows, ["band_id", "band_val"], pairs, min_group_size=2)
 
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
