@@ -4,8 +4,9 @@ Lazy Dataset composition::
 
     read_parquet(transcripts, columns=3)            # prune at the read
       -> validate (vectorized regex, quarantine)    # S3
-      -> MentionDetector map_batches actor pool     # per-turn, NO shuffle
-      -> groupby(conv_id).map_groups(assemble)      # shuffle 1 (mention rows only)
+      -> mention detection map_batches              # per-turn, NO shuffle
+         (elastic tasks w/ per-process matcher cache; actor pool optional)
+      -> groupby(conv-hash bucket).map_groups       # shuffle 1 (mention rows only)
       -> triples Dataset                            # occursIn/mentionedIn/hasType/...
 
 plus the recorded-answer parity path (stages/answers.py) which runs the
@@ -265,21 +266,22 @@ def run_kg_job(
         ))
 
     # stage 2: node table from the checkpointed edge partitions
-    edge_dirs = [
-        bucket_dir(out_root, "triples", b)
+    import glob as _glob
+
+    edge_files = [
+        f
         for b in sorted(manifest.done_buckets("triples"))
         if os.path.isdir(bucket_dir(out_root, "triples", b))
+        for f in sorted(_glob.glob(os.path.join(bucket_dir(out_root, "triples", b), "*.parquet")))
     ]
-    if edge_dirs and not manifest.stage_complete("nodes", 1):
-        import glob as _glob
 
-        edge_files = [
-            f for d in edge_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        ]
-        edges = ray.data.read_parquet(edge_files)
-        ok, _bad = split_errors(edges)
+    def _ok_edges():
+        ok, _bad = split_errors(ray.data.read_parquet(edge_files))
+        return ok
+
+    if edge_files and not manifest.stage_complete("nodes", 1):
         nodes_tbl = pa.concat_tables(
-            [ray.get(r) for r in nodes_from_triples(ok).to_arrow_refs()],
+            [ray.get(r) for r in nodes_from_triples(_ok_edges()).to_arrow_refs()],
             promote_options="default",
         )
         rows = write_bucket_atomic(nodes_tbl, out_root, "nodes", 0)
@@ -287,16 +289,10 @@ def run_kg_job(
     # stage 3 (optional): cross-corpus canonicalization — union-find over
     # name-pool similarity edges; materialized as a labels table plus
     # (node, sameAs, label) edges for non-identity labels
-    if canonicalize and edge_dirs and not manifest.stage_complete("canon", 1):
-        import glob as _glob
-
+    if canonicalize and edge_files and not manifest.stage_complete("canon", 1):
         from ..stages.canon import canonical_labels
 
-        edge_files = [
-            f for d in edge_dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        ]
-        edges = ray.data.read_parquet(edge_files)
-        ok, _bad = split_errors(edges)
+        ok = _ok_edges()
 
         def subj_names(batch: pa.Table) -> pa.Table:
             sel = batch.filter(pc.equal(batch["pred"], "hasType"))

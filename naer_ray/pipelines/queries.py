@@ -296,8 +296,10 @@ def q07_sessionize(sf_dir: str):
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
-        n_sessions = 1 + int((gaps > 1800).sum()) if len(ts) else 0
+        # microsecond precision: casting to [s] truncates, so a 1800.5s gap
+        # would NOT open a session here while SQL's `> INTERVAL 30 MINUTE` would
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > 1800 * 1_000_000).sum()) if len(ts) else 0
         return pd.DataFrame(
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(ts)]}
         )
