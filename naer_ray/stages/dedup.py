@@ -36,17 +36,6 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles (uint64) of the lowercased text."""
-    t = text.lower()
-    if len(t) < k:
-        return np.array([hash_u32(t)], dtype=np.uint64)
-    return np.unique(
-        np.array([hash(t[i : i + k]) & 0xFFFFFFFFFFFF for i in range(len(t) - k + 1)],
-                 dtype=np.uint64)
-    )
-
-
 def _stable_shingles(text: str, k: int = 5) -> np.ndarray:
     """Deterministic hashed byte k-shingles, fully vectorized.
 
@@ -408,10 +397,6 @@ def minhash_lsh_clusters(
 
 
 # ------------------------------------------------------------------- simhash
-
-
-def _token_hashes(text: str) -> np.ndarray:
-    return np.array([hash_u32(w) for w in text.lower().split()], dtype=np.uint64)
 
 
 def simhash64(text: str) -> int:
