@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--buckets", type=int, default=16)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--canonicalize", action="store_true")
+    parser.add_argument("--annotations", default=None,
+                        help="reference_annotations.parquet -> eval stage + metrics.json")
+    parser.add_argument("--expected", default=None,
+                        help="expected_triples.parquet -> parity stage + metrics.json")
     parser.add_argument("--num-cpus", type=int, default=None,
                         help="local-mode CPU count (ignored on a cluster)")
     args = parser.parse_args(argv)
@@ -57,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         resume=not args.no_resume,
         canonicalize=args.canonicalize,
+        annotations_path=args.annotations,
+        expected_path=args.expected,
     )
     print(json.dumps(counters))
     if owns_session:

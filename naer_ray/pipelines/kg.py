@@ -202,6 +202,8 @@ def run_kg_job(
     n_buckets: int = 16,
     resume: bool = True,
     canonicalize: bool = False,
+    annotations_path: str | None = None,
+    expected_path: str | None = None,
 ) -> dict:
     """Checkpointed KG job: triples + nodes + dead-letter, resumable per bucket.
 
@@ -330,6 +332,28 @@ def run_kg_job(
             "canon", 0, len(same_as), lineage={"labels_rows": rows}
         )
         counters["same_as_edges"] = len(same_as)
+
+    # stage 4 (optional): evaluation job — P/R vs reference annotations
+    # (J3 name-pool matching) and/or vs expected triples (parity gate);
+    # metrics written beside the outputs and recorded in the manifest
+    if (annotations_path or expected_path) and edge_files:
+        import json as _json
+
+        from .evaluate import eval_vs_annotations, eval_vs_expected
+
+        metrics: dict = {}
+        if expected_path:
+            metrics["parity_vs_expected"] = eval_vs_expected(_ok_edges(), expected_path)
+        if annotations_path:
+            metrics["eval_vs_annotations"] = eval_vs_annotations(
+                _ok_edges(), annotations_path
+            )
+        with open(os.path.join(out_root, "metrics.json"), "w") as f:
+            _json.dump(metrics, f, indent=2)
+        for group, vals in metrics.items():
+            for k, v in vals.items():
+                manifest.add_counter("eval", f"{group}.{k}", float(v))
+        counters["metrics"] = metrics
 
     counters["triples_rows"] = sum(
         v["rows"] for v in manifest.stage("triples")["buckets"].values()

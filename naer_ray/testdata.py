@@ -374,6 +374,24 @@ def generate_corpus(
             conv_rows.append((conv_id, i, text))
         for name, turn, ref in anns:
             ann_rows.append((conv_id, name, turn, ref))
+        # recorded answers for a slice of synthetic conversations too, so
+        # the parity gate runs over dozens of conversations, not just the
+        # 5 reference projects (both answer formats, seeded mutations)
+        if include_reference and ci < max(8, n_synth_convs // 50):
+            proj = {
+                "lines": texts,
+                "gold": [(name, turn) for name, turn, _ref in anns],
+            }
+            sad = refsem.Sad(texts, validate=False)
+            if ci % 2:
+                answer = make_mock_answer_json(proj, rng)
+                answer_rows.append((conv_id, "json", answer))
+                entities = refsem.parse_json_answer(refsem.slice_json(answer), sad)
+            else:
+                answer = make_mock_answer(proj, rng)
+                answer_rows.append((conv_id, "structured-text", answer))
+                entities = refsem.parse_structured_text(answer, sad)
+            expected.extend(refsem.entities_to_triples(entities, conv_id))
 
     # ---- transcripts: full input_hint schema, deterministically shuffled shards
     n = len(conv_rows)
@@ -468,7 +486,7 @@ _TIERS = {
     "bench-sf0.1": (24000, 100, 300, True, 32),
 }
 
-_TIER_VERSION = 3  # bump to invalidate cached corpora when generation changes
+_TIER_VERSION = 4  # bump to invalidate cached corpora when generation changes
 
 
 def corpus_dir(tier: str, root: str = "/tmp/naer_corpus") -> str:
