@@ -1095,6 +1095,126 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q23_asof_join(sf_dir: str):
+    """As-of join: each event matches the latest order (by orderdate) of
+    the same customer at or before the event time.
+
+    Ray pattern: orders pre-reduced to one row per (custkey, orderdate)
+    (ties collapse deterministically to max price) and broadcast once;
+    each batch runs a vectorized ``pd.merge_asof`` against it.  At
+    100 TB the broadcast side becomes a per-user-hash bucketed
+    co-partition with the same per-bucket merge_asof kernel.
+    Aggregated to (event_type, n_matched, matched_price) so the result
+    is small and exactly comparable to DuckDB's ASOF JOIN.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"]
+        .max()
+    )
+    orders["price_c"] = _cents(orders["o_totalprice"].to_numpy())
+    orders = orders.sort_values("o_orderdate")
+    orders_ref = ray.put(orders[["o_custkey", "o_orderdate", "price_c"]])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def asof(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(orders_ref)
+        left = batch.sort_values("ts")
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged["matched"] = merged["price_c"].notna().astype("int64")
+        merged["price_c"] = merged["price_c"].fillna(0).astype("int64")
+        return merged.groupby("event_type", as_index=False)[["matched", "price_c"]].sum()
+
+    agg = (
+        ds.map_batches(asof, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("matched", alias_name="n_matched"),
+            Sum("price_c", alias_name="price_c"),
+        )
+    )
+    df = agg.to_pandas()
+    df["matched_price"] = df.pop("price_c") / 100.0
+    df["n_matched"] = df["n_matched"].astype("int64")
+    return df[["event_type", "n_matched", "matched_price"]]
+
+
+Q23_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS price_c
+  FROM (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate)
+  GROUP BY o_custkey, o_orderdate)
+SELECT e.event_type,
+       SUM(CASE WHEN o.price_c IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       SUM(COALESCE(o.price_c, 0)) / 100.0 AS matched_price
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY e.event_type
+"""
+
+
+def q24_grouped_topk(sf_dir: str):
+    """Top-3 orders by totalprice per mktsegment (grouped top-k):
+    broadcast segment lookup -> per-batch local top-k per segment ->
+    tiny global merge; deterministic orderkey tie-break."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        batch = batch.assign(
+            c_mktsegment=batch["o_custkey"].map(seg),
+            price_c=_cents(batch["o_totalprice"].to_numpy()),
+        )
+        return (
+            batch.sort_values(["price_c", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", as_index=False, sort=False)
+            .head(3)[["c_mktsegment", "o_orderkey", "price_c"]]
+        )
+
+    parts = ds.map_batches(local, batch_format="pandas", batch_size=65536).to_pandas()
+    top = (
+        parts.sort_values(["price_c", "o_orderkey"], ascending=[False, True])
+        .groupby("c_mktsegment", as_index=False, sort=False)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    top["o_totalprice"] = top.pop("price_c") / 100.0
+    return top[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+
+Q24_SQL = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                     o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+"""
+
+
 def q22_hll_distinct(sf_dir: str):
     """Approximate distinct users in events via mergeable HLL sketches
     (rows-only check; accuracy asserted in pytest vs the exact count)."""
@@ -1162,6 +1282,8 @@ REGISTRY: dict[str, tuple] = {
     "q20_sliding_window": (q20_sliding_window, Q20_SQL),
     "q21_distinct_count": (q21_distinct_count, Q21_SQL),
     "q22_hll_distinct": (q22_hll_distinct, None),
+    "q23_asof_join": (q23_asof_join, Q23_SQL),
+    "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
