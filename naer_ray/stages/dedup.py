@@ -488,23 +488,71 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+    skeys = ["band_id", "band_val"]
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """Flat-array bucket kernel (same structure as the MinHash pair
+        kernel): size-2 band groups pair via one vectorized XOR-popcount."""
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if group.empty:
+            return empty
+        g = (
+            group.drop_duplicates(subset=[*skeys, id_col])
+            .sort_values([*skeys, id_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(g) < 2:
+            return empty
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            dist = np.array(
-                [bin(int(hs[i]) ^ int(x)).count("1") for x in hs[i + 1 :]]
-            )
-            for off in np.flatnonzero(dist <= max_hamming):
-                rows.append((ids[i], ids[i + 1 + off], int(dist[off])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        codes, _ = pd.factorize(g[skeys[0]].astype(str) + "|" + g[skeys[1]].astype(str))
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        sizes = ends - starts
+        ids = g[id_col].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
+        two = np.flatnonzero(sizes == 2)
+        if two.size:
+            i0 = starts[two]
+            i1 = i0 + 1
+            dist = _popcount64(hs[i0] ^ hs[i1])
+            keep = dist <= max_hamming
+            out_a.extend(ids[i0[keep]])
+            out_b.extend(ids[i1[keep]])
+            out_h.extend(dist[keep])
+        for gi in np.flatnonzero(sizes > 2):
+            s, e = starts[gi], ends[gi]
+            sub, sids = hs[s:e], ids[s:e]
+            for i in range(len(sids) - 1):
+                dist = _popcount64(sub[i + 1 :] ^ sub[i])
+                keep = np.flatnonzero(dist <= max_hamming)
+                if keep.size:
+                    out_a.extend([sids[i]] * keep.size)
+                    out_b.extend(sids[i + 1 + keep])
+                    out_h.extend(dist[keep])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "hamming": np.asarray(out_h, dtype=np.int64)}
+        )
+
+    def bucketize_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        comb = batch[skeys[0]].astype(str) + "|" + batch[skeys[1]].astype(str)
+        batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
+        return batch
 
     band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=4096)
-    cands = _grouped_runs(band_rows, ["band_id", "band_val"], pairs, min_group_size=2)
+    cands = (
+        band_rows.map_batches(bucketize_bands, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
 
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
