@@ -226,6 +226,24 @@ def run_kg_job(
     counters = {"buckets_skipped": len(done), "buckets_computed": len(todo)}
 
     if todo:
+        # dead-letter sink: rows failing the SAD format rule are persisted
+        # (not silently dropped) with a manifest counter — stage "quarantine"
+        if extractor == "gazetteer" and not manifest.stage_complete("quarantine", 1):
+            from ..sources.transcripts import invalid_transcripts, read_transcripts
+
+            bad_tbl = pa.concat_tables(
+                [
+                    ray.get(r)
+                    for r in invalid_transcripts(
+                        read_transcripts(transcripts_path)
+                    ).to_arrow_refs()
+                ],
+                promote_options="default",
+            )
+            rows = write_bucket_atomic(bad_tbl, out_root, "quarantine", 0)
+            manifest.mark_bucket("quarantine", 0, rows, lineage={"rule": "S3 [.!?]$"})
+            counters["quarantined_rows"] = rows
+
         triples = build_triples(
             transcripts_path,
             dictionary_path,

@@ -81,3 +81,47 @@ def invalid_transcripts(ds: ray.data.Dataset) -> ray.data.Dataset:
         lambda batch: batch.filter(pc.invert(validity_mask(batch))),
         batch_format="pyarrow",
     )
+
+
+def transcripts_from_text_files(paths, conv_id_from_path=None) -> ray.data.Dataset:
+    """Raw-text ingestion parity (reference S1: one-sentence-per-line files).
+
+    ``read_text`` yields one row per line; the conversation id derives
+    from the source path (``Files.readAllLines`` analogue,
+    SoftwareArchitectureDocumentation.java:32-51) and turn_idx from the
+    1-based line position within the file.
+    """
+    import os
+
+    import pyarrow as pa
+
+    conv_id_from_path = conv_id_from_path or (
+        lambda p: os.path.splitext(os.path.basename(p))[0]
+    )
+    # read_binary_files keeps each file atomic (read_text splits files
+    # into byte-range blocks, destroying intra-file line order); one
+    # file = one row = one conversation, split into lines in the UDF.
+    # SAD-style documents are small; a 100 TB raw-text corpus would be
+    # pre-chunked with explicit line indexes instead.
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        conv, turn, out_text = [], [], []
+        for p, raw in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            cid = conv_id_from_path(p)
+            lines = raw.decode("utf-8").splitlines()
+            for i, line in enumerate(lines, 1):
+                if not line.strip():
+                    continue
+                conv.append(cid)
+                turn.append(i)
+                out_text.append(line)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")

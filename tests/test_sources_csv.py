@@ -35,3 +35,19 @@ def test_read_gazetteer_csv():
     hit_names = {rows_by_id["canonical_name"] for _pos, eid in hits
                  for rows_by_id in [m.by_id[eid]]}
     assert {"WebUI", "Image Provider"} <= hit_names
+
+
+def test_transcripts_from_text_files(ray_session):
+    """Raw-text ingestion (S1): reference SAD file -> transcript rows with
+    per-turn text equality and 1-based line numbering."""
+    import glob
+
+    from naer_ray.sources.transcripts import transcripts_from_text_files
+    from naer_ray.testdata import load_reference_projects
+
+    path = glob.glob(f"{BASE}/teastore/text_*/*_1SentPerLine.txt")[0]
+    ds = transcripts_from_text_files([path])
+    df = ds.to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    ref = next(p for p in load_reference_projects() if p["name"] == "teastore")
+    assert df["text"].tolist() == ref["lines"]
+    assert df["turn_idx"].tolist() == list(range(1, len(ref["lines"]) + 1))
