@@ -1095,6 +1095,15 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q25_streaming_sessionize(sf_dir: str):
+    """Sessionization via stateful Ray actors fed in event-time order
+    (stages/streaming.py) — identical result to q07's batch groupby,
+    different execution model; oracle-checked against the same SQL."""
+    from ..stages.streaming import streaming_sessionize
+
+    return streaming_sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q23_asof_join(sf_dir: str):
     """As-of join: each event matches the latest order (by orderdate) of
     the same customer at or before the event time.
@@ -1283,6 +1292,7 @@ REGISTRY: dict[str, tuple] = {
     "q21_distinct_count": (q21_distinct_count, Q21_SQL),
     "q22_hll_distinct": (q22_hll_distinct, None),
     "q23_asof_join": (q23_asof_join, Q23_SQL),
+    "q25_streaming_sessionize": (q25_streaming_sessionize, Q07_SQL),
     "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
