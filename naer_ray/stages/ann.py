@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -110,7 +111,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 10,
             probe_keys.add(int(sig) ^ (1 << b))
 
     index = build_lsh_index(ds, n_planes, seed, id_col, vec_col)
-    import pyarrow.compute as pc
+
 
     keys = pa.array(sorted(probe_keys), pa.int64())
     candidates = index.map_batches(
@@ -126,9 +127,14 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     """IVF ANN: seeded-sample centroids -> nearest-centroid partitions ->
     scan the nprobe closest lists per query."""
     import ray
-    import pyarrow.compute as pc
 
-    sample = ds.limit(sample_size).to_pandas()
+
+    # deterministic sample under ANY block layout: filter on the id key
+    # (ds.limit takes "first N rows", which depends on parallelism)
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], pa.scalar(sample_size))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
     mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
