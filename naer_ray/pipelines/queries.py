@@ -319,26 +319,25 @@ FROM gaps GROUP BY user_id
 
 
 def q08_tumbling_hour(sf_dir: str):
-    """Tumbling 1-hour windowed aggregate per event_type."""
-    from ray.data.aggregate import Sum
+    """Tumbling 1-hour windowed aggregate per event_type (bucketed sum —
+    thousands of (window, type) groups would choke per-group dispatch)."""
+    from ..stages.agg import bucketed_sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            window_start=batch["ts"].dt.floor("h"),
-            value_c=np.floor(batch["value"].to_numpy() * 1000 + 0.5).astype(np.int64),
-            n=1,
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": batch["ts"].dt.floor("h"),
+                "event_type": batch["event_type"],
+                "value_c": np.floor(batch["value"].to_numpy() * 1000 + 0.5).astype(
+                    np.int64
+                ),
+            }
         )
-        return batch.groupby(["window_start", "event_type"], as_index=False)[
-            ["value_c", "n"]
-        ].sum()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n_events"))
-    )
+    rows = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    agg = bucketed_sum(rows, ["window_start", "event_type"], ["value_c"], count_col="n_events")
     df = agg.to_pandas()
     df["sum_value"] = df.pop("value_c") / 1000.0
     df["n_events"] = df["n_events"].astype("int64")
@@ -1026,15 +1025,12 @@ def q20_sliding_window(sf_dir: str):
                 pd.DataFrame({"window_start": ws, "event_type": batch["event_type"]})
             )
         ex = pd.concat(frames, ignore_index=True)
-        ex = ex[ex["window_start"].isin(valid)]
-        ex["n"] = 1
-        return ex.groupby(["window_start", "event_type"], as_index=False)[["n"]].sum()
+        return ex[ex["window_start"].isin(valid)]
 
-    agg = (
-        ds.map_batches(expand, batch_format="pandas", batch_size=65536)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("n", alias_name="n_events"))
-    )
+    from ..stages.agg import bucketed_sum
+
+    rows = ds.map_batches(expand, batch_format="pandas", batch_size=65536)
+    agg = bucketed_sum(rows, ["window_start", "event_type"], [], count_col="n_events")
     df = agg.to_pandas()
     df["n_events"] = df["n_events"].astype("int64")
     return df[["window_start", "event_type", "n_events"]]
