@@ -313,9 +313,10 @@ def connected_components(
     # per-round Ray stage overhead dominates tiny graphs).  The distributed
     # path below is the scale path and is exercised directly in tests with
     # driver_threshold=0.
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()  # count + reuse, one execution
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
-        df = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+        df = pairs.to_pandas()
         parent: dict = {}
 
         def find(x):
