@@ -234,9 +234,16 @@ GROUP BY r.r_name
 
 
 def q05_filtered_revenue(sf_dir: str):
-    """Pushed-down filter + single global aggregate (TPC-H Q6 shape)."""
-    ds = _read(
-        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    """Row-group filter pushdown at the READ + single global aggregate
+    (TPC-H Q6 shape): the discount predicate is given to read_parquet as
+    an Arrow dataset expression so non-matching row groups never leave
+    storage; the residual quantity filter applies per batch."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -794,6 +801,32 @@ SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
 """
 
 
+def d04_embedding_clusters(sf_dir: str):
+    """Near-dup clusters over embeddings ∪ colinear copies: LSH pairs
+    (d03) -> distributed union-find -> (node, label) with label = the
+    original vec_id — the full embedding-dedup DAG, oracle-checked."""
+    from ..stages.dedup import connected_components
+
+    pairs = d03_embedding_neardup(sf_dir)
+    labels = connected_components(pairs)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "label": t["label"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+D04_SQL = """
+SELECT vec_id AS node, vec_id AS label FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS node, vec_id AS label FROM embeddings
+"""
+
+
 def c01_canonical_labels(sf_dir: str):
     """Distributed canonicalization (pool explode -> exact edges ->
     union-find) over part names ∪ their UPPER variants; oracle: each
@@ -1293,6 +1326,7 @@ REGISTRY: dict[str, tuple] = {
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
+    "d04_embedding_clusters": (d04_embedding_clusters, D04_SQL),
     "c01_canonical_labels": (c01_canonical_labels, C01_SQL),
     "t01_lang_id": (t01_lang_id, None),
     "t02_fingerprints": (t02_fingerprints, None),

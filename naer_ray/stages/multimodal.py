@@ -112,3 +112,66 @@ def decode_features(ds, concurrency=(1, 4), batch_size: int = 64, fake: bool = T
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def resize_plan(ds, max_side: int = 224, batch_size: int = 64):
+    """Resize stage: target dimensions computed for every image row
+    (aspect-preserving, longest side = max_side); the pixel resample
+    itself is the stubbed codec step, the dimension math and schema
+    plumbing are real."""
+
+    def plan(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "width": [], "height": [], "target_w": [], "target_h": []}
+        for mid, kind, w, h in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            if kind != "image" or w <= 0 or h <= 0:
+                continue
+            scale = max_side / max(w, h)
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["target_w"].append(max(1, round(w * min(scale, 1.0))))
+            out["target_h"].append(max(1, round(h * min(scale, 1.0))))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "target_w": pa.array(out["target_w"], pa.int32()),
+                "target_h": pa.array(out["target_h"], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", batch_size=batch_size)
+
+
+def frame_sample_plan(ds, fps: float = 1.0, max_frames: int = 16, batch_size: int = 64):
+    """Frame-sampling stage for video rows: deterministic timestamp grid
+    (uniform at ``fps``, capped at max_frames, always includes t=0);
+    the frame decode is the stubbed codec step."""
+
+    def plan(batch: pa.Table) -> pa.Table:
+        out_id, out_ts = [], []
+        for mid, kind, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or dur <= 0:
+                continue
+            step_ms = int(1000 / fps)
+            ts = list(range(0, dur, step_ms))[:max_frames]
+            out_id.extend([mid] * len(ts))
+            out_ts.extend(ts)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame_ts_ms": pa.array(out_ts, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", batch_size=batch_size)

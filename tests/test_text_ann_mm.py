@@ -120,3 +120,38 @@ class TestMultimodal:
         ds = ray.data.from_arrow(synth_media_table(4))
         with pytest.raises(Exception):
             decode_features(ds, fake=False).materialize()
+
+
+class TestMultimodalPlans:
+    def test_resize_plan(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.multimodal import resize_plan, synth_media_table
+
+        ds = ray.data.from_arrow(synth_media_table(48))
+        out = resize_plan(ds, max_side=224).to_pandas()
+        assert len(out) > 0
+        assert (out[["target_w", "target_h"]].max(axis=1) <= 224).all()
+        # aspect preserved within rounding
+        ratio_in = out["width"] / out["height"]
+        ratio_out = out["target_w"] / out["target_h"]
+        assert ((ratio_in - ratio_out).abs() / ratio_in < 0.1).all()
+        # small images are never upscaled
+        small = out[(out["width"] <= 224) & (out["height"] <= 224)]
+        assert (small["target_w"] == small["width"]).all()
+
+    def test_frame_sample_plan(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.multimodal import frame_sample_plan, synth_media_table
+
+        ds = ray.data.from_arrow(synth_media_table(48))
+        out = frame_sample_plan(ds, fps=1.0, max_frames=16).to_pandas()
+        assert len(out) > 0
+        g = out.groupby("media_id")["frame_ts_ms"]
+        assert (g.min() == 0).all()  # always includes t=0
+        assert (g.count() <= 16).all()
+        steps = out.sort_values(["media_id", "frame_ts_ms"]).groupby("media_id")[
+            "frame_ts_ms"
+        ].diff().dropna()
+        assert (steps == 1000).all()  # uniform 1 fps grid
