@@ -419,7 +419,7 @@ Q10_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
 SELECT doc_id,
-       SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) AS n_stop,
+       CAST(SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
        COUNT(*) AS n_tok,
        SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS stop_ratio
 FROM toks GROUP BY doc_id
@@ -1020,8 +1020,8 @@ def q19_semi_anti_join(sf_dir: str):
 
 Q19_SQL = """
 SELECT c_mktsegment,
-       SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS with_orders,
-       SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS without_orders
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
 FROM customer GROUP BY c_mktsegment
 """
 
@@ -1199,8 +1199,8 @@ WITH o AS (
         FROM orders GROUP BY o_custkey, o_orderdate)
   GROUP BY o_custkey, o_orderdate)
 SELECT e.event_type,
-       SUM(CASE WHEN o.price_c IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
-       SUM(COALESCE(o.price_c, 0)) / 100.0 AS matched_price
+       CAST(SUM(CASE WHEN o.price_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(COALESCE(o.price_c, 0)) AS BIGINT) / 100.0 AS matched_price
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 GROUP BY e.event_type

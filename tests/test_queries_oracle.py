@@ -49,4 +49,10 @@ def test_query_matches_oracle(name, ray_session, con):
     a, b = _norm(res), _norm(oracle)
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
     assert sorted(a.columns) == sorted(b.columns), f"{name}: {a.columns} vs {b.columns}"
+    # Driver's value hash is dtype-sensitive (int64 1 != float64 1.0): the
+    # dtype KIND must agree or the driver flags hash_match=false even when
+    # values are identical (round-1 q10/q19/q23 HUGEINT artifact).
+    kinds_a = {c: a[c].dtype.kind for c in a.columns}
+    kinds_b = {c: b[c].dtype.kind for c in b.columns}
+    assert kinds_a == kinds_b, f"{name}: dtype kinds {kinds_a} vs {kinds_b}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
