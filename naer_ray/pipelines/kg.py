@@ -43,7 +43,7 @@ def build_triples(
     extractor: str = "gazetteer",
     answers_path: str | None = None,
     validate: str | None = "quarantine",
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     concurrency=(2, 16),
     dict_ref=None,
     transcripts_ds: "ray.data.Dataset | None" = None,
@@ -59,6 +59,10 @@ def build_triples(
     required).  extractor="answers": recorded structured-text/JSON
     answers parsed with exact reference semantics (parity path;
     answers_path required).
+
+    batch_size=None (default) processes whole read blocks — the read is
+    already sized to ~64 MB blocks (sources.transcripts.auto_num_blocks),
+    so re-slicing into small batches only adds overhead.
     """
     if extractor == "answers":
         if answers_path is None:

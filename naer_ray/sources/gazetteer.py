@@ -117,6 +117,13 @@ class GazetteerMatcher:
                 if eid not in ids:
                     ids.append(eid)
         self.lengths = sorted(lengths, reverse=True)
+        # first-token index: one dict probe per turn position instead of
+        # one per (position x surface-length); candidates longest-first
+        self.by_first: dict[str, list[tuple[int, tuple[str, ...], list[str]]]] = {}
+        for key, ids in self.index.items():
+            self.by_first.setdefault(key[0], []).append((len(key), key, ids))
+        for cands in self.by_first.values():
+            cands.sort(key=lambda t: (-t[0], t[1]))
 
     def match_tokens(self, tokens: list[str]) -> list[tuple[int, str]]:
         """(token_pos, entity_id) n-gram hits with longest-match suppression.
@@ -127,13 +134,13 @@ class GazetteerMatcher:
         """
         raw: list[tuple[int, int, str]] = []  # (start, n, entity_id)
         nt = len(tokens)
-        for n in self.lengths:
-            if n > nt:
+        by_first = self.by_first
+        for i, tok in enumerate(tokens):
+            cands = by_first.get(tok)
+            if cands is None:
                 continue
-            index = self.index
-            for i in range(nt - n + 1):
-                ids = index.get(tuple(tokens[i : i + n]))
-                if ids:
+            for n, key, ids in cands:
+                if n == 1 or (i + n <= nt and tuple(tokens[i : i + n]) == key):
                     raw.extend((i, n, eid) for eid in ids)
         if not raw:
             return []

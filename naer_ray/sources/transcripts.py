@@ -21,17 +21,55 @@ _TERMINATOR_RE = r".*[.!?]$"
 CORE_COLUMNS = ["conv_id", "turn_idx", "text"]
 
 
-def read_transcripts(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+#: target on-disk bytes per read block.  Ray's default parallelism floor
+#: (~200 blocks) shatters small-to-medium inputs into sub-MB blocks and
+#: per-task scheduling then dominates the downstream shuffle (measured:
+#: 192 x 0.6 MB blocks made the bucket groupby 9.5 s vs 2 s at 64 blocks).
+_TARGET_BLOCK_BYTES = 64 * 1024 * 1024
+
+
+def auto_num_blocks(path: str) -> int:
+    """Input-size-aware read parallelism: ``max(2 x cluster CPUs,
+    bytes / 64 MB)``.
+
+    Scales both directions — a 55 MB bench corpus gets 2xCPU blocks
+    (each task does real work), a 100 TB corpus gets bytes/64MB blocks
+    (bounded per-task memory), and a bigger cluster raises the floor
+    automatically.
+    """
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2 * cpus, total // _TARGET_BLOCK_BYTES or 1)
+
+
+def read_transcripts(
+    path: str,
+    columns: list[str] | None = None,
+    num_blocks: int | str | None = "auto",
+) -> ray.data.Dataset:
     """read_parquet over a transcripts file/dir, pruning to ``columns``.
 
     ``columns`` defaults to the three columns the KG pipeline needs —
     never read role/tool/ts unless asked (prune at the read).
+    ``num_blocks="auto"`` sizes read blocks by input bytes and cluster
+    CPUs (:func:`auto_num_blocks`); None keeps Ray's default.
     """
     if os.path.isdir(path):
         tdir = os.path.join(path, "transcripts")
         if os.path.isdir(tdir):
             path = tdir
-    return ray.data.read_parquet(path, columns=columns or list(CORE_COLUMNS))
+    if num_blocks == "auto":
+        num_blocks = auto_num_blocks(path)
+    return ray.data.read_parquet(
+        path, columns=columns or list(CORE_COLUMNS), override_num_blocks=num_blocks
+    )
 
 
 def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
