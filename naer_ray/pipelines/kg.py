@@ -174,26 +174,40 @@ def add_bucket(ds: ray.data.Dataset, n_buckets: int, col: str = "conv_id") -> ra
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
-def nodes_from_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct entity + conversation nodes from the edge set."""
+def nodes_from_triples(
+    triples: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Distinct entity + conversation nodes from the edge set.
+
+    Bucket-run dedup: per-batch partial dedup emits a node-id-hash
+    bucket, the groupby dispatches O(n_buckets) groups, and each kernel
+    dedups its bucket vectorized — never one Ray group per node_id
+    (unbounded-cardinality dispatch, the repo's banned pattern)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ent = batch.filter(pc.equal(batch["pred"], "hasType"))
         conv = batch.filter(pc.equal(batch["pred"], "mentionedIn"))
         rows = [
             {"node_id": f"entity:{s}", "kind": "entity", "name": s, "type": t}
-            for s, t in zip(ent["subj"].to_pylist(), ent["obj"].to_pylist())
+            for s, t in set(zip(ent["subj"].to_pylist(), ent["obj"].to_pylist()))
         ] + [
             {"node_id": f"conv:{c}", "kind": "conversation", "name": c, "type": ""}
             for c in set(conv["obj"].to_pylist())
         ]
-        return pa.Table.from_pylist(rows, schema=schema.NODES)
+        tbl = pa.Table.from_pylist(rows, schema=schema.NODES)
+        bucket = pa.array(
+            [hash_u32(n) % n_buckets for n in tbl["node_id"].to_pylist()], pa.int32()
+        )
+        return tbl.append_column("bucket", bucket)
 
-    # per-batch partial dedup, then a global exact dedup on node_id
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("node_id", "ascending")])
+        ids = group["node_id"].to_pylist()
+        keep = [i for i, n in enumerate(ids) if i == 0 or n != ids[i - 1]]
+        return group.take(keep).drop_columns(["bucket"])
+
     parts = triples.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("node_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return parts.groupby("bucket").map_groups(dedup_bucket, batch_format="pyarrow")
 
 
 def run_kg_job(
@@ -222,7 +236,14 @@ def run_kg_job(
     """
     import os
 
-    from ..state.checkpoint import Manifest, bucket_dir, write_bucket_atomic
+    from ..state.checkpoint import (
+        Manifest,
+        bucket_dir,
+        finalize_bucket,
+        make_bucket_writer,
+        write_bucket_atomic,
+        write_stage_dataset_atomic,
+    )
 
     manifest = Manifest(out_root)
     done = manifest.done_buckets("triples") if resume else set()
@@ -235,16 +256,12 @@ def run_kg_job(
         if extractor == "gazetteer" and not manifest.stage_complete("quarantine", 1):
             from ..sources.transcripts import invalid_transcripts, read_transcripts
 
-            bad_tbl = pa.concat_tables(
-                [
-                    ray.get(r)
-                    for r in invalid_transcripts(
-                        read_transcripts(transcripts_path)
-                    ).to_arrow_refs()
-                ],
-                promote_options="default",
+            rows = write_stage_dataset_atomic(
+                invalid_transcripts(read_transcripts(transcripts_path)),
+                out_root,
+                "quarantine",
+                0,
             )
-            rows = write_bucket_atomic(bad_tbl, out_root, "quarantine", 0)
             manifest.mark_bucket("quarantine", 0, rows, lineage={"rule": "S3 [.!?]$"})
             counters["quarantined_rows"] = rows
 
@@ -263,29 +280,39 @@ def run_kg_job(
                 ),
                 batch_format="pyarrow",
             )
-        # Small-output materialize: triples are orders of magnitude smaller
-        # than the transcript input; pinning them avoids re-running
-        # extraction once per bucket during the per-bucket atomic writes.
-        mat = triples.materialize()
-        for b in todo:
-            part = mat.filter(expr=f"bucket == {b}")
-            tables = [ray.get(ref) for ref in part.to_arrow_refs()]
-            table = (
-                pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
-                if any(t.num_rows for t in tables)
-                else pa.Table.from_pylist([], schema=schema.TRIPLES.append(pa.field("bucket", pa.int32())))
-            )
-            err_rows = int(pc.sum(pc.equal(table["pred"], "__error__").cast(pa.int64())).as_py() or 0) if table.num_rows else 0
-            if "bucket" in table.column_names:
-                table = table.drop_columns(["bucket"])  # the bucket=<k> dir name carries it (hive layout)
-            rows = write_bucket_atomic(table, out_root, "triples", b)
+        # Distributed per-bucket writes: one conv-hash-bucket shuffle, then
+        # each bucket group is written to a temp dir by the worker holding
+        # it.  The driver only handles (bucket, rows, errors, tmp) summary
+        # rows — rename + manifest mark, never triple data (at 100 TB the
+        # edge table is TBs; the round-1 ray.get+concat path OOMs).
+        writes = triples.groupby("bucket").map_groups(
+            make_bucket_writer(out_root, "triples"), batch_format="pyarrow"
+        )
+        summary = writes.to_pandas().sort_values("bucket")
+        for row in summary.itertuples():
+            b = int(row.bucket)
+            finalize_bucket(out_root, "triples", b, row.tmp, int(row.rows))
             manifest.mark_bucket(
                 "triples",
                 b,
-                rows,
-                lineage={"input": transcripts_path, "extractor": extractor, "errors": err_rows},
+                int(row.rows),
+                lineage={
+                    "input": transcripts_path,
+                    "extractor": extractor,
+                    "errors": int(row.errors),
+                },
             )
-        manifest.add_counter("triples", "rows_written", sum(
+        # buckets with zero mention rows never reach the writer kernel —
+        # mark them with an empty partition so resume doesn't re-plan them
+        for b in set(todo) - {int(r.bucket) for r in summary.itertuples()}:
+            rows = write_bucket_atomic(
+                pa.Table.from_pylist([], schema=schema.TRIPLES), out_root, "triples", b
+            )
+            manifest.mark_bucket(
+                "triples", b, rows,
+                lineage={"input": transcripts_path, "extractor": extractor, "errors": 0},
+            )
+        manifest.set_counter("triples", "rows_written", sum(
             v["rows"] for v in manifest.stage("triples")["buckets"].values()
         ))
 
@@ -304,11 +331,9 @@ def run_kg_job(
         return ok
 
     if edge_files and not manifest.stage_complete("nodes", 1):
-        nodes_tbl = pa.concat_tables(
-            [ray.get(r) for r in nodes_from_triples(_ok_edges()).to_arrow_refs()],
-            promote_options="default",
+        rows = write_stage_dataset_atomic(
+            nodes_from_triples(_ok_edges()), out_root, "nodes", 0
         )
-        rows = write_bucket_atomic(nodes_tbl, out_root, "nodes", 0)
         manifest.mark_bucket("nodes", 0, rows, lineage={"input": "triples/*"})
     # stage 3 (optional): cross-corpus canonicalization — union-find over
     # name-pool similarity edges; materialized as a labels table plus
@@ -325,35 +350,35 @@ def run_kg_job(
             )
 
         names_ds = ok.map_batches(subj_names, batch_format="pyarrow")
-        labels = canonical_labels(names_ds)
-        labels_tbl = pa.concat_tables(
-            [ray.get(r) for r in labels.to_arrow_refs()], promote_options="default"
-        )
-        rows = write_bucket_atomic(labels_tbl, out_root, "canonical_labels", 0)
-        same_as = [
-            {
-                "subj": n,
-                "pred": "sameAs",
-                "obj": l,
-                "conv_id": "",
-                "turn_idx": None,
-                "ref_type": None,
-            }
-            for n, l in zip(
-                labels_tbl["node"].to_pylist(), labels_tbl["label"].to_pylist()
+        # one execution feeds both outputs: labels parquet + sameAs edges
+        labels = canonical_labels(names_ds).materialize()
+        rows = write_stage_dataset_atomic(labels, out_root, "canonical_labels", 0)
+
+        def to_same_as(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.not_equal(batch["node"], batch["label"]))
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "subj": n,
+                        "pred": "sameAs",
+                        "obj": l,
+                        "conv_id": "",
+                        "turn_idx": None,
+                        "ref_type": None,
+                    }
+                    for n, l in zip(sel["node"].to_pylist(), sel["label"].to_pylist())
+                ],
+                schema=schema.TRIPLES,
             )
-            if n != l
-        ]
-        write_bucket_atomic(
-            pa.Table.from_pylist(same_as, schema=schema.TRIPLES),
+
+        same_as_rows = write_stage_dataset_atomic(
+            labels.map_batches(to_same_as, batch_format="pyarrow"),
             out_root,
             "canon",
             0,
         )
-        manifest.mark_bucket(
-            "canon", 0, len(same_as), lineage={"labels_rows": rows}
-        )
-        counters["same_as_edges"] = len(same_as)
+        manifest.mark_bucket("canon", 0, same_as_rows, lineage={"labels_rows": rows})
+        counters["same_as_edges"] = same_as_rows
 
     # stage 4 (optional): evaluation job — P/R vs reference annotations
     # (J3 name-pool matching) and/or vs expected triples (parity gate);

@@ -50,6 +50,13 @@ class Manifest:
         counters[name] = counters.get(name, 0) + value
         self._flush()
 
+    def set_counter(self, stage: str, name: str, value: float) -> None:
+        """Idempotent counter write — use for recomputed totals (rerunning
+        a stage with add_counter would double-count into the persisted
+        manifest)."""
+        self.stage(stage)["counters"][name] = value
+        self._flush()
+
     def stage_complete(self, stage: str, n_buckets: int) -> bool:
         return len(self.done_buckets(stage)) >= n_buckets
 
@@ -74,7 +81,90 @@ def write_bucket_atomic(table, root: str, stage: str, bucket: int) -> int:
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent, prefix=f".bucket-{bucket}-")
     pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+    return finalize_bucket(root, stage, bucket, tmp, table.num_rows)
+
+
+def finalize_bucket(root: str, stage: str, bucket: int, tmp: str, rows: int) -> int:
+    """Atomically promote a fully-written temp dir to the bucket dir."""
+    final = bucket_dir(root, stage, bucket)
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
-    return table.num_rows
+    return rows
+
+
+def make_bucket_writer(root: str, stage: str, drop_columns: tuple = ("bucket",)):
+    """``map_groups`` kernel factory for DISTRIBUTED per-bucket writes.
+
+    Each bucket group is written by the WORKER that holds it — the
+    driver never sees triple data, only the (bucket, rows, errors,
+    tmp_path) summary rows (the round-1 driver-side
+    ``ray.get(to_arrow_refs) + concat + write_table`` path OOMs the
+    driver once the edge table is TBs).  Writes land in a dot-prefixed
+    temp dir under the stage dir; the driver renames them into place
+    (``finalize_bucket``) before marking the manifest, so a crash
+    mid-write never yields a half-complete marked bucket.  Rows are
+    sorted by all non-nested columns first → bucket files are
+    deterministic under any parallelism.
+
+    Assumes ``root`` is on storage reachable from every worker (true
+    single-node; on a real cluster this is the shared object store /
+    DFS output path).
+    """
+
+    def write_group(group):
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        bucket = group["bucket"][0].as_py()
+        errors = 0
+        if "pred" in group.column_names and group.num_rows:
+            errors = int(
+                pc.sum(pc.equal(group["pred"], "__error__").cast(pa.int64())).as_py() or 0
+            )
+        tbl = group.drop_columns([c for c in drop_columns if c in group.column_names])
+        sort_keys = [
+            (f.name, "ascending") for f in tbl.schema if not pa.types.is_nested(f.type)
+        ]
+        if sort_keys:
+            tbl = tbl.sort_by(sort_keys)
+        parent = os.path.join(root, stage)
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=parent, prefix=f".bucket-{bucket}-")
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
+                "errors": pa.array([errors], pa.int64()),
+                "tmp": pa.array([tmp], pa.string()),
+            }
+        )
+
+    return write_group
+
+
+def write_stage_dataset_atomic(ds, root: str, stage: str, bucket: int = 0) -> int:
+    """Distributed whole-Dataset write as one atomic stage bucket.
+
+    Workers stream parquet shards into a temp dir (``Dataset.write_parquet``
+    — no data through the driver); the row count comes from parquet
+    FOOTERS (metadata-only reads) and the temp dir is renamed into place.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    parent = os.path.join(root, stage)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=f".bucket-{bucket}-")
+    ds.write_parquet(tmp)
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(tmp, "*.parquet"))
+    )
+    return finalize_bucket(root, stage, bucket, tmp, rows)
