@@ -297,21 +297,40 @@ Q06_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 # ------------------------------------------------------------------ events
 
 
-def q07_sessionize(sf_dir: str):
-    """Per-user session windows (30-min gap rule) via groupby + map_groups."""
+def q07_sessionize(sf_dir: str, n_buckets: int = 64):
+    """Per-user session windows (30-min gap rule), bucket-run: one
+    user-hash-bucket shuffle (O(n_buckets) Ray groups, never one group
+    per user) and a fully vectorized per-bucket kernel."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        # microsecond precision: casting to [s] truncates, so a 1800.5s gap
-        # would NOT open a session here while SQL's `> INTERVAL 30 MINUTE` would
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > 1800 * 1_000_000).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(ts)]}
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(batch["user_id"].to_numpy().astype(np.int64) % n_buckets).astype(
+                np.int32
+            )
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        # microsecond precision: casting to [s] truncates, so a 1800.5s gap
+        # would NOT open a session here while SQL's `> INTERVAL 30 MINUTE` would
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same_user = np.r_[False, uid[1:] == uid[:-1]]
+        gap_open = same_user & (np.r_[0, np.diff(ts_us)] > 1800 * 1_000_000)
+        df = pd.DataFrame({"user_id": uid, "new_sess": gap_open.astype(np.int64)})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("new_sess", "sum"), n_events=("new_sess", "size")
+        )
+        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 Q07_SQL = """
@@ -467,12 +486,10 @@ def q13_ann_topk(sf_dir: str):
     local top-k, then a tiny global sort — the baseline ANN path
     (IVF/LSH variants live in stages/ann.py).
     """
-    import pyarrow.parquet as pq
-
-    emb0 = None
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    emb0 = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[ids == 0][0]
+    # point read with predicate pushdown: only the row group(s) holding
+    # vec_id=0 are decoded — never the whole embeddings table
+    t = _point_read_embeddings(sf_dir, [0])
+    emb0 = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[0]
     qnorm = emb0 / np.linalg.norm(emb0)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -876,13 +893,23 @@ def t03_quality(sf_dir: str):
     return quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def _query_vectors(sf_dir: str) -> np.ndarray:
-    import pyarrow.parquet as pq
+def _point_read_embeddings(sf_dir: str, vec_ids: list[int]) -> pa.Table:
+    """Fetch specific query vectors via parquet predicate pushdown
+    (row-group pruning + late filtering in the reader — the driver never
+    materializes the table)."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    return mat[np.argsort(ids)[:3]]
+    dataset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dataset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(vec_ids),
+    )
+    return t.sort_by("vec_id")
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    t = _point_read_embeddings(sf_dir, [0, 1, 2])
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
 
 
 def a01_lsh_topk(sf_dir: str):
@@ -1137,48 +1164,49 @@ def q23_asof_join(sf_dir: str):
     """As-of join: each event matches the latest order (by orderdate) of
     the same customer at or before the event time.
 
-    Ray pattern: orders pre-reduced to one row per (custkey, orderdate)
-    (ties collapse deterministically to max price) and broadcast once;
-    each batch runs a vectorized ``pd.merge_asof`` against it.  At
-    100 TB the broadcast side becomes a per-user-hash bucketed
-    co-partition with the same per-bucket merge_asof kernel.
+    Both sides are fact tables, so this runs the BUCKETED co-partition
+    operator (stages/joins.asof_join): one user-hash shuffle co-locates
+    each customer's events and orders, the per-bucket kernel dedups
+    order-date ties (max price — exact per bucket because the hash
+    co-partition is total per key) and runs a vectorized merge_asof.
+    Nothing is broadcast and nothing touches the driver.
     Aggregated to (event_type, n_matched, matched_price) so the result
     is small and exactly comparable to DuckDB's ASOF JOIN.
     """
-    import ray
     from ray.data.aggregate import Sum
 
-    orders = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-        .to_pandas()
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)["o_totalprice"]
-        .max()
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def dedup_ties(od: pd.DataFrame) -> pd.DataFrame:
+        od = od.groupby(["o_custkey", "o_orderdate"], as_index=False)[
+            "o_totalprice"
+        ].max()
+        od["price_c"] = _cents(od["o_totalprice"].to_numpy())
+        return od[["o_custkey", "o_orderdate", "price_c"]]
+
+    merged = asof_join(
+        events,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        n_buckets=64,
+        right_prepare=dedup_ties,
     )
-    orders["price_c"] = _cents(orders["o_totalprice"].to_numpy())
-    orders = orders.sort_values("o_orderdate")
-    orders_ref = ray.put(orders[["o_custkey", "o_orderdate", "price_c"]])
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-
-    def asof(batch: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(orders_ref)
-        left = batch.sort_values("ts")
-        merged = pd.merge_asof(
-            left,
-            right,
-            left_on="ts",
-            right_on="o_orderdate",
-            left_by="user_id",
-            right_by="o_custkey",
-            direction="backward",
-            allow_exact_matches=True,
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            matched=batch["price_c"].notna().astype("int64"),
+            price_c=batch["price_c"].fillna(0).astype("int64"),
         )
-        merged["matched"] = merged["price_c"].notna().astype("int64")
-        merged["price_c"] = merged["price_c"].fillna(0).astype("int64")
-        return merged.groupby("event_type", as_index=False)[["matched", "price_c"]].sum()
+        return batch.groupby("event_type", as_index=False)[["matched", "price_c"]].sum()
 
     agg = (
-        ds.map_batches(asof, batch_format="pandas", batch_size=65536)
+        merged.map_batches(partial, batch_format="pandas")
         .groupby("event_type")
         .aggregate(
             Sum("matched", alias_name="n_matched"),

@@ -1,28 +1,44 @@
-"""Stream-shaped processing with incremental actor state.
+"""Stream-shaped processing with incremental per-partition state.
 
 Ray Data has no event-time windows; for batch-expressible windows the
-``groupby(key).map_groups`` pattern wins (pipelines/queries.q07/q08/q20).
-This module demonstrates the remaining case from SURVEY.md §2.9: state
-that must persist ACROSS batches in arrival order — kept in plain Ray
-actors, one per key-hash bucket, fed batches in timestamp order (actor
-tasks from one submitter execute in submission order, so per-actor
-arrival order follows the globally sorted stream).
+bucket-run ``groupby.map_groups`` pattern wins (pipelines/queries
+q07/q08/q20).  This module covers the remaining case from SURVEY.md
+§2.9: state that must persist ACROSS arrival chunks in event-time
+order, with bounded memory.
 
-The result is bit-identical to the batch sessionizer (oracle-checked),
-but the execution model is the one a true streaming source would use:
-bounded state per actor, constant memory, order-dependent updates.
+Topology (round 2 — no driver loop, no global sort):
+
+1. every event gets a user-hash ``bucket`` (map_batches, no driver);
+2. one ``groupby(bucket)`` shuffle hash-partitions the stream —
+   O(n_buckets) Ray groups, each holding ALL events of its users;
+3. the per-partition kernel time-sorts ITS partition only (per-user
+   order is the only order sessionization needs — a global ``sort("ts")``
+   is an avoidable total exchange) and replays it through an
+   incremental :class:`SessionState` in bounded chunks, exactly as a
+   long-lived per-partition actor would consume an unbounded source.
+
+On a real cluster with a true streaming source, step 3 is a pool of
+node-local actors, one per hash partition, each consuming its
+partition's arrival stream (Ray actor tasks from one submitter execute
+in submission order, preserving per-partition event order).  The batch
+kernel here runs the identical state machine, so results are
+bit-identical to the batch sessionizer (oracle-checked against the
+same SQL as q07).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray
 
 
-@ray.remote
-class SessionStateActor:
-    """Per-bucket incremental sessionizer: user -> (last_ts, sessions, events)."""
+class SessionState:
+    """Incremental sessionizer state: user -> (last_ts, sessions, events).
+
+    ``ingest`` is order-dependent (event-time arrival) and bounded:
+    O(distinct users in this partition) memory, independent of stream
+    length.
+    """
 
     def __init__(self, gap_us: int):
         self.gap_us = gap_us
@@ -44,38 +60,46 @@ class SessionStateActor:
         return len(users)
 
     def finish(self) -> pd.DataFrame:
+        users = sorted(self.n_events)
         return pd.DataFrame(
             {
-                "user_id": sorted(self.n_events),
-                "n_sessions": [self.n_sessions[u] for u in sorted(self.n_events)],
-                "n_events": [self.n_events[u] for u in sorted(self.n_events)],
+                "user_id": users,
+                "n_sessions": [self.n_sessions[u] for u in users],
+                "n_events": [self.n_events[u] for u in users],
             }
         )
 
 
 def streaming_sessionize(
-    events_ds, n_actors: int = 8, gap_s: int = 1800, batch_size: int = 65536
-) -> pd.DataFrame:
-    """events (user_id, ts) -> per-user session counts via stateful actors.
+    events_ds, n_buckets: int = 16, gap_s: int = 1800, chunk_rows: int = 65536
+):
+    """events (user_id, ts) -> per-user session counts via hash-partitioned
+    incremental state (see module docstring for the topology).
 
-    One global ``sort("ts")`` establishes event-time order; the driver
-    routes each sorted batch's rows to user-hash-bucket actors.  At
-    cluster scale the same topology holds with a repartition-by-hash
-    feeding node-local actors instead of a driver loop.
+    Returns a Dataset of (user_id, n_sessions, n_events).
     """
-    actors = [SessionStateActor.remote(gap_s * 1_000_000) for _ in range(n_actors)]
-    pending = []
-    for batch in events_ds.sort("ts").iter_batches(
-        batch_format="pyarrow", batch_size=batch_size
-    ):
-        users = batch["user_id"].to_numpy()
-        ts_us = batch["ts"].cast("int64").to_numpy()
-        buckets = users % n_actors
-        for b in range(n_actors):
-            mask = buckets == b
-            if mask.any():
-                pending.append(actors[b].ingest.remote(users[mask], ts_us[mask]))
-    ray.get(pending)  # barrier: all ingests applied
-    frames = ray.get([a.finish.remote() for a in actors])
-    out = pd.concat(frames, ignore_index=True).sort_values("user_id")
-    return out.reset_index(drop=True)
+    gap_us = gap_s * 1_000_000
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(batch["user_id"].to_numpy().astype(np.int64) % n_buckets).astype(
+                np.int32
+            )
+        )
+
+    def replay_partition(group: pd.DataFrame) -> pd.DataFrame:
+        # per-partition event-time order; mergesort keeps equal-ts input
+        # order stable so the replay is deterministic
+        group = group.sort_values("ts", kind="mergesort")
+        users = group["user_id"].to_numpy().astype(np.int64)
+        ts_us = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        state = SessionState(gap_us)
+        for lo in range(0, len(users), chunk_rows):  # bounded arrival chunks
+            state.ingest(users[lo : lo + chunk_rows], ts_us[lo : lo + chunk_rows])
+        return state.finish()
+
+    return (
+        events_ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(replay_partition, batch_format="pandas")
+    )
