@@ -13,20 +13,24 @@ Two gates:
   (J3, :209-239), flatten to (name, turn) pairs (M14,
   SimpleComponentOccurrence.java:18-28), global TP/FP/FN -> P/R/F1.
 
-Both are distributed: per-conversation kernels inside
-``groupby(conv_id).map_groups`` emit per-conversation counters; the
-global reduction is a tiny ``sum``.
+Both are distributed with the bucket-run pattern: keys / conversations
+hash into O(n_buckets) Ray groups (never one Ray group per distinct
+key — unbounded-cardinality dispatch), each kernel reduces its bucket
+vectorized, and the global reduction is a tiny ``sum``.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from .. import refsem
+from ..testdata import hash_u32
 
 _KEY_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx", "ref_type"]
+
+_N_BUCKETS = 64
 
 
 def _keyed(batch: pa.Table, src: str) -> pa.Table:
@@ -39,6 +43,9 @@ def _keyed(batch: pa.Table, src: str) -> pa.Table:
     return pa.table(
         {
             "key": pa.array(keys, pa.string()),
+            "bucket": pa.array(
+                [hash_u32(k) % _N_BUCKETS for k in keys], pa.int32()
+            ),
             "n_pred": pa.array([1 if src == "pred" else 0] * n, pa.int32()),
             "n_gold": pa.array([1 if src == "gold" else 0] * n, pa.int32()),
         }
@@ -50,27 +57,33 @@ def eval_vs_expected(
 ) -> dict[str, float]:
     """Exact triple-set P/R/F1 via a distributed indicator join.
 
-    Both sides are reduced to distinct composite keys with side
-    indicators, grouped, and the TP/FP/FN counters summed — no driver-
-    side row loop, works at any scale.
+    Both sides are reduced to composite keys with side indicators,
+    key-hash bucketed (O(64) Ray groups), and each bucket kernel counts
+    tp/fp/fn with one vectorized pandas groupby — no per-key Ray
+    dispatch, no driver-side row loop.
     """
     pred = triples.map_batches(lambda b: _keyed(b, "pred"), batch_format="pyarrow")
     gold = ray.data.read_parquet(expected_path).map_batches(
         lambda b: _keyed(b, "gold"), batch_format="pyarrow"
     )
 
-    def reduce_group(g: pa.Table) -> pa.Table:
-        has_pred = pc.sum(g["n_pred"]).as_py() > 0
-        has_gold = pc.sum(g["n_gold"]).as_py() > 0
-        return pa.table(
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", sort=False)[["n_pred", "n_gold"]].sum()
+        has_pred = agg["n_pred"] > 0
+        has_gold = agg["n_gold"] > 0
+        return pd.DataFrame(
             {
-                "tp": pa.array([1 if has_pred and has_gold else 0], pa.int64()),
-                "fp": pa.array([1 if has_pred and not has_gold else 0], pa.int64()),
-                "fn": pa.array([1 if has_gold and not has_pred else 0], pa.int64()),
+                "tp": [int((has_pred & has_gold).sum())],
+                "fp": [int((has_pred & ~has_gold).sum())],
+                "fn": [int((has_gold & ~has_pred).sum())],
             }
         )
 
-    flags = pred.union(gold).groupby("key").map_groups(reduce_group, batch_format="pyarrow")
+    flags = (
+        pred.union(gold)
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
     agg = flags.sum(["tp", "fp", "fn"])
     tp, fp, fn = agg["sum(tp)"], agg["sum(fp)"], agg["sum(fn)"]
     return _metrics(tp, fp, fn)
@@ -113,7 +126,13 @@ def _annotations_as_triplerows(annotations_path: str) -> ray.data.Dataset:
 
 
 def _conv_eval_kernel(group: pa.Table) -> pa.Table:
-    """Per-conversation J3 matching + M14 flatten + TP/FP/FN counters."""
+    """Per-conversation J3 matching + M14 flatten + TP/FP/FN counters.
+
+    Callers must pass rows in a deterministic order:
+    match_component_names' rename-unify is order-sensitive when one
+    entity matches multiple candidates, so the entity maps must be
+    built in a partition-layout-independent order (the bucket kernel
+    sorts before slicing conversation runs)."""
     conv_id = group["conv_id"][0].as_py()
     preds = group["pred"].to_pylist()
     subjs = group["subj"].to_pylist()
@@ -151,10 +170,54 @@ def _conv_eval_kernel(group: pa.Table) -> pa.Table:
 def eval_vs_annotations(
     triples: ray.data.Dataset, annotations_path: str
 ) -> dict[str, float]:
-    """Reference evaluation harness, distributed per conversation."""
+    """Reference evaluation harness, distributed by conv-hash bucket.
+
+    O(64) Ray groups; each kernel sorts its bucket into a deterministic
+    (conv_id, pred, subj, obj, turn_idx) order and walks conversation
+    runs in-process — same shape as the triple assembler."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            [hash_u32(c) % _N_BUCKETS for c in batch["conv_id"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [
+                ("conv_id", "ascending"),
+                ("pred", "ascending"),
+                ("subj", "ascending"),
+                ("obj", "ascending"),
+                ("turn_idx", "ascending"),
+            ]
+        )
+        conv = group["conv_id"].to_pylist()
+        outs = []
+        i, n = 0, len(conv)
+        while i < n:
+            j = i
+            while j < n and conv[j] == conv[i]:
+                j += 1
+            outs.append(_conv_eval_kernel(group.slice(i, j - i)))
+            i = j
+        if not outs:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "tp": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "fn": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
     both = triples.union(_annotations_as_triplerows(annotations_path))
-    per_conv = both.groupby("conv_id").map_groups(
-        _conv_eval_kernel, batch_format="pyarrow"
+    per_conv = (
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_kernel, batch_format="pyarrow")
     )
     agg = per_conv.sum(["tp", "fp", "fn"])
     return _metrics(agg["sum(tp)"], agg["sum(fp)"], agg["sum(fn)"])

@@ -871,26 +871,177 @@ UNION ALL
 SELECT UPPER(p_name) AS node, LEAST(p_name, UPPER(p_name)) AS label FROM names
 """
 
+# c02: planted-typo corpus for the FUZZY (Jaro-Winkler) path.  Each name
+# has a unique 2-char prefix (one name per blocking bucket, so fuzzy
+# comparisons can only pair a name with its own typo), fixed length 9
+# (9//4 == 8//4, so the char-dropped typo stays in the length band), and
+# JW(name, name[:-1]) = 0.978 >= 0.93 while cross-name pairs are never
+# compared — the cluster structure is closed-form.
+_C02_PREFIXES = [a + b for a in "bcdfghjklmnpqrst" for b in "aeiouy"][:200]
+C02_NAMES = [p + "service" for p in _C02_PREFIXES]  # len 2 + 7 = 9
+
+
+def c02_fuzzy_canonical_labels(sf_dir: str):
+    """Fuzzy canonicalization end-to-end at the REAL 0.93 JW threshold
+    (c01 disables fuzzy): planted typo pairs (name, name-minus-last-char)
+    must cluster, label = the lexicographic min (= the typo).  Exercises
+    pool explode -> blocking -> blocked JW edges -> union-find as one
+    distributed DAG (stages/canon.py:175-208)."""
+    import ray.data
+
+    from ..stages.canon import canonical_labels
+
+    names = sorted(C02_NAMES + [n[:-1] for n in C02_NAMES])
+    ds = ray.data.from_arrow(pa.table({"name": pa.array(names, pa.string())}))
+    return canonical_labels(ds, jw_threshold=0.93)
+
+
+C02_SQL = (
+    "SELECT node, label FROM (VALUES "
+    + ", ".join(
+        f"('{n}', '{n[:-1]}'), ('{n[:-1]}', '{n[:-1]}')" for n in C02_NAMES
+    )
+    + ") AS t(node, label)"
+)
+
+
+# Planted language documents: stopword-dense text per language, doc_id
+# 3M+.  The operator runs over documents ∪ planted; only the planted
+# rows (whose true language is known) are oracle-checked (the d01
+# planted-recall pattern).
+_T01_PLANTED: list[tuple[int, str, str]] = [
+    (3_000_000, "the cat and the dog ran to the park for it is that good", "en"),
+    (3_000_001, "der hund und die katze ist ein tier mit das haus von dem garten", "de"),
+    (3_000_002, "le chat est dans la maison et les chiens pour que une idee", "fr"),
+    (3_000_003, "el perro y la casa es un animal en los campos para que una", "es"),
+    (3_000_004, "il cane e la casa in un campo per che una gli animali di", "it"),
+]
+
+
+def _docs_with_planted(sf_dir: str, planted: list[tuple[int, str]]):
+    import ray.data
+
+    extra = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in planted], pa.int64()),
+                "text": pa.array([t for _, t in planted], pa.string()),
+            }
+        )
+    )
+    return _read(sf_dir, "documents", ["doc_id", "text"]).union(extra)
+
 
 def t01_lang_id(sf_dir: str):
-    """Heuristic language ID over documents (rows-only check)."""
+    """Language ID over documents ∪ planted per-language docs; the planted
+    rows' predictions are oracle-checked against their true language."""
     from ..stages.text import lang_id
 
-    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+    ds = _docs_with_planted(sf_dir, [(i, t) for i, t, _l in _T01_PLANTED])
+    out = lang_id(ds)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 3_000_000)),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "pred_lang"])
 
 
-def t02_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (rows-only check)."""
+T01_SQL = (
+    "SELECT doc_id, pred_lang FROM (VALUES "
+    + ", ".join(f"({i}, '{l}')" for i, _t, l in _T01_PLANTED)
+    + ") AS t(doc_id, pred_lang)"
+)
+
+
+def t02_fingerprints(sf_dir: str, n_buckets: int = 64):
+    """Winnowing fingerprints over documents ∪ case-mutated copies
+    (i, i+1M): the fingerprint lowercases, so every planted pair is
+    fingerprint-identical and the equal-fingerprint pair extraction
+    (fingerprint-hash bucket-run, no per-value dispatch) must recover
+    all of them."""
     from ..stages.text import fingerprints
 
-    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    fps = fingerprints(_docs_with_mutants(sf_dir))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["fingerprint"].to_numpy().astype(np.uint64) % n_buckets
+        ).astype(np.int32)
+        return batch
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _fp, sub in group.groupby("fingerprint", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sorted(sub["doc_id"].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64")
+
+    pair_ds = (
+        fps.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _planted_only(pair_ds)
 
 
 def t03_quality(sf_dir: str):
-    """Composite quality score (rows-only check)."""
+    """Quality score over documents ∪ planted letters-and-spaces docs;
+    planted rows are oracle-checked against an INDEPENDENT SQL
+    translation of the scoring formula (same IEEE expression tree)."""
     from ..stages.text import quality_score
 
-    return quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+    ds = _docs_with_planted(sf_dir, [(i, t) for i, t, _l in _T03_PLANTED])
+    out = quality_score(ds)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 3_100_000)),
+        batch_format="pyarrow",
+    )
+
+
+# quality_score's english stopword profile (stages/text._LANG_PROFILES["en"])
+_STOP_SQL_EN = "('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'for')"
+
+# letters + single spaces ONLY (so the alpha ratio is exactly 1.0 and
+# Python str.split == SQL string_split on ' ')
+_T03_PLANTED: list[tuple[int, str, str]] = [
+    (3_100_000, "the cat sat on the mat and the dog ran far", "en"),
+    (3_100_001, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "x"),
+    (3_100_002, "word word word word word word word word word word", "x"),
+    (3_100_003, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "x"),
+    (
+        3_100_004,
+        "this is a long document that keeps going for a while with many "
+        "different tokens in it so that the length score saturates and the "
+        "unique ratio stays high while stopwords appear here and there for "
+        "the quality formula to exercise every term of the weighted sum",
+        "x",
+    ),
+]
+
+_T03_TEXT_VALUES = ", ".join(f"({i}, '{t}')" for i, t, _ in _T03_PLANTED)
+
+T03_SQL = f"""
+WITH d(doc_id, text) AS (VALUES {_T03_TEXT_VALUES}),
+toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM d),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n,
+         len(list_distinct(tk)) AS uniq,
+         len(list_filter(tk, w -> w IN {_STOP_SQL_EN})) AS stop_hits
+  FROM toks)
+SELECT doc_id,
+       ROUND(LEAST(GREATEST(
+         0.3 * LEAST(n / 50.0, 1.0)
+         + 0.25 * 1.0
+         + 0.2 * LEAST((stop_hits * 1.0 / n) * 4, 1.0)
+         + 0.25 * (uniq * 1.0 / n), 0.0), 1.0), 6) AS quality
+FROM m
+"""
 
 
 def _point_read_embeddings(sf_dir: str, vec_ids: list[int]) -> pa.Table:
@@ -912,28 +1063,77 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
 
 
-def a01_lsh_topk(sf_dir: str):
-    """Hyperplane-LSH ANN top-5 for 3 fixed queries (rows-only check)."""
-    from ..stages.ann import lsh_topk
+def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4):
+    """ANN-vs-exact recall gate, oracle-checkable: run the approximate
+    index AND the exact brute force on the same queries, count overlap
+    per query, return (query_id, recall_ok = overlap >= min_hits).
 
-    got = lsh_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        _query_vectors(sf_dir),
-        k=5,
+    The raw corpus is near-random (its true neighbors are weak, which
+    no LSH can find — by design), so the recall target is PLANTED: each
+    query vector gets 5 near-colinear companions (scales 1 + j/1024,
+    float32-exact, cosine ~0.9999) appended with ids 2M+.  The exact
+    top-k then consists of the query row + its companions, and an ANN
+    index that preserves locality must recover >= min_hits of them.
+
+    The ANN paths are fully deterministic (seeded planes / seeded
+    centroids / id-keyed sample), so recall_ok is a stable value the
+    SQL oracle can assert as literal TRUE per query — a driver-checked
+    recall@k >= 0.8 bound rather than a rows-only smoke check."""
+    from ..stages.ann import brute_force_topk, ivf_topk, lsh_topk
+
+    q = _query_vectors(sf_dir)
+
+    def with_planted():
+        import ray.data
+
+        planted_ids, planted_vecs = [], []
+        for qi, vec in enumerate(q):
+            for j in range(1, 6):
+                planted_ids.append(2_000_000 + qi * 10 + j)
+                planted_vecs.append([float(x) * (1.0 + j / 1024.0) for x in vec])
+        planted = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(planted_ids, pa.int64()),
+                    "embedding": pa.array(planted_vecs, pa.list_(pa.float32())),
+                }
+            )
+        )
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(planted)
+
+    ann_fn = {"lsh": lsh_topk, "ivf": ivf_topk}[method]
+    approx = ann_fn(with_planted(), q, k=k)
+    exact = brute_force_topk(with_planted(), q, k=k)
+    hits = approx.merge(exact[["query_id", "vec_id"]], on=["query_id", "vec_id"])
+    n_hits = (
+        hits.groupby("query_id")
+        .size()
+        .reindex(range(len(q)), fill_value=0)
     )
-    return got[["query_id", "vec_id"]]
+    return pd.DataFrame(
+        {
+            "query_id": np.arange(len(q), dtype=np.int64),
+            "recall_ok": (n_hits.to_numpy() >= min_hits),
+        }
+    )
+
+
+def a01_lsh_topk(sf_dir: str):
+    """Hyperplane-LSH ANN: recall@5 vs exact top-5 per query (>=4/5),
+    driver-oracle-checked against literal TRUE rows."""
+    return _ann_recall_vs_exact(sf_dir, "lsh")
 
 
 def a02_ivf_topk(sf_dir: str):
-    """IVF ANN top-5 for 3 fixed queries (rows-only check)."""
-    from ..stages.ann import ivf_topk
+    """IVF ANN: recall@5 vs exact top-5 per query (>=4/5),
+    driver-oracle-checked against literal TRUE rows."""
+    return _ann_recall_vs_exact(sf_dir, "ivf")
 
-    got = ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        _query_vectors(sf_dir),
-        k=5,
-    )
-    return got[["query_id", "vec_id"]]
+
+ANN_RECALL_SQL = """
+SELECT CAST(q.query_id AS BIGINT) AS query_id, TRUE AS recall_ok
+FROM (VALUES (0), (1), (2)) AS q(query_id)
+"""
 
 
 def a03_brute_topk_multi(sf_dir: str):
@@ -1356,11 +1556,12 @@ REGISTRY: dict[str, tuple] = {
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
     "d04_embedding_clusters": (d04_embedding_clusters, D04_SQL),
     "c01_canonical_labels": (c01_canonical_labels, C01_SQL),
-    "t01_lang_id": (t01_lang_id, None),
-    "t02_fingerprints": (t02_fingerprints, None),
-    "t03_quality": (t03_quality, None),
-    "a01_lsh_topk": (a01_lsh_topk, None),
-    "a02_ivf_topk": (a02_ivf_topk, None),
+    "c02_fuzzy_canonical_labels": (c02_fuzzy_canonical_labels, C02_SQL),
+    "t01_lang_id": (t01_lang_id, T01_SQL),
+    "t02_fingerprints": (t02_fingerprints, D01_SQL),
+    "t03_quality": (t03_quality, T03_SQL),
+    "a01_lsh_topk": (a01_lsh_topk, ANN_RECALL_SQL),
+    "a02_ivf_topk": (a02_ivf_topk, ANN_RECALL_SQL),
     "a03_brute_topk_multi": (a03_brute_topk_multi, A03_SQL),
     "m01_multimodal_features": (m01_multimodal_features, None),
     "kg_parity_eval": (kg_parity_eval, None),

@@ -145,8 +145,9 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
 
     Exact edges: same pool_key.  Fuzzy edges: Jaro-Winkler >= threshold
     between pool keys inside the same blocking bucket.  Oversized
-    blocks are capped deterministically (sorted head) and reported via
-    the 'capped' column on the emitted marker row.
+    blocks are capped deterministically (sorted head); rows beyond the
+    cap lose fuzzy candidate pairs, reported via a worker-side
+    RuntimeWarning with the dropped-row count.
     """
 
     def exact_edges(group: pd.DataFrame) -> pd.DataFrame:
@@ -182,6 +183,14 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
             ["pool_key", "name"]
         )
         if len(g) > max_block:
+            import warnings
+
+            warnings.warn(
+                f"canonicalization block capped: {len(g) - max_block} rows beyond "
+                f"max_block={max_block} lose fuzzy candidate pairs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             g = g.head(max_block)
         keys = g["pool_key"].to_numpy()
         names = g["name"].to_numpy()
@@ -256,13 +265,8 @@ def apply_canonical_labels(triples_ds, labels_ds, col: str = "subj"):
     broadcast — ray.put once, dict lookup per batch."""
     import ray
 
-    mapping = dict(
-        zip(
-            labels_ds.to_pandas()["node"],
-            labels_ds.to_pandas()["label"],
-        )
-    )
-    map_ref = ray.put(mapping)
+    labels_df = labels_ds.to_pandas()  # one execution feeds both columns
+    map_ref = ray.put(dict(zip(labels_df["node"], labels_df["label"])))
 
     def relabel(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(map_ref)

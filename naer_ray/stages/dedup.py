@@ -14,8 +14,9 @@
 All stages are map_batches-vectorized (numpy) with shuffles only on
 bucket keys; candidate generation is O(rows x bands), never O(rows^2).
 Skew: a degenerate band bucket (all-identical content) is capped by
-``max_bucket`` with a deterministic sample — capped buckets are
-reported, not silently dropped.
+``max_bucket`` with a deterministic sample (sorted head); rows beyond
+the cap lose candidate pairs, reported via a worker-side
+RuntimeWarning with the dropped-row count.
 """
 
 from __future__ import annotations
@@ -30,9 +31,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash parameters sized so (a*x + b) never overflows int64:
+    a < 2^31, shingle hashes x < 2^32 -> a*x + b < 2^63 (drawing a from
+    [1, p) silently wrapped mod 2^64 and broke the permutation-family
+    guarantee for near-threshold est_jaccard)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)
     return a, b
 
 
@@ -234,6 +239,16 @@ def minhash_candidate_pairs(
             out_a.extend(ids[i0[keep]])
             out_b.extend(ids[i1[keep]])
             out_e.extend(est[keep])
+        capped_rows = int(np.maximum(sizes - max_bucket, 0).sum())
+        if capped_rows:
+            import warnings
+
+            warnings.warn(
+                f"minhash LSH: {capped_rows} rows beyond max_bucket={max_bucket} "
+                "in degenerate buckets lose candidate pairs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         for gi in np.flatnonzero(sizes > 2):
             s = starts[gi]
             e = min(ends[gi], s + max_bucket)  # cap degenerate buckets
@@ -642,6 +657,8 @@ def embedding_neardup_pairs(
         )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].to_numpy()
         mat = np.array(g[vec_col].to_list(), dtype=np.float64)
@@ -656,8 +673,11 @@ def embedding_neardup_pairs(
                 rows.append((ids[i], ids[i + 1 + off], float(sims[i, i + 1 + off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
-        .groupby("lsh_key")
-        .map_groups(pairs, batch_format="pandas")
+    # bucket-run over the 2^n_planes signature space: O(64) Ray groups,
+    # singleton signatures vectorized-dropped before the pair kernel
+    return _grouped_runs(
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096),
+        ["lsh_key"],
+        pairs,
+        min_group_size=2,
     )

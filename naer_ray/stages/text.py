@@ -138,23 +138,26 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> int:
     """Winnowing fingerprint: min rolling k-gram hash per window, XOR-folded.
 
     Standard document-fingerprinting scheme (Schleimer et al. 2003 —
-    public algorithm); deterministic via FNV-1a.
+    public algorithm); deterministic via FNV-1a over utf-8 bytes.
+    Fully vectorized: the k-byte FNV runs as k numpy passes over a
+    sliding byte window (the dedup._stable_shingles technique), window
+    minima via a second sliding view, and the golden-ratio mix as one
+    array multiply (array uint ops wrap silently — no scalar-overflow
+    RuntimeWarning).
     """
-    t = text.lower()
-    if len(t) < k:
-        return hash_u32(t)
-    hashes = np.array(
-        [hash_u32(t[i : i + k]) for i in range(len(t) - k + 1)], dtype=np.uint64
-    )
-    if len(hashes) <= window:
-        mins = hashes
-    else:
-        idx = np.arange(len(hashes) - window + 1)[:, None] + np.arange(window)[None, :]
-        mins = hashes[idx].min(axis=1)
-    fp = np.uint64(0)
-    for m in np.unique(mins):
-        fp ^= np.uint64(m) * np.uint64(0x9E3779B97F4A7C15) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return int(fp)
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        return hash_u32(text.lower())
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    h = np.full(win.shape[0], 2166136261, dtype=np.uint32)
+    prime = np.uint32(16777619)
+    for j in range(k):
+        h = (h ^ win[:, j]) * prime
+    hashes = h.astype(np.uint64)
+    if len(hashes) > window:
+        hashes = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    mixed = np.unique(hashes) * np.uint64(0x9E3779B97F4A7C15)
+    return int(np.bitwise_xor.reduce(mixed))
 
 
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
