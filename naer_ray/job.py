@@ -19,11 +19,46 @@ import json
 import sys
 
 
+#: config keys accepted by --config (the reference's test-config.json
+#: surface, PromptDeserializer.java:30-55, re-expressed as job kwargs)
+_CONFIG_KEYS = {
+    "transcripts", "dictionary", "out", "extractor", "answers", "buckets",
+    "resume", "canonicalize", "annotations", "expected",
+}
+
+
+def load_config(path: str) -> list[dict]:
+    """JSON config -> list of run kwarg dicts (S6 config reader).
+
+    Top-level keys are the base run; an optional ``"runs": [{...}]``
+    array yields a matrix of runs, each merged over the base (the
+    reference drives prompt/model variants from one config file the
+    same way)."""
+    with open(path) as f:
+        cfg = json.load(f)
+    runs = cfg.pop("runs", None) or [{}]
+    bad = set(cfg) - _CONFIG_KEYS
+    if bad:
+        raise ValueError(f"unknown config keys: {sorted(bad)}")
+    out = []
+    for i, override in enumerate(runs):
+        bad = set(override) - _CONFIG_KEYS
+        if bad:
+            raise ValueError(f"runs[{i}]: unknown config keys: {sorted(bad)}")
+        merged = {**cfg, **override}
+        if "out" in merged and len(runs) > 1 and "out" not in override:
+            merged["out"] = f"{merged['out']}/run-{i}"
+        out.append(merged)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="naer_ray KG-construction job")
-    parser.add_argument("--transcripts", required=True, help="transcripts parquet file/dir")
+    parser.add_argument("--config", default=None,
+                        help="JSON config file (S6); CLI flags override its values")
+    parser.add_argument("--transcripts", default=None, help="transcripts parquet file/dir")
     parser.add_argument("--dictionary", default=None, help="entity_dictionary.parquet")
-    parser.add_argument("--out", required=True, help="output root (checkpointed)")
+    parser.add_argument("--out", default=None, help="output root (checkpointed)")
     parser.add_argument("--extractor", default="gazetteer", choices=["gazetteer", "answers"])
     parser.add_argument("--answers", default=None, help="llm_answers.parquet (answers extractor)")
     parser.add_argument("--buckets", type=int, default=16)
@@ -52,19 +87,40 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.kg import run_kg_job
 
-    counters = run_kg_job(
-        args.transcripts,
-        args.dictionary,
-        args.out,
-        extractor=args.extractor,
-        answers_path=args.answers,
-        n_buckets=args.buckets,
-        resume=not args.no_resume,
-        canonicalize=args.canonicalize,
-        annotations_path=args.annotations,
-        expected_path=args.expected,
-    )
-    print(json.dumps(counters))
+    runs = load_config(args.config) if args.config else [{}]
+    cli = {
+        "transcripts": args.transcripts,
+        "dictionary": args.dictionary,
+        "out": args.out,
+        "extractor": args.extractor if args.extractor != "gazetteer" else None,
+        "answers": args.answers,
+        "buckets": args.buckets if args.buckets != 16 else None,
+        "resume": False if args.no_resume else None,
+        "canonicalize": True if args.canonicalize else None,
+        "annotations": args.annotations,
+        "expected": args.expected,
+    }
+    cli = {k: v for k, v in cli.items() if v is not None}
+
+    all_counters = []
+    for run_cfg in runs:
+        cfg = {**run_cfg, **cli}
+        if not cfg.get("transcripts") or not cfg.get("out"):
+            parser.error("transcripts and out are required (via flags or --config)")
+        counters = run_kg_job(
+            cfg["transcripts"],
+            cfg.get("dictionary"),
+            cfg["out"],
+            extractor=cfg.get("extractor", "gazetteer"),
+            answers_path=cfg.get("answers"),
+            n_buckets=cfg.get("buckets", 16),
+            resume=cfg.get("resume", True),
+            canonicalize=cfg.get("canonicalize", False),
+            annotations_path=cfg.get("annotations"),
+            expected_path=cfg.get("expected"),
+        )
+        all_counters.append(counters)
+    print(json.dumps(all_counters[0] if len(all_counters) == 1 else all_counters))
     if owns_session:
         ray.shutdown()
     return 0

@@ -93,6 +93,93 @@ def build_lsh_index(ds, n_planes: int = 10, seed: int = 5,
     return ds.map_batches(key, batch_format="pyarrow", batch_size=8192)
 
 
+def save_lsh_index(
+    ds,
+    path: str,
+    n_planes: int = 10,
+    seed: int = 5,
+    n_shards: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index as key-sharded parquet + a metadata file.
+
+    Once written, queries read ONLY the shards their probe keys hash to
+    (hive partition pruning) and filter lsh_key inside them (row-group
+    statistics) — the build cost amortizes over many query calls
+    (without this, build_lsh_index recomputes per call)."""
+    import json
+    import os
+
+    index = build_lsh_index(ds, n_planes, seed, id_col, vec_col)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.bit_wise_and(batch["lsh_key"], pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("shard", s)
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    index.map_batches(shard, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "data"), partition_cols=["shard"]
+    )
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "lsh",
+                "n_planes": n_planes,
+                "seed": seed,
+                "n_shards": n_shards,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+
+
+def lsh_topk_indexed(path: str, queries: np.ndarray, k: int = 10,
+                     n_probes: int | None = None):
+    """ANN top-k against a PERSISTED index (see :func:`save_lsh_index`):
+    probe keys prune partitions + row groups at the read."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(path, "index_meta.json")) as f:
+        meta = json.load(f)
+    n_planes, seed, n_shards = meta["n_planes"], meta["seed"], meta["n_shards"]
+    if n_probes is None:
+        n_probes = 1 + n_planes
+
+    q = np.asarray(queries, dtype=np.float64)
+    planes = np.random.RandomState(seed).standard_normal((q.shape[1], n_planes))
+    q_sigs = _signatures(q, planes)
+    probe_keys: set[int] = set()
+    for sig in q_sigs:
+        probe_keys.add(int(sig))
+        for b in range(min(n_probes - 1, n_planes)):
+            probe_keys.add(int(sig) ^ (1 << b))
+    # partition pruning by PATH (hive dirs: shard=<k>), then lsh_key
+    # row-group filtering inside the surviving shards
+    import glob as _glob
+
+    shards = sorted({key & (n_shards - 1) for key in probe_keys})
+    shard_files = [
+        f
+        for s in shards
+        for f in sorted(
+            _glob.glob(os.path.join(path, "data", f"shard={s}", "*.parquet"))
+        )
+    ]
+    candidates = ray.data.read_parquet(
+        shard_files,
+        filter=pc.field("lsh_key").isin(sorted(probe_keys)),
+    )
+    return brute_force_topk(candidates, q, k, meta["id_col"], meta["vec_col"])
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 10,
              n_probes: int = 1 + 10, seed: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding"):

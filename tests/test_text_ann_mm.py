@@ -90,6 +90,18 @@ class TestAnn:
                 1.0, abs=1e-9
             )
 
+    def test_persisted_index_matches_rebuild(self, emb_ds, queries, tmp_path):
+        """save_lsh_index + lsh_topk_indexed == per-call lsh_topk."""
+        from naer_ray.stages.ann import lsh_topk, lsh_topk_indexed, save_lsh_index
+
+        path = str(tmp_path / "lsh_index")
+        save_lsh_index(emb_ds, path)
+        from_index = lsh_topk_indexed(path, queries, k=5)
+        rebuilt = lsh_topk(emb_ds, queries, k=5)
+        a = from_index[["query_id", "vec_id"]].reset_index(drop=True)
+        b = rebuilt[["query_id", "vec_id"]].reset_index(drop=True)
+        assert a.equals(b)
+
 
 class TestMultimodal:
     def test_decode_features_fake(self, ray_session):
