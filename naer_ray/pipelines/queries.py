@@ -36,9 +36,18 @@ _CHUNK = 10  # words per derived turn
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned read with input-size-aware block count — Ray's
+    ~200-block parallelism floor shatters MB-scale tables into sub-MB
+    blocks whose per-task scheduling dominates every downstream stage
+    (the round-2 headline finding; see sources.transcripts.auto_num_blocks)."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.transcripts import auto_num_blocks
+
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=auto_num_blocks(path)
+    )
 
 
 def _cents(x: np.ndarray) -> np.ndarray:

@@ -28,14 +28,14 @@ CORE_COLUMNS = ["conv_id", "turn_idx", "text"]
 _TARGET_BLOCK_BYTES = 64 * 1024 * 1024
 
 
-def auto_num_blocks(path: str) -> int:
-    """Input-size-aware read parallelism: ``max(2 x cluster CPUs,
-    bytes / 64 MB)``.
+def auto_num_blocks(path: str, min_block_bytes: int = 256 * 1024) -> int:
+    """Input-size-aware read parallelism:
+    ``clamp(max(2 x cluster CPUs, bytes/64MB), 1, bytes/min_block_bytes)``.
 
-    Scales both directions — a 55 MB bench corpus gets 2xCPU blocks
-    (each task does real work), a 100 TB corpus gets bytes/64MB blocks
-    (bounded per-task memory), and a bigger cluster raises the floor
-    automatically.
+    Scales all three ways — a 55 MB corpus gets 2xCPU blocks (each task
+    does real work), a 100 TB corpus gets bytes/64MB blocks (bounded
+    per-task memory), and a 2 KB dimension table gets ONE block (a task
+    on <256 KB is pure scheduling overhead).
     """
     total = 0
     if os.path.isdir(path):
@@ -46,7 +46,8 @@ def auto_num_blocks(path: str) -> int:
     elif os.path.exists(path):
         total = os.path.getsize(path)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2 * cpus, total // _TARGET_BLOCK_BYTES or 1)
+    by_min_work = max(1, total // min_block_bytes)
+    return int(min(max(2 * cpus, total // _TARGET_BLOCK_BYTES or 1), by_min_work))
 
 
 def read_transcripts(
