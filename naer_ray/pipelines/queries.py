@@ -1491,13 +1491,20 @@ SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
 
 
 def q22_hll_distinct(sf_dir: str):
-    """Approximate distinct users in events via mergeable HLL sketches
-    (rows-only check; accuracy asserted in pytest vs the exact count)."""
+    """Approximate distinct users via mergeable HLL sketches, with a
+    driver-checked accuracy gate: the deterministic estimate must land
+    within 5% of the exact distinct count (computed distributively),
+    asserted against a literal TRUE oracle row."""
     from ..stages.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+    exact = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    ok = abs(est - len(exact)) <= 0.05 * max(len(exact), 1)
+    return pd.DataFrame({"within_5pct": [bool(ok)]})
+
+
+Q22_SQL = "SELECT TRUE AS within_5pct"
 
 
 def m01_multimodal_features(sf_dir: str):
@@ -1531,7 +1538,18 @@ def kg_parity_eval(sf_dir: str):
     )
     ok, _bad = split_errors(triples)
     m = eval_vs_expected(ok, os.path.join(c, "expected_triples.parquet"))
-    return pd.DataFrame([m])
+    # P/R/F1 only: the gate is exactly 1.0 regardless of corpus tier, so
+    # the driver can hash-check it against a literal oracle row (raw
+    # tp counts vary with the fixture tier and stay in pytest)
+    return pd.DataFrame(
+        [{k: float(m[k]) for k in ("precision", "recall", "f1")}]
+    )
+
+
+KG_PARITY_SQL = """
+SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
+       CAST(1.0 AS DOUBLE) AS f1
+"""
 
 
 REGISTRY: dict[str, tuple] = {
@@ -1556,7 +1574,7 @@ REGISTRY: dict[str, tuple] = {
     "q19_semi_anti_join": (q19_semi_anti_join, Q19_SQL),
     "q20_sliding_window": (q20_sliding_window, Q20_SQL),
     "q21_distinct_count": (q21_distinct_count, Q21_SQL),
-    "q22_hll_distinct": (q22_hll_distinct, None),
+    "q22_hll_distinct": (q22_hll_distinct, Q22_SQL),
     "q23_asof_join": (q23_asof_join, Q23_SQL),
     "q25_streaming_sessionize": (q25_streaming_sessionize, Q07_SQL),
     "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
@@ -1573,5 +1591,5 @@ REGISTRY: dict[str, tuple] = {
     "a02_ivf_topk": (a02_ivf_topk, ANN_RECALL_SQL),
     "a03_brute_topk_multi": (a03_brute_topk_multi, A03_SQL),
     "m01_multimodal_features": (m01_multimodal_features, None),
-    "kg_parity_eval": (kg_parity_eval, None),
+    "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),
 }
