@@ -25,6 +25,12 @@ import sys
 import time
 
 
+def _quiet_worker_logs() -> None:
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def sf_name(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     return base if base.startswith("sf") else "sf0.1"
@@ -40,6 +46,9 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # quiet the benign per-worker "Failed to hash the schemas"
+            # warning (pandas block schemas are unhashable) in the bench log
+            runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
         )
     from ray.data import DataContext
 

@@ -853,6 +853,32 @@ SELECT vec_id + 1000000 AS node, vec_id AS label FROM embeddings
 """
 
 
+def d05_ngram_jaccard_pairs(sf_dir: str):
+    """Full LSH-candidate + EXACT n-gram-Jaccard-verify DAG over
+    documents ∪ case mutants: minhash bands propose, the distributed
+    two-join verify stage (stages/dedup.ngram_jaccard_pairs) confirms
+    jaccard = 1.0 for every planted (i, i+1M) pair."""
+    from ..stages.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    ds = _docs_with_mutants(sf_dir)
+    cands = minhash_candidate_pairs(
+        minhash_bands(ds, "doc_id", "text"), "doc_id", min_est=0.5
+    )
+    verified = ngram_jaccard_pairs(ds, cands, "doc_id", "text")
+    strong = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], 0.999999)),
+        batch_format="pyarrow",
+    )
+    return _planted_only(strong)
+
+
+D05_SQL = D01_SQL
+
+
 def c01_canonical_labels(sf_dir: str):
     """Distributed canonicalization (pool explode -> exact edges ->
     union-find) over part names ∪ their UPPER variants; oracle: each
@@ -1444,6 +1470,73 @@ GROUP BY e.event_type
 """
 
 
+def q26_range_join(sf_dir: str):
+    """Range (band) join: reorders — each order pairs with every PRIOR
+    order of the same customer placed in the preceding 90 days
+    (bucketed co-partition self-join, stages/joins.range_join — both
+    sides large, nothing broadcast).  Aggregated per orderpriority."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import range_join
+
+    later = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    earlier = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_orderkey": batch["o_orderkey"],
+                "p_custkey": batch["o_custkey"],
+                "p_orderdate": batch["o_orderdate"],
+                "p_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    matched = range_join(
+        later,
+        earlier.map_batches(rename, batch_format="pyarrow"),
+        left_on="o_orderdate",
+        right_on="p_orderdate",
+        left_by="o_custkey",
+        right_by="p_custkey",
+        lower=pd.Timedelta(0),
+        upper=pd.Timedelta(days=90),
+        n_buckets=64,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["o_orderkey"] != batch["p_orderkey"]]
+        batch = batch.assign(
+            prior_c=_cents(batch["p_totalprice"].to_numpy()), n=1
+        )
+        return batch.groupby("o_orderpriority", as_index=False)[["prior_c", "n"]].sum()
+
+    agg = (
+        matched.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n", alias_name="n_pairs"), Sum("prior_c", alias_name="prior_c")
+        )
+    )
+    df = agg.to_pandas()
+    df["prior_price"] = df.pop("prior_c") / 100.0
+    df["n_pairs"] = df["n_pairs"].astype("int64")
+    return df[["o_orderpriority", "n_pairs", "prior_price"]]
+
+
+Q26_SQL = """
+SELECT a.o_orderpriority,
+       COUNT(*) AS n_pairs,
+       SUM(CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS prior_price
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey <> b.o_orderkey
+ AND a.o_orderdate - b.o_orderdate >= INTERVAL 0 SECOND
+ AND a.o_orderdate - b.o_orderdate <= INTERVAL 90 DAY
+GROUP BY a.o_orderpriority
+"""
+
+
 def q24_grouped_topk(sf_dir: str):
     """Top-3 orders by totalprice per mktsegment (grouped top-k):
     broadcast segment lookup -> per-batch local top-k per segment ->
@@ -1578,10 +1671,12 @@ REGISTRY: dict[str, tuple] = {
     "q23_asof_join": (q23_asof_join, Q23_SQL),
     "q25_streaming_sessionize": (q25_streaming_sessionize, Q07_SQL),
     "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
+    "q26_range_join": (q26_range_join, Q26_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
     "d04_embedding_clusters": (d04_embedding_clusters, D04_SQL),
+    "d05_ngram_jaccard_pairs": (d05_ngram_jaccard_pairs, D05_SQL),
     "c01_canonical_labels": (c01_canonical_labels, C01_SQL),
     "c02_fuzzy_canonical_labels": (c02_fuzzy_canonical_labels, C02_SQL),
     "t01_lang_id": (t01_lang_id, T01_SQL),

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..testdata import hash_u32
 
@@ -65,6 +66,34 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     x = sh.astype(np.int64)[:, None]  # (n_shingles, 1)
     vals = (a[None, :] * x + b[None, :]) % _MERSENNE
     return vals.min(axis=0)
+
+
+def minhash_signatures_batch(
+    shingle_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+    chunk_shingles: int = 200_000,
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures for a whole batch in O(num_perm)
+    numpy passes — one concatenated (a*x+b) % p matrix per chunk with
+    ``np.minimum.reduceat`` at document boundaries, instead of one
+    Python iteration (and one small matrix op) per document.
+    Memory is bounded by chunk_shingles x num_perm x 8 bytes (~100 MB).
+    """
+    n_docs = len(shingle_lists)
+    out = np.empty((n_docs, len(a)), dtype=np.int64)
+    lo = 0
+    while lo < n_docs:
+        # grow the doc window until the shingle budget is hit
+        hi, total = lo, 0
+        while hi < n_docs and (total == 0 or total + len(shingle_lists[hi]) <= chunk_shingles):
+            total += len(shingle_lists[hi])
+            hi += 1
+        concat = np.concatenate(shingle_lists[lo:hi]).astype(np.int64)
+        starts = np.zeros(hi - lo, dtype=np.int64)
+        np.cumsum([len(s) for s in shingle_lists[lo : hi - 1]], out=starts[1:])
+        vals = (a[None, :] * concat[:, None] + b[None, :]) % _MERSENNE
+        out[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
+        lo = hi
+    return out
 
 
 def exact_dedup(ds, id_col: str, content_col: str, n_buckets: int = 64):
@@ -110,9 +139,8 @@ def minhash_bands(
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         n = len(ids)
-        sigs = np.empty((n, num_perm), dtype=np.int64)
-        for i, text in enumerate(texts):
-            sigs[i] = minhash_signature(_stable_shingles(text, shingle_k), a, b)
+        shingle_lists = [_stable_shingles(text, shingle_k) for text in texts]
+        sigs = minhash_signatures_batch(shingle_lists, a, b)
         # band hashes vectorized: fold each band's rows with a mixed sum
         out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
         out_hash = np.empty(bands * n, dtype=np.int64)
@@ -609,7 +637,8 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def verify_pairs_exact(pairs_df: pd.DataFrame, texts: dict, n: int = 3) -> pd.DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (texts broadcast as dict)."""
+    """Exact n-gram Jaccard for candidate pairs (texts broadcast as dict —
+    the small-corpus path; :func:`ngram_jaccard_pairs` is the scale path)."""
     vals = [
         ngram_jaccard(texts[a], texts[b], n)
         for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
@@ -617,6 +646,99 @@ def verify_pairs_exact(pairs_df: pd.DataFrame, texts: dict, n: int = 3) -> pd.Da
     out = pairs_df.copy()
     out["jaccard"] = vals
     return out
+
+
+def _attach_text(pairs_ds, texts_ds, key_col: str, carry: list[tuple[str, pa.DataType]],
+                 out_col: str, id_col: str, text_col: str, n_buckets: int = 64):
+    """One bucketed co-partition pass: attach ``texts[key]`` to each pair
+    row as ``out_col``.  Union of typed-null-padded sides + one key-hash
+    bucket groupby; the kernel builds a key->text dict from ITS bucket's
+    text rows only (the hash co-partition is total per key)."""
+    fields = [*carry, ("__key", pa.int64()), ("__text", pa.string()),
+              ("__side", pa.int8()), ("bucket", pa.int32())]
+    schema = pa.schema(fields)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch[key_col].cast(pa.int64())
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        cols = []
+        for name, typ in carry:
+            cols.append(batch[name].cast(typ) if name in batch.column_names
+                        else pa.nulls(n, typ))
+        cols += [key, pa.nulls(n, pa.string()),
+                 pa.array(np.zeros(n, np.int8)), bucket]
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    def tag_texts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch[id_col].cast(pa.int64())
+        bucket = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())), pa.int32()
+        )
+        cols = [pa.nulls(n, typ) for _name, typ in carry]
+        cols += [key, batch[text_col].cast(pa.string()),
+                 pa.array(np.ones(n, np.int8)), bucket]
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+        texts_ds.map_batches(tag_texts, batch_format="pyarrow")
+    )
+
+    out_fields = [*carry, (out_col, pa.string())]
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        texts = group.filter(pc.equal(side, 1))
+        pairs = group.filter(pc.equal(side, 0))
+        lookup = dict(zip(texts["__key"].to_pylist(), texts["__text"].to_pylist()))
+        keys = pairs["__key"].to_pylist()
+        cols = [pairs[name] for name, _t in carry]
+        cols.append(pa.array([lookup.get(k) for k in keys], pa.string()))
+        return pa.Table.from_arrays(cols, schema=pa.schema(out_fields))
+
+    return tagged.groupby("bucket").map_groups(attach, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    texts_ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = 64,
+):
+    """Exact n-gram Jaccard verification for candidate pairs, BOTH sides
+    large: two bucketed co-partition passes attach text_a/text_b to each
+    pair (nothing broadcast, nothing on the driver), then the Jaccard
+    kernel runs per batch.  Candidate pairs are LSH-bounded
+    (O(rows x bands)), so the shuffled volume is pairs + corpus, never
+    corpus-squared.
+    """
+    base = [("id_a", pa.int64()), ("id_b", pa.int64())]
+    with_a = _attach_text(
+        pairs_ds, texts_ds, "id_a", base, "text_a", id_col, text_col, n_buckets
+    )
+    with_b = _attach_text(
+        with_a, texts_ds, "id_b", base + [("text_a", pa.string())],
+        "text_b", id_col, text_col, n_buckets,
+    )
+
+    def compute(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].astype("int64"),
+                "id_b": batch["id_b"].astype("int64"),
+                "jaccard": [
+                    ngram_jaccard(x or "", y or "", n)
+                    for x, y in zip(batch["text_a"], batch["text_b"])
+                ],
+            }
+        )
+
+    return with_b.map_batches(compute, batch_format="pandas")
 
 
 # --------------------------------------------------------- embedding near-dup

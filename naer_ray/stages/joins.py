@@ -1,28 +1,34 @@
 """Distributed join operators Ray Data lacks natively.
 
-``asof_join``: each left row matches the latest right row (by the
-``on`` time columns) with the same ``by`` key at or before the left
-time.  The reference has no as-of operator; this is one of the
-training-pipeline additions (SURVEY.md §2 extension surface).
+* :func:`asof_join` — each left row matches the LATEST right row (by
+  the ``on`` time columns) with the same ``by`` key at or before the
+  left time.
+* :func:`range_join` — each left row matches EVERY right row with the
+  same ``by`` key whose time lies within ``[left_on - upper,
+  left_on - lower]`` (an interval/band join).
 
-Execution shape — bucketed co-partition, NO broadcast of the fact
-table and NO per-key dispatch:
+The reference has neither; both are training-pipeline additions
+(SURVEY.md §2 extension surface).
+
+Shared execution shape — bucketed co-partition, NO broadcast of the
+fact table and NO per-key dispatch:
 
 1. both sides get a deterministic key-hash ``__bucket`` column and a
-   ``__side`` tag, padded to a common column set;
+   ``__side`` tag, padded to one explicit union schema (typed nulls —
+   ad-hoc None padding yields Arrow null-typed columns whose promotion
+   across blocks is not guaranteed);
 2. ``union`` + one ``groupby("__bucket")`` shuffle co-locates every
    key's left AND right rows (O(n_buckets) Ray groups, the repo's
    bucket-run rule);
-3. the per-bucket kernel runs a vectorized ``pd.merge_asof``.
+3. a per-bucket vectorized pandas kernel (``merge_asof`` / ``merge`` +
+   band filter).
 
 The partitioning assumption: a single bucket's rows fit in one
 worker's heap — n_buckets scales with data volume, and key-hash
 bucketing keeps skew bounded unless one single key dominates (salt
-that key upstream if so).
-
-For a SMALL right side prefer a broadcast build (``ray.put`` + lookup
-inside ``map_batches``); this operator exists for the case where both
-sides are large.
+that key upstream if so).  For a SMALL right side prefer a broadcast
+build (``ray.put`` + lookup inside ``map_batches``); these operators
+exist for the case where both sides are large.
 """
 
 from __future__ import annotations
@@ -40,47 +46,24 @@ def _bucket_of(series: pd.Series, n_buckets: int) -> np.ndarray:
     return series.astype(str).map(lambda s: hash_u32(s) % n_buckets).to_numpy(np.int32)
 
 
-def asof_join(
-    left_ds,
-    right_ds,
-    *,
-    left_on: str,
-    right_on: str,
-    left_by: str,
-    right_by: str,
-    n_buckets: int = 64,
-    direction: str = "backward",
-    allow_exact_matches: bool = True,
-    right_prepare=None,
-):
-    """Bucketed distributed as-of join; returns a Dataset of left rows
-    plus the matched right columns (NaN/NaT where unmatched).
-
-    Column names of the two sides must be disjoint.  ``right_prepare``
-    (optional) runs per bucket on the right-side frame BEFORE the
-    merge — because ALL rows of a key share a bucket, per-key global
-    reductions (e.g. dedup order-date ties to the max price) are exact
-    when computed there.
-    """
+def _co_partitioned(left_ds, right_ds, left_by: str, right_by: str, n_buckets: int):
+    """Tag + pad + union + schemas for a bucketed co-partition (see
+    module docstring).  Returns (tagged_ds, left_cols, right_cols,
+    restore) where ``restore`` re-casts integer columns that the padded
+    union surfaced as float64."""
     left_schema: pa.Schema = left_ds.schema().base_schema
     right_schema: pa.Schema = right_ds.schema().base_schema
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     clash = set(left_cols) & set(right_cols)
     if clash:
-        raise ValueError(f"asof_join requires disjoint column names, got {clash}")
-    # integer columns picked out of the padded union come back float64
-    # (nulls); the kernel casts them back after selecting its side's rows
+        raise ValueError(f"co-partitioned join requires disjoint column names, got {clash}")
     int_cols = {
         f.name
         for schema in (left_schema, right_schema)
         for f in schema
         if pa.types.is_integer(f.type)
     }
-
-    # one explicit union schema (left cols + right cols + tags) padded
-    # with typed nulls — ad-hoc None padding yields Arrow null-typed
-    # columns whose promotion across blocks is not guaranteed
     union_fields = (
         [left_schema.field(c) for c in left_cols]
         + [right_schema.field(c) for c in right_cols]
@@ -113,13 +96,42 @@ def asof_join(
         right_ds.map_batches(tag(1, right_by, right_schema), batch_format="pyarrow")
     )
 
-    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
         casts = {c: np.int64 for c in df.columns if c in int_cols}
         return df.astype(casts) if casts else df
 
+    return tagged, left_cols, right_cols, restore
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    n_buckets: int = 64,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    right_prepare=None,
+):
+    """Bucketed distributed as-of join; returns a Dataset of left rows
+    plus the matched right columns (NaN/NaT where unmatched).
+
+    Column names of the two sides must be disjoint.  ``right_prepare``
+    (optional) runs per bucket on the right-side frame BEFORE the
+    merge — because ALL rows of a key share a bucket, per-key global
+    reductions (e.g. dedup order-date ties to the max price) are exact
+    when computed there.
+    """
+    tagged, left_cols, right_cols, restore = _co_partitioned(
+        left_ds, right_ds, left_by, right_by, n_buckets
+    )
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        ev = _restore(group.loc[group["__side"] == 0, left_cols])
-        od = _restore(group.loc[group["__side"] == 1, right_cols])
+        ev = restore(group.loc[group["__side"] == 0, left_cols])
+        od = restore(group.loc[group["__side"] == 1, right_cols])
         if right_prepare is not None:
             od = right_prepare(od)
         ev = ev.sort_values([left_on, left_by], kind="mergesort")
@@ -134,5 +146,45 @@ def asof_join(
             direction=direction,
             allow_exact_matches=allow_exact_matches,
         )
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    lower,
+    upper,
+    n_buckets: int = 64,
+    right_prepare=None,
+):
+    """Bucketed distributed range (band) join: INNER-join rows with equal
+    ``by`` keys where ``lower <= left[left_on] - right[right_on] <=
+    upper`` (pass pd.Timedelta bounds for timestamp columns).  Returns
+    left+right columns per matching combination.
+
+    Per-bucket cost is the per-key equi-join volume filtered by the
+    band, so a key's cost is (its left rows) x (its right rows) — keep
+    per-key cardinalities bounded or pre-reduce with right_prepare.
+    """
+    tagged, left_cols, right_cols, restore = _co_partitioned(
+        left_ds, right_ds, left_by, right_by, n_buckets
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ev = restore(group.loc[group["__side"] == 0, left_cols])
+        od = restore(group.loc[group["__side"] == 1, right_cols])
+        if right_prepare is not None:
+            od = right_prepare(od)
+        out = ev.merge(od, left_on=left_by, right_on=right_by)
+        if not len(out):
+            return out
+        delta = out[left_on] - out[right_on]
+        return out[(delta >= lower) & (delta <= upper)]
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
