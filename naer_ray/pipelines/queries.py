@@ -865,8 +865,11 @@ def d05_ngram_jaccard_pairs(sf_dir: str):
     )
 
     ds = _docs_with_mutants(sf_dir)
+    # est >= 0.9 pushdown: planted mutants sit at est 1.0, and the
+    # corpus's ~735k weaker genuine candidates would otherwise all flow
+    # through the exact-verify joins for nothing
     cands = minhash_candidate_pairs(
-        minhash_bands(ds, "doc_id", "text"), "doc_id", min_est=0.5
+        minhash_bands(ds, "doc_id", "text"), "doc_id", min_est=0.9
     )
     verified = ngram_jaccard_pairs(ds, cands, "doc_id", "text")
     strong = verified.map_batches(
