@@ -1615,6 +1615,87 @@ def m01_multimodal_features(sf_dir: str):
     return out[["media_id", "kind", "n_bytes", "mean_luma"]]
 
 
+def _derived_media(sf_dir: str):
+    """documents -> media-shaped rows with doc-id-derived metadata
+    (deterministic integer arithmetic, so a SQL oracle can re-derive
+    the same table): every 3rd doc cycles image/audio/video."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        from ..stages.multimodal import MEDIA_SCHEMA
+
+        ids = batch["doc_id"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        rows = {k: [] for k in MEDIA_SCHEMA.names}
+        for i in ids:
+            kind = kinds[i % 3]
+            rows["media_id"].append(f"m{i:07d}")
+            rows["kind"].append(kind)
+            rows["payload"].append(b"")
+            rows["mime"].append("application/octet-stream")
+            rows["width"].append(16 + (i * 131) % 496 if kind == "image" else -1)
+            rows["height"].append(16 + (i * 197) % 496 if kind == "image" else -1)
+            rows["duration_ms"].append(100 + (i * 7919) % 59900 if kind == "video" else -1)
+        return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+_MEDIA_SQL = """
+  SELECT printf('m%07d', doc_id) AS media_id,
+         doc_id % 3 AS kind_i,
+         16 + (doc_id * 131) % 496 AS width,
+         16 + (doc_id * 197) % 496 AS height,
+         100 + (doc_id * 7919) % 59900 AS duration_ms
+  FROM documents
+"""
+
+
+def m02_resize_plan(sf_dir: str):
+    """Image resize planning (aspect-preserving, integer half-up,
+    never upscale) over doc-derived media metadata — the multimodal
+    dimension math oracle-checked end to end."""
+    from ..stages.multimodal import resize_plan
+
+    return resize_plan(_derived_media(sf_dir), max_side=224)
+
+
+M02_SQL = f"""
+WITH media AS ({_MEDIA_SQL})
+SELECT media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(CASE WHEN GREATEST(width, height) <= 224 THEN width
+            ELSE GREATEST(1, CAST(FLOOR((width * 224 * 2 + GREATEST(width, height))
+                 / (2.0 * GREATEST(width, height))) AS BIGINT)) END AS INTEGER) AS target_w,
+       CAST(CASE WHEN GREATEST(width, height) <= 224 THEN height
+            ELSE GREATEST(1, CAST(FLOOR((height * 224 * 2 + GREATEST(width, height))
+                 / (2.0 * GREATEST(width, height))) AS BIGINT)) END AS INTEGER) AS target_h
+FROM media WHERE kind_i = 0
+"""
+
+
+def m03_frame_sample_plan(sf_dir: str):
+    """Video frame-sampling grid (1 fps, max 16 frames, always t=0)
+    over doc-derived media metadata — oracle-checked."""
+    from ..stages.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_derived_media(sf_dir), fps=1.0, max_frames=16)
+
+
+M03_SQL = f"""
+WITH media AS ({_MEDIA_SQL}),
+grid AS (
+  SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+  FROM media WHERE kind_i = 2)
+SELECT media_id, CAST(frame_ts_ms AS INTEGER) AS frame_ts_ms
+FROM (SELECT media_id, frame_ts_ms,
+             ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_ts_ms) AS rn
+      FROM grid)
+WHERE rn <= 16
+"""
+
+
 def kg_parity_eval(sf_dir: str):
     """The north-rule parity gate as a query: distributed pipeline over
     recorded answers vs the sequential reference-semantics oracle's
@@ -1689,5 +1770,7 @@ REGISTRY: dict[str, tuple] = {
     "a02_ivf_topk": (a02_ivf_topk, ANN_RECALL_SQL),
     "a03_brute_topk_multi": (a03_brute_topk_multi, A03_SQL),
     "m01_multimodal_features": (m01_multimodal_features, None),
+    "m02_resize_plan": (m02_resize_plan, M02_SQL),
+    "m03_frame_sample_plan": (m03_frame_sample_plan, M03_SQL),
     "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),
 }

@@ -130,12 +130,17 @@ def resize_plan(ds, max_side: int = 224, batch_size: int = 64):
         ):
             if kind != "image" or w <= 0 or h <= 0:
                 continue
-            scale = max_side / max(w, h)
             out["media_id"].append(mid)
             out["width"].append(w)
             out["height"].append(h)
-            out["target_w"].append(max(1, round(w * min(scale, 1.0))))
-            out["target_h"].append(max(1, round(h * min(scale, 1.0))))
+            m = max(w, h)
+            if m <= max_side:  # never upscale
+                tw, th = w, h
+            else:  # integer half-up rounding: exact + SQL-replicable
+                tw = max(1, (w * max_side * 2 + m) // (2 * m))
+                th = max(1, (h * max_side * 2 + m) // (2 * m))
+            out["target_w"].append(tw)
+            out["target_h"].append(th)
         return pa.table(
             {
                 "media_id": pa.array(out["media_id"], pa.string()),

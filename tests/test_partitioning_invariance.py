@@ -43,3 +43,64 @@ def test_answers_path_invariant_to_bucket_count(ray_session, ref_corpus):
         )
         frames.append(_sorted(ds.to_pandas()))
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_invariant_to_bucket_count(ray_session):
+    import ray.data
+
+    from naer_ray.stages.joins import asof_join
+
+    frames = []
+    for n_buckets in (4, 64):
+        out = asof_join(
+            ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]),
+            ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            n_buckets=n_buckets,
+        ).to_pandas()
+        out = out.fillna({"o_custkey": -1, "o_totalprice": -1.0})
+        out["o_orderdate"] = out["o_orderdate"].astype(str)
+        frames.append(out.sort_values(list(out.columns)).reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
+
+
+def test_range_join_invariant_to_bucket_count(ray_session):
+    import ray.data
+
+    from naer_ray.stages.joins import range_join
+
+    frames = []
+    for n_buckets in (4, 64):
+        orders = lambda cols: ray.data.read_parquet(f"{SF}/orders.parquet", columns=cols)
+        import pyarrow as pa
+
+        def rename(batch):
+            return pa.table(
+                {
+                    "p_custkey": batch["o_custkey"],
+                    "p_orderdate": batch["o_orderdate"],
+                }
+            )
+
+        out = range_join(
+            orders(["o_orderkey", "o_custkey", "o_orderdate"]),
+            orders(["o_custkey", "o_orderdate"]).map_batches(rename, batch_format="pyarrow"),
+            left_on="o_orderdate",
+            right_on="p_orderdate",
+            left_by="o_custkey",
+            right_by="p_custkey",
+            lower=pd.Timedelta(0),
+            upper=pd.Timedelta(days=90),
+            n_buckets=n_buckets,
+        ).to_pandas()
+        out["o_orderdate"] = out["o_orderdate"].astype(str)
+        out["p_orderdate"] = out["p_orderdate"].astype(str)
+        frames.append(out.sort_values(list(out.columns)).reset_index(drop=True))
+    assert len(frames[0]) > 0
+    pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
