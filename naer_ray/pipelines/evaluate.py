@@ -63,7 +63,11 @@ def eval_vs_expected(
     dispatch, no driver-side row loop.
     """
     pred = triples.map_batches(lambda b: _keyed(b, "pred"), batch_format="pyarrow")
-    gold = ray.data.read_parquet(expected_path).map_batches(
+    from ..sources.transcripts import auto_num_blocks
+
+    gold = ray.data.read_parquet(
+        expected_path, override_num_blocks=auto_num_blocks(expected_path)
+    ).map_batches(
         lambda b: _keyed(b, "gold"), batch_format="pyarrow"
     )
 
@@ -120,9 +124,11 @@ def _annotations_as_triplerows(annotations_path: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(annotations_path).map_batches(
-        to_rows, batch_format="pyarrow"
-    )
+    from ..sources.transcripts import auto_num_blocks
+
+    return ray.data.read_parquet(
+        annotations_path, override_num_blocks=auto_num_blocks(annotations_path)
+    ).map_batches(to_rows, batch_format="pyarrow")
 
 
 def _conv_eval_kernel(group: pa.Table) -> pa.Table:

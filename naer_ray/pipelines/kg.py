@@ -327,7 +327,12 @@ def run_kg_job(
     ]
 
     def _ok_edges():
-        ok, _bad = split_errors(ray.data.read_parquet(edge_files))
+        nb = max(1, sum(os.path.getsize(f) for f in edge_files) // (64 * 1024 * 1024)) \
+            if edge_files else 1
+        nb = max(nb, min(len(edge_files), 32))
+        ok, _bad = split_errors(
+            ray.data.read_parquet(edge_files, override_num_blocks=nb)
+        )
         return ok
 
     if edge_files and not manifest.stage_complete("nodes", 1):

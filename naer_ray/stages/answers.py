@@ -46,7 +46,11 @@ def answers_as_rows(answers_path: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(answers_path).map_batches(to_rows, batch_format="pyarrow")
+    from ..sources.transcripts import auto_num_blocks
+
+    return ray.data.read_parquet(
+        answers_path, override_num_blocks=auto_num_blocks(answers_path)
+    ).map_batches(to_rows, batch_format="pyarrow")
 
 
 def _parse_one(conv_id: str, lines: list[str], answers: list[tuple[str, str]], rows: list[dict]) -> None:
