@@ -34,6 +34,11 @@ from ..sources.gazetteer import matcher_from_ref, tokenize
 #: anaphora cue: the turn opens with a pronoun reference ("It is very big.")
 _PRONOUN_RE = re.compile(r"^(?:It|This|They)\b")
 
+#: per-process text -> (is_pronoun_cue, hits) memo, shared across batches;
+#: valid only for one matcher (dictionary) — owner tracked alongside
+_TEXT_MATCH_CACHE: dict[str, tuple[bool, tuple]] = {}
+_TEXT_CACHE_OWNER: list = [None]
+
 MENTION_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),  # hash(conv_id) % n_buckets — the shuffle key
@@ -65,6 +70,16 @@ class MentionDetector:
         self.n_buckets = n_buckets
         self._hash = hash_u32
         self._bucket_cache: dict[str, int] = {}
+        # matching is a pure function of (dictionary, turn text), and real
+        # corpora repeat turns heavily (bench corpus: 84% duplicates) —
+        # memoize (is_pronoun_cue, hits) per distinct text.  Module-level
+        # so the cache survives across batches in a worker PROCESS (the
+        # task variant constructs a fresh detector per batch); cleared
+        # whenever the worker switches dictionaries.
+        if _TEXT_CACHE_OWNER[0] is not self.matcher:
+            _TEXT_MATCH_CACHE.clear()
+            _TEXT_CACHE_OWNER[0] = self.matcher
+        self._text_cache = _TEXT_MATCH_CACHE
 
     def _bucket(self, conv_id: str) -> int:
         b = self._bucket_cache.get(conv_id)
@@ -86,17 +101,26 @@ class MentionDetector:
         out_eid: list[str] = []
         out_pron: list[bool] = []
         match_tokens = self.matcher.match_tokens
+        cache = self._text_cache
         for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
             if text is None:
                 continue
-            if _PRONOUN_RE.match(text.lstrip()):
+            cached = cache.get(text)
+            if cached is None:
+                is_pron = _PRONOUN_RE.match(text.lstrip()) is not None
+                cached = (is_pron, tuple(match_tokens(tokenize(text))))
+                if len(cache) > 500_000:
+                    cache.clear()
+                cache[text] = cached
+            is_pron, hits = cached
+            if is_pron:
                 out_bucket.append(self._bucket(conv_id))
                 out_conv.append(conv_id)
                 out_turn.append(turn_idx)
                 out_pos.append(-1)
                 out_eid.append("")
                 out_pron.append(True)
-            for pos, eid in match_tokens(tokenize(text)):
+            for pos, eid in hits:
                 out_bucket.append(self._bucket(conv_id))
                 out_conv.append(conv_id)
                 out_turn.append(turn_idx)
