@@ -1,6 +1,7 @@
 """CSV sources (reference S4/S5) against the actual reference files."""
 
 import glob
+import os
 
 BASE = "/root/reference/src/test/resources/evaluation_resources"
 
@@ -51,3 +52,27 @@ def test_transcripts_from_text_files(ray_session):
     ref = next(p for p in load_reference_projects() if p["name"] == "teastore")
     assert df["text"].tolist() == ref["lines"]
     assert df["turn_idx"].tolist() == list(range(1, len(ref["lines"]) + 1))
+
+
+def test_auto_num_blocks_scales_with_input(tmp_path):
+    """Block sizing: 1 block for a tiny dimension file; a medium file
+    gets >1 blocks but never less than 256KB of work per task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.sources.transcripts import auto_num_blocks
+
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(pa.table({"x": list(range(10))}), tiny)
+    assert auto_num_blocks(tiny) == 1  # < 256KB -> one task
+
+    # ~3MB of incompressible payload
+    rng = np.random.RandomState(0)
+    big = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"x": [rng.bytes(100_000) for _ in range(30)]}), big
+    )
+    size = os.path.getsize(big)
+    n = auto_num_blocks(big)
+    assert 1 < n <= max(1, size // (256 * 1024))
