@@ -180,6 +180,61 @@ def lsh_topk_indexed(path: str, queries: np.ndarray, k: int = 10,
     return brute_force_topk(candidates, q, k, meta["id_col"], meta["vec_col"])
 
 
+def save_ivf_index(
+    ds,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 9,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: list-partitioned parquet (hive dirs per
+    ivf_list) + centroids + metadata.  Queries read only their nprobe
+    closest lists' partitions."""
+    import json
+    import os
+
+    index, centroids = _ivf_index(ds, n_lists, seed, sample_size, id_col, vec_col)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    index.write_parquet(os.path.join(path, "data"), partition_cols=["ivf_list"])
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "ivf",
+                "centroids": centroids.tolist(),
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+
+
+def ivf_topk_indexed(path: str, queries: np.ndarray, k: int = 10, nprobe: int = 4):
+    """ANN top-k against a PERSISTED IVF index (see :func:`save_ivf_index`)."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(path, "index_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    dq = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = sorted({int(l) for row in dq.argsort(axis=1)[:, :nprobe] for l in row})
+    files = [
+        f
+        for pl in probe_lists
+        for f in sorted(
+            _glob.glob(os.path.join(path, "data", f"ivf_list={pl}", "*.parquet"))
+        )
+    ]
+    candidates = ray.data.read_parquet(files)
+    return brute_force_topk(candidates, q, k, meta["id_col"], meta["vec_col"])
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 10,
              n_probes: int = 1 + 10, seed: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -208,16 +263,16 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 10,
     return brute_force_topk(candidates, q, k, id_col, vec_col)
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
-             nprobe: int = 4, seed: int = 9, sample_size: int = 2048,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF ANN: seeded-sample centroids -> nearest-centroid partitions ->
-    scan the nprobe closest lists per query."""
+def _ivf_index(ds, n_lists: int, seed: int, sample_size: int,
+               id_col: str, vec_col: str):
+    """(index Dataset with ivf_list column, centroids matrix).
+
+    Deterministic sample under ANY block layout: filter on the id key
+    (``ds.limit`` takes "first N rows", which depends on parallelism);
+    a few Lloyd iterations on the sample give the centroids.
+    """
     import ray
 
-
-    # deterministic sample under ANY block layout: filter on the id key
-    # (ds.limit takes "first N rows", which depends on parallelism)
     sample = ds.map_batches(
         lambda t: t.filter(pc.less(t[id_col], pa.scalar(sample_size))),
         batch_format="pyarrow",
@@ -225,7 +280,6 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
-    # a few Lloyd iterations on the sample (deterministic)
     for _ in range(5):
         d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -247,7 +301,15 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
             }
         )
 
-    index = ds.map_batches(assign_list, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(assign_list, batch_format="pyarrow", batch_size=8192), centroids
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, seed: int = 9, sample_size: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN: seeded-sample centroids -> nearest-centroid partitions ->
+    scan the nprobe closest lists per query."""
+    index, centroids = _ivf_index(ds, n_lists, seed, sample_size, id_col, vec_col)
 
     q = np.asarray(queries, dtype=np.float64)
     dq = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)

@@ -102,6 +102,18 @@ class TestAnn:
         b = rebuilt[["query_id", "vec_id"]].reset_index(drop=True)
         assert a.equals(b)
 
+    def test_persisted_ivf_index_matches_rebuild(self, emb_ds, queries, tmp_path):
+        """save_ivf_index + ivf_topk_indexed == per-call ivf_topk."""
+        from naer_ray.stages.ann import ivf_topk, ivf_topk_indexed, save_ivf_index
+
+        path = str(tmp_path / "ivf_index")
+        save_ivf_index(emb_ds, path)
+        from_index = ivf_topk_indexed(path, queries, k=5)
+        rebuilt = ivf_topk(emb_ds, queries, k=5)
+        a = from_index[["query_id", "vec_id"]].reset_index(drop=True)
+        b = rebuilt[["query_id", "vec_id"]].reset_index(drop=True)
+        assert a.equals(b)
+
 
 class TestMultimodal:
     def test_decode_features_fake(self, ray_session):
