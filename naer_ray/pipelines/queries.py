@@ -1206,12 +1206,16 @@ def q18_native_hash_join(sf_dir: str):
     aggregate per p_brand — the non-broadcast join path."""
     from ray.data.aggregate import Sum
 
+    import ray
+
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    # join partitions scale with the cluster, not a hard-coded constant
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     joined = li.join(
         part,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=n_parts,
         on=("l_partkey",),
         right_on=("p_partkey",),
     )

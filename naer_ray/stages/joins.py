@@ -46,13 +46,32 @@ def _bucket_of(series: pd.Series, n_buckets: int) -> np.ndarray:
     return series.astype(str).map(lambda s: hash_u32(s) % n_buckets).to_numpy(np.int32)
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset; pandas-block datasets expose a
+    PandasBlockSchema (name/dtype lists), which is converted."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        else:
+            try:
+                fields.append((name, pa.from_numpy_dtype(typ)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
 def _co_partitioned(left_ds, right_ds, left_by: str, right_by: str, n_buckets: int):
     """Tag + pad + union + schemas for a bucketed co-partition (see
     module docstring).  Returns (tagged_ds, left_cols, right_cols,
     restore) where ``restore`` re-casts integer columns that the padded
     union surfaced as float64."""
-    left_schema: pa.Schema = left_ds.schema().base_schema
-    right_schema: pa.Schema = right_ds.schema().base_schema
+    left_schema: pa.Schema = _arrow_schema(left_ds)
+    right_schema: pa.Schema = _arrow_schema(right_ds)
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     clash = set(left_cols) & set(right_cols)

@@ -1,0 +1,131 @@
+"""Property tests: distributed join operators == single-process pandas.
+
+Random small inputs; the distributed bucketed co-partition result must
+equal one local pandas merge on the same data (any mismatch means the
+partitioning broke join semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _random_frames(seed: int):
+    rng = np.random.RandomState(seed)
+    n_left, n_right, n_keys = rng.randint(5, 60), rng.randint(5, 60), rng.randint(2, 9)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n_left).astype(np.int64),
+            "lt": pd.to_datetime(rng.randint(0, 10_000, n_left), unit="s"),
+            "lv": rng.randint(0, 1000, n_left).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.randint(0, n_keys, n_right).astype(np.int64),
+            "rt": pd.to_datetime(rng.randint(0, 10_000, n_right), unit="s"),
+            "rv": rng.randint(0, 1000, n_right).astype(np.int64),
+        }
+    )
+    # merge_asof requires unique (by, on) on the right for determinism
+    right = right.drop_duplicates(subset=["rk", "rt"]).reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23, 99])
+def test_asof_join_matches_local_pandas(ray_session, seed):
+    import ray.data
+
+    from naer_ray.stages.joins import asof_join
+
+    left, right = _random_frames(seed)
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_on="lt",
+            right_on="rt",
+            left_by="k",
+            right_by="rk",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .fillna({"rk": -1, "rv": -1})
+    )
+    exp = pd.merge_asof(
+        left.sort_values(["lt", "k"], kind="mergesort"),
+        right.sort_values(["rt", "rk"], kind="mergesort"),
+        left_on="lt",
+        right_on="rt",
+        left_by="k",
+        right_by="rk",
+        direction="backward",
+    ).fillna({"rk": -1, "rv": -1})
+    cols = ["k", "lt", "lv", "rk", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_range_join_matches_local_pandas(ray_session, seed):
+    import ray.data
+
+    from naer_ray.stages.joins import range_join
+
+    left, right = _random_frames(seed)
+    lo, hi = pd.Timedelta(0), pd.Timedelta(seconds=2000)
+    got = range_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        left_on="lt",
+        right_on="rt",
+        left_by="k",
+        right_by="rk",
+        lower=lo,
+        upper=hi,
+        n_buckets=4,
+    ).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")
+    delta = exp["lt"] - exp["rt"]
+    exp = exp[(delta >= lo) & (delta <= hi)]
+    cols = ["k", "lt", "lv", "rk", "rt", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ngram_jaccard_pairs_matches_driver_path(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from naer_ray.stages.dedup import ngram_jaccard_pairs, verify_pairs_exact
+
+    texts = {
+        i: " ".join(
+            np.random.RandomState(i).choice(list("abcdefgh"), 12).tolist()
+        )
+        for i in range(20)
+    }
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in texts], pa.string()),
+            }
+        )
+    )
+    pairs = pd.DataFrame(
+        {"id_a": [0, 1, 2, 5, 7], "id_b": [3, 4, 9, 6, 19]}
+    ).astype("int64")
+    got = (
+        ngram_jaccard_pairs(docs, ray.data.from_pandas(pairs))
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        verify_pairs_exact(pairs, texts)
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[["id_a", "id_b", "jaccard"]], check_dtype=False)
