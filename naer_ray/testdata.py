@@ -484,6 +484,8 @@ _TIERS = {
     "bench-sf0.001": (240, 25, 200, True, 8),
     "bench-sf0.01": (2400, 50, 200, True, 16),
     "bench-sf0.1": (24000, 100, 300, True, 32),
+    # 5x the driver bench tier (~12M turns) — scale-evidence drives only
+    "bench-sf0.5": (120000, 100, 300, True, 64),
 }
 
 _TIER_VERSION = 4  # bump to invalidate cached corpora when generation changes
