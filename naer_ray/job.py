@@ -27,6 +27,24 @@ _CONFIG_KEYS = {
 }
 
 
+def _resolve_env(obj):
+    """Substitute ``${ENV:KEY}`` string values from .env / os.environ.
+
+    S8 surface (Environment.java precedence via naer_ray.env): lets a
+    checked-in config reference credentials/hosts without embedding
+    them, the way the reference factory pulls OPENAI_API_KEY /
+    OLLAMA_HOST at run time (ChatModelFactory.java:126,144-146)."""
+    if isinstance(obj, dict):
+        return {k: _resolve_env(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_env(v) for v in obj]
+    if isinstance(obj, str) and obj.startswith("${ENV:") and obj.endswith("}"):
+        from naer_ray.env import get_env_non_null
+
+        return get_env_non_null(obj[len("${ENV:"):-1])
+    return obj
+
+
 def load_config(path: str) -> list[dict]:
     """JSON config -> list of run kwarg dicts (S6 config reader).
 
@@ -36,6 +54,7 @@ def load_config(path: str) -> list[dict]:
     same way)."""
     with open(path) as f:
         cfg = json.load(f)
+    cfg = _resolve_env(cfg)
     runs = cfg.pop("runs", None) or [{}]
     bad = set(cfg) - _CONFIG_KEYS
     if bad:
@@ -48,7 +67,24 @@ def load_config(path: str) -> list[dict]:
         merged = {**cfg, **override}
         if "out" in merged and len(runs) > 1 and "out" not in override:
             merged["out"] = f"{merged['out']}/run-{i}"
-        out.append(merged)
+        out.append(_coerce_types(merged))
+    return out
+
+
+_INT_KEYS = {"buckets"}
+_BOOL_KEYS = {"resume", "canonicalize"}
+
+
+def _coerce_types(cfg: dict) -> dict:
+    """Coerce string config values (env substitution, hand-written JSON)
+    to the kwarg types run_kg_job expects."""
+    out = dict(cfg)
+    for k in _INT_KEYS & out.keys():
+        out[k] = int(out[k])
+    for k in _BOOL_KEYS & out.keys():
+        v = out[k]
+        if isinstance(v, str):
+            out[k] = v.strip().lower() in ("1", "true", "yes", "on")
     return out
 
 
