@@ -48,7 +48,7 @@ def build_triples(
     dict_ref=None,
     transcripts_ds: "ray.data.Dataset | None" = None,
     dict_rows: list[dict] | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     detector: str = "tasks",
     include_alias_edges: bool = False,
 ) -> ray.data.Dataset:
@@ -63,7 +63,16 @@ def build_triples(
     batch_size=None (default) processes whole read blocks — the read is
     already sized to ~64 MB blocks (sources.transcripts.auto_num_blocks),
     so re-slicing into small batches only adds overhead.
+
+    n_buckets=None sizes the conv-hash shuffle to the cluster
+    (auto_n_buckets): with only ~2 buckets/core the largest bucket
+    straggles the assemble stage (measured 0-477k rows across 64
+    buckets at 12M turns — a 5.9s tail vs 2.6s mean task); ~8/core
+    smooths the tail (64->256 buckets: -13% wall at 32 CPUs, -15% at
+    8), and on a multi-node cluster buckets keep pace with cores.
     """
+    if n_buckets is None:
+        n_buckets = auto_n_buckets()
     if extractor == "answers":
         if answers_path is None:
             raise ValueError("answers_path required for extractor='answers'")
@@ -161,6 +170,16 @@ def split_errors(triples: ray.data.Dataset):
         lambda t: t.filter(pc.equal(t["pred"], "__error__")), batch_format="pyarrow"
     )
     return ok, bad
+
+
+def auto_n_buckets() -> int:
+    """Shuffle-bucket count sized to the cluster: ~8 buckets/core
+    (tail-smoothing headroom), floor 64, capped at 4096 so the
+    groupby's dispatch stays O(thousands) even on a 256-node cluster."""
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = ray.cluster_resources().get("CPU", 8.0)
+    return int(min(4096, max(64, 8 * int(cpus))))
 
 
 def add_bucket(ds: ray.data.Dataset, n_buckets: int, col: str = "conv_id") -> ray.data.Dataset:
