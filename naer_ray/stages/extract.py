@@ -92,51 +92,106 @@ class MentionDetector:
             self._bucket_cache[conv_id] = b
         return b
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids = batch["conv_id"].to_pylist()
-        turn_idxs = batch["turn_idx"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_bucket: list[int] = []
-        out_conv: list[str] = []
-        out_turn: list[int] = []
-        out_pos: list[int] = []
-        out_eid: list[str] = []
-        out_pron: list[bool] = []
-        match_tokens = self.matcher.match_tokens
+    def _eid_pool(self):
+        """Per-matcher (eid -> int code) pool + Arrow array with a
+        trailing "" slot for pronoun marker rows (code -1)."""
+        pool = getattr(self.matcher, "_eid_pool", None)
+        if pool is None:
+            codes: dict[str, int] = {}
+            strings: list[str] = []
+            pool = (codes, strings, [pa.array([""], pa.string())])
+            self.matcher._eid_pool = pool
+        return pool
+
+    def _text_entry(self, text: str):
+        """(pos_array, eidcode_array) for one text — pronoun marker
+        (pos=-1, code=-1) first, then hits in match order (the exact
+        emission order of the original row loop)."""
         cache = self._text_cache
-        for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
-            if text is None:
-                continue
-            cached = cache.get(text)
-            if cached is None:
-                is_pron = _PRONOUN_RE.match(text.lstrip()) is not None
-                cached = (is_pron, tuple(match_tokens(tokenize(text))))
-                if len(cache) > 500_000:
-                    cache.clear()
-                cache[text] = cached
-            is_pron, hits = cached
-            if is_pron:
-                out_bucket.append(self._bucket(conv_id))
-                out_conv.append(conv_id)
-                out_turn.append(turn_idx)
-                out_pos.append(-1)
-                out_eid.append("")
-                out_pron.append(True)
-            for pos, eid in hits:
-                out_bucket.append(self._bucket(conv_id))
-                out_conv.append(conv_id)
-                out_turn.append(turn_idx)
-                out_pos.append(pos)
-                out_eid.append(eid)
-                out_pron.append(False)
+        entry = cache.get(text)
+        if entry is None:
+            codes, strings, pool_pa = self._eid_pool()
+            is_pron = _PRONOUN_RE.match(text.lstrip()) is not None
+            hits = self.matcher.match_tokens(tokenize(text))
+            pos = [-1] if is_pron else []
+            code = [-1] if is_pron else []
+            for p, eid in hits:
+                c = codes.get(eid)
+                if c is None:
+                    c = len(strings)
+                    codes[eid] = c
+                    strings.append(eid)
+                    pool_pa.clear()  # invalidate the cached Arrow pool
+                pos.append(p)
+                code.append(c)
+            entry = (np.array(pos, np.int32), np.array(code, np.int32))
+            if len(cache) > 500_000:
+                cache.clear()
+            cache[text] = entry
+        return entry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tcol = batch["text"]
+        if tcol.null_count:
+            batch = batch.filter(_pc.is_valid(batch["text"]))
+            tcol = batch["text"]
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in MENTION_SCHEMA},
+                schema=MENTION_SCHEMA,
+            )
+        enc = tcol.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy()
+        uniq_texts = enc.dictionary.to_pylist()
+
+        entries = [self._text_entry(t) for t in uniq_texts]
+        counts = np.array([len(e[0]) for e in entries], np.int64)
+        if counts.sum() == 0:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in MENTION_SCHEMA},
+                schema=MENTION_SCHEMA,
+            )
+        flat_pos = np.concatenate([e[0] for e in entries])
+        flat_code = np.concatenate([e[1] for e in entries])
+        u_start = np.cumsum(counts) - counts
+
+        total_per_row = counts[codes]
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), total_per_row)
+        within = _ranges(total_per_row)
+        flat_idx = u_start[codes[row_idx]] + within
+        pos_col = flat_pos[flat_idx]
+        code_col = flat_code[flat_idx]
+        pron_col = code_col < 0
+
+        row_idx_pa = pa.array(row_idx, pa.int64())
+        conv_col = batch["conv_id"].combine_chunks()
+        cenc = conv_col.dictionary_encode()
+        ubuckets = np.array(
+            [self._bucket(c) for c in cenc.dictionary.to_pylist()], np.int32
+        )
+        bucket_col = ubuckets[cenc.indices.to_numpy()][row_idx]
+
+        eid_codes, eid_strings, pool_pa_box = self._eid_pool()
+        if not pool_pa_box:
+            pool_pa_box.append(pa.array([*eid_strings, ""], pa.string()))
+        pool_pa = pool_pa_box[0]
+        eid_col = pool_pa.take(
+            pa.array(
+                np.where(code_col < 0, len(pool_pa) - 1, code_col).astype(np.int64)
+            )
+        )
+
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.int32()),
-                "conv_id": pa.array(out_conv, pa.string()),
-                "turn_idx": pa.array(out_turn, pa.int32()),
-                "pos": pa.array(out_pos, pa.int32()),
-                "entity_id": pa.array(out_eid, pa.string()),
-                "is_pronoun": pa.array(out_pron, pa.bool_()),
+                "bucket": pa.array(bucket_col, pa.int32()),
+                "conv_id": conv_col.take(row_idx_pa),
+                "turn_idx": _pc.cast(
+                    batch["turn_idx"].combine_chunks().take(row_idx_pa), pa.int32()
+                ),
+                "pos": pa.array(pos_col, pa.int32()),
+                "entity_id": eid_col,
+                "is_pronoun": pa.array(pron_col, pa.bool_()),
             },
             schema=MENTION_SCHEMA,
         )
