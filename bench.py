@@ -129,14 +129,21 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 3) -> dict:
     """Same job at two parallelism levels (N vs 4N) in fresh processes
     (sandbox stand-in for the N vs 4N node rule).
 
     Default pair is 4 vs 16: at 32 CPUs this single node saturates
     memory/IO bandwidth that a real 4N-node cluster would scale with
     nodes, so 8-vs-32 under-reports the partitioning quality (both
-    pairs are recorded in BASELINE.md)."""
+    pairs are recorded in BASELINE.md).
+
+    Each leg is the MIN of ``trials`` fresh-process runs, legs
+    interleaved: this sandbox host shows 2x run-to-run wall-time
+    swings from page-cache/allocator state that have nothing to do
+    with the pipeline, and min-of-N per leg is the standard way to
+    measure the code rather than the host's mood.  All trial times
+    are reported for transparency."""
     import subprocess
 
     def one(ncpu: int) -> dict:
@@ -148,7 +155,12 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(max(1, trials)):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -160,6 +172,8 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         f"sec_{hi}": t_hi,
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        f"trials_sec_{lo}": [r["value"] for r in runs_lo],
+        f"trials_sec_{hi}": [r["value"] for r in runs_hi],
         "cpus": [lo, hi],
     }
 
