@@ -77,14 +77,17 @@ _SIG_BUF: dict[tuple[int, int], np.ndarray] = {}
 
 def minhash_signatures_batch(
     shingle_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray,
-    chunk_shingles: int = 50_000,
+    chunk_shingles: int = 12_500,
 ) -> np.ndarray:
     """(n_docs, num_perm) signatures for a whole batch in O(num_perm)
     numpy passes — one concatenated (a*x+b) % p matrix per chunk with
     ``np.minimum.reduceat`` at document boundaries (along the contiguous
     axis), instead of one Python iteration per document.  Memory is
-    bounded by chunk_shingles x num_perm x 8 bytes (~25 MB), reused
-    across chunks and calls via a per-process buffer.
+    bounded by chunk_shingles x num_perm x 8 bytes (~6 MB), reused
+    across chunks and calls via a per-process buffer (12.5k shingles
+    per chunk beat 50k ~2x end-to-end on this host: the one-time
+    first-touch fault cost of the buffer scales with its size and
+    dominates the arithmetic for fresh worker processes).
     """
     n_docs = len(shingle_lists)
     num_perm = len(a)
