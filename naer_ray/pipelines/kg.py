@@ -51,6 +51,9 @@ def build_triples(
     n_buckets: int | None = None,
     detector: str = "tasks",
     include_alias_edges: bool = False,
+    chat_fn_factory=None,
+    prompt_text: str | None = None,
+    answer_format: str = "structured-text",
 ) -> ray.data.Dataset:
     """Lazy triples Dataset for either extractor backend.
 
@@ -82,6 +85,19 @@ def build_triples(
         ds = add_bucket(tds.union(answers_as_rows(answers_path)), n_buckets)
         return ds.groupby("bucket").map_groups(
             parse_answer_group, batch_format="pyarrow"
+        )
+
+    if extractor == "llm":
+        if chat_fn_factory is None:
+            raise ValueError("chat_fn_factory required for extractor='llm'")
+        return llm_extract_triples(
+            transcripts_path,
+            chat_fn_factory,
+            prompt_text=prompt_text,
+            answer_format=answer_format,
+            n_buckets=n_buckets,
+            transcripts_ds=transcripts_ds,
+            validate=validate,
         )
 
     if extractor != "gazetteer":
@@ -116,6 +132,78 @@ def build_triples(
     if include_alias_edges:
         triples = triples.union(alias_interface_edges(triples, dict_ref))
     return triples
+
+
+def llm_extract_triples(
+    transcripts_path: str | None,
+    chat_fn_factory,
+    *,
+    prompt_text: str | None = None,
+    answer_format: str = "structured-text",
+    possible_entities: dict[str, list[str]] | None = None,
+    n_buckets: int | None = None,
+    transcripts_ds: "ray.data.Dataset | None" = None,
+    validate: str | None = "quarantine",
+) -> ray.data.Dataset:
+    """LLM-recognizer pipeline path (reference main flow: SAD ->
+    chat-model recognizer -> entities, NamedEntityRecognizer.java:57-81)
+    as a Ray stage.
+
+    Unlike the gazetteer path (which shuffles only mention rows), LLM
+    extraction needs every turn's text per conversation, so full rows
+    enter the conv-hash bucket shuffle — inherent to the operator, and
+    the reason the gazetteer path is the default at scale.  Each bucket
+    kernel builds the chat backend ONCE via ``chat_fn_factory()``
+    (e.g. ``lambda: ChatModelFactory.with_provider(...).build()``) and
+    walks its conversations; parse failures repair-retry once and then
+    dead-letter per conversation (stages/llm.LLMExtractor.extract).
+    """
+    from ..stages.llm import LLMExtractor, Prompt
+
+    if n_buckets is None:
+        n_buckets = auto_n_buckets()
+    ds = transcripts_ds if transcripts_ds is not None else read_transcripts(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    if validate:
+        ds = validate_transcripts(ds, mode=validate)
+    ds = add_bucket(ds, n_buckets)
+    base_prompt = prompt_text or "Identify all COMPONENT entities in the text."
+
+    def extract_bucket(group: pa.Table) -> pa.Table:
+        chat_fn = chat_fn_factory()
+        prompt = Prompt(base_prompt, answer_format)
+        if possible_entities:
+            prompt.add_possible_entities(possible_entities)
+        ex = LLMExtractor(chat_fn, prompt)
+        group = group.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        conv = group["conv_id"].to_pylist()
+        texts = group["text"].to_pylist()
+        outs = []
+        i, n = 0, len(conv)
+        while i < n:
+            j = i
+            while j < n and conv[j] == conv[i]:
+                j += 1
+            lines = [t for t in texts[i:j] if t is not None]
+            outs.append(ex.extract(conv[i], lines))
+            i = j
+        if not outs:
+            return _schema_empty_triples()
+        return pa.concat_tables(outs)
+
+    return ds.groupby("bucket").map_groups(extract_bucket, batch_format="pyarrow")
+
+
+def _schema_empty_triples() -> pa.Table:
+    from .. import schema as _schema
+
+    return pa.table(
+        {f.name: pa.array([], f.type) for f in _schema.TRIPLES},
+        schema=_schema.TRIPLES,
+    )
 
 
 def alias_interface_edges(triples: ray.data.Dataset, dict_ref) -> ray.data.Dataset:
