@@ -1544,6 +1544,76 @@ GROUP BY a.o_orderpriority
 """
 
 
+def _llm_fake_chat(system: str, prompt: str) -> str:
+    """Deterministic stand-in backend for q27: 'recognizes' every
+    KG_ENTITIES token present in the prompt's text block, answering in
+    the reference JSON format with the first hit line quoted verbatim
+    (verbatim quote guarantees the fuzzy line resolver finds a match,
+    so no conversation dead-letters)."""
+    import json as _json
+
+    text = prompt.split("\nText:\n", 1)[1] if "\nText:\n" in prompt else ""
+    lines = text.split("\n")
+    out = []
+    for entity in KG_ENTITIES:
+        hits = [l for l in lines if entity in l.split(" ")]
+        if hits:
+            out.append(
+                {
+                    "name": entity,
+                    "type": "COMPONENT",
+                    "alternativeNames": [],
+                    "occurrences": [hits[0]],
+                }
+            )
+    return _json.dumps(out)
+
+
+def q27_llm_extract(sf_dir: str):
+    """ST1-ST4 pipeline path under the driver oracle: the LLM-extractor
+    stage (pipelines/kg.llm_extract_triples — prompt assembly, chat
+    call, JSON slice+parse, repair loop, per-conv dead-letter) runs
+    over the derived transcripts with the deterministic fake backend.
+
+    Oracled at CONVERSATION grain (hasType rows = entity recognized in
+    conv): exact regardless of which line each occurrence fuzzy-resolves
+    to — the synthetic word-soup turns have near-identical character
+    sets, so occurrence LINE numbers are resolver-implementation detail
+    (covered instead by the refsem parity tests on real SADs)."""
+    from .kg import llm_extract_triples
+
+    triples = llm_extract_triples(
+        None,
+        lambda: _llm_fake_chat,
+        answer_format="json",
+        transcripts_ds=_derive_transcripts(sf_dir),
+        validate=None,
+        n_buckets=32,
+    )
+
+    def conv_entities(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["pred"], "hasType"))
+        return pa.table(
+            {
+                "subj": sel["subj"].cast(pa.string()),
+                "conv_id": sel["conv_id"].cast(pa.string()),
+            }
+        )
+
+    return triples.map_batches(conv_entities, batch_format="pyarrow").sort(
+        ["subj", "conv_id"]
+    )
+
+
+Q27_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)})
+SELECT DISTINCT d.entity AS subj, t.conv_id
+FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity)
+ORDER BY subj, conv_id
+"""
+
+
 def q24_grouped_topk(sf_dir: str):
     """Top-3 orders by totalprice per mktsegment (grouped top-k):
     broadcast segment lookup -> per-batch local top-k per segment ->
@@ -1760,6 +1830,7 @@ REGISTRY: dict[str, tuple] = {
     "q25_streaming_sessionize": (q25_streaming_sessionize, Q07_SQL),
     "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
     "q26_range_join": (q26_range_join, Q26_SQL),
+    "q27_llm_extract": (q27_llm_extract, Q27_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
