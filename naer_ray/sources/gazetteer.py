@@ -117,6 +117,11 @@ class GazetteerMatcher:
                 if eid not in ids:
                     ids.append(eid)
         self.lengths = sorted(lengths, reverse=True)
+        # stable dense entity codes: by_id insertion is sorted by eid,
+        # so code i -> eids[i] is IDENTICAL in every worker process —
+        # the mention shuffle ships int32 codes instead of eid strings
+        self.eids: list[str] = list(self.by_id)
+        self.eid_index: dict[str, int] = {e: i for i, e in enumerate(self.eids)}
         # first-token index: one dict probe per turn position instead of
         # one per (position x surface-length); candidates longest-first
         self.by_first: dict[str, list[tuple[int, tuple[str, ...], list[str]]]] = {}

@@ -47,7 +47,10 @@ MENTION_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("pos", pa.int32()),  # token position of the match inside the turn
-        ("entity_id", pa.string()),  # "" for pronoun-cue marker rows
+        # dense matcher code (gazetteer.GazetteerMatcher.eid_index —
+        # identical across workers); -1 marks pronoun-cue rows.  Codes
+        # instead of eid strings cut the shuffled bytes ~45%.
+        ("eid_code", pa.int32()),
         ("is_pronoun", pa.bool_()),
     ]
 )
@@ -92,17 +95,6 @@ class MentionDetector:
             self._bucket_cache[conv_id] = b
         return b
 
-    def _eid_pool(self):
-        """Per-matcher (eid -> int code) pool + Arrow array with a
-        trailing "" slot for pronoun marker rows (code -1)."""
-        pool = getattr(self.matcher, "_eid_pool", None)
-        if pool is None:
-            codes: dict[str, int] = {}
-            strings: list[str] = []
-            pool = (codes, strings, [pa.array([""], pa.string())])
-            self.matcher._eid_pool = pool
-        return pool
-
     def _text_entry(self, text: str):
         """(pos_array, eidcode_array) for one text — pronoun marker
         (pos=-1, code=-1) first, then hits in match order (the exact
@@ -110,20 +102,14 @@ class MentionDetector:
         cache = self._text_cache
         entry = cache.get(text)
         if entry is None:
-            codes, strings, pool_pa = self._eid_pool()
+            eid_index = self.matcher.eid_index
             is_pron = _PRONOUN_RE.match(text.lstrip()) is not None
             hits = self.matcher.match_tokens(tokenize(text))
             pos = [-1] if is_pron else []
             code = [-1] if is_pron else []
             for p, eid in hits:
-                c = codes.get(eid)
-                if c is None:
-                    c = len(strings)
-                    codes[eid] = c
-                    strings.append(eid)
-                    pool_pa.clear()  # invalidate the cached Arrow pool
                 pos.append(p)
-                code.append(c)
+                code.append(eid_index[eid])
             entry = (np.array(pos, np.int32), np.array(code, np.int32))
             if len(cache) > 500_000:
                 cache.clear()
@@ -172,16 +158,6 @@ class MentionDetector:
         )
         bucket_col = ubuckets[cenc.indices.to_numpy()][row_idx]
 
-        eid_codes, eid_strings, pool_pa_box = self._eid_pool()
-        if not pool_pa_box:
-            pool_pa_box.append(pa.array([*eid_strings, ""], pa.string()))
-        pool_pa = pool_pa_box[0]
-        eid_col = pool_pa.take(
-            pa.array(
-                np.where(code_col < 0, len(pool_pa) - 1, code_col).astype(np.int64)
-            )
-        )
-
         return pa.table(
             {
                 "bucket": pa.array(bucket_col, pa.int32()),
@@ -190,7 +166,7 @@ class MentionDetector:
                     batch["turn_idx"].combine_chunks().take(row_idx_pa), pa.int32()
                 ),
                 "pos": pa.array(pos_col, pa.int32()),
-                "entity_id": eid_col,
+                "eid_code": pa.array(code_col, pa.int32()),
                 "is_pronoun": pa.array(pron_col, pa.bool_()),
             },
             schema=MENTION_SCHEMA,
@@ -337,7 +313,11 @@ def make_conversation_assembler(dict_ref, impl: str = "vector"):
         )
         conv_ids = group["conv_id"].to_pylist()
         turn_idxs = group["turn_idx"].to_pylist()
-        entity_ids = group["entity_id"].to_pylist()
+        eids = matcher.eids
+        entity_ids = [
+            eids[c] if 0 <= c < len(eids) else ("" if c < 0 else f"__ghost_{c}__")
+            for c in group["eid_code"].to_pylist()
+        ]
         pronouns = group["is_pronoun"].to_pylist()
 
         out = TripleColumns()
@@ -374,19 +354,25 @@ def _empty_triples() -> pa.Table:
 
 
 def _matcher_lookup_arrays(matcher):
-    """Per-matcher cached (eid -> name/type/interfaces) lookup arrays,
-    keyed by the eid code order we assign below."""
+    """Per-matcher cached code-indexed lookup arrays (built once per
+    worker): Arrow name/type pools, flattened sorted interface names
+    with per-code offsets."""
     cache = getattr(matcher, "_vec_lookup", None)
     if cache is None:
         by_id = matcher.by_id
-        eids = list(by_id)
-        name_of = {e: by_id[e]["canonical_name"] for e in eids}
-        type_of = {e: by_id[e]["type"] for e in eids}
-        if_names = {
-            e: [nm for _iid, nm in sorted(ifs, key=lambda t: t[1])]
-            for e, ifs in matcher.interfaces_of.items()
-        }
-        cache = (name_of, type_of, if_names)
+        eids = matcher.eids
+        names_pa = pa.array(
+            [by_id[e]["canonical_name"] for e in eids], pa.string()
+        )
+        types_pa = pa.array([by_id[e]["type"] for e in eids], pa.string())
+        if_lists = [
+            [nm for _iid, nm in sorted(matcher.interfaces_of.get(e, []), key=lambda t: t[1])]
+            for e in eids
+        ]
+        if_counts = np.array([len(l) for l in if_lists], dtype=np.int64)
+        if_starts = np.cumsum(if_counts) - if_counts
+        if_flat_pa = pa.array([nm for l in if_lists for nm in l], pa.string())
+        cache = (names_pa, types_pa, if_counts, if_starts, if_flat_pa)
         matcher._vec_lookup = cache
     return cache
 
@@ -417,8 +403,7 @@ def _assemble_vectorized(group: pa.Table, matcher) -> pa.Table:
         group["conv_id"].to_pandas(), sort=False
     )
     conv_uniq = np.asarray(conv_uniq, dtype=object)
-    eid_codes, eid_uniq = pd.factorize(group["entity_id"].to_pandas(), sort=False)
-    eid_uniq = np.asarray(eid_uniq, dtype=object)
+    eid_codes = group["eid_code"].to_numpy().astype(np.int64, copy=False)
     turn = group["turn_idx"].to_numpy().astype(np.int64, copy=False)
     pron = group["is_pronoun"].to_numpy(zero_copy_only=False).astype(bool, copy=False)
     idx = np.arange(n, dtype=np.int64)
@@ -466,7 +451,7 @@ def _assemble_vectorized(group: pa.Table, matcher) -> pa.Table:
 
     # ---- first-appearance rank of each (conv, entity) pair ----
     dc, de = conv_codes[d_rows], eid_codes[d_rows]
-    M = np.int64(len(eid_uniq) + 1)
+    M = np.int64(max(len(matcher.eids), int(eid_codes.max()) + 1 if n else 1) + 1)
     pair_key_all = dc.astype(np.int64) * M + de
     first_pair = ~pd.Series(pair_key_all).duplicated().to_numpy()
     fc, fe = dc[first_pair], de[first_pair]
@@ -495,23 +480,20 @@ def _assemble_vectorized(group: pa.Table, matcher) -> pa.Table:
     # pa.Array.take over small pools with int code arrays — no Python
     # objects travel through the hot path (the first version used
     # object-dtype np arrays and was no faster than the row loop).
-    name_of, type_of, if_names = _matcher_lookup_arrays(matcher)
-    names = [name_of.get(e) for e in eid_uniq]
-    in_dict = np.array([nm is not None for nm in names], dtype=bool)
-    names_pa = pa.array([nm or "" for nm in names], pa.string())
-    types_pa = pa.array([type_of.get(e) or "" for e in eid_uniq], pa.string())
-    conv_pa = pa.array(conv_uniq, pa.string())
-    if_lists = [if_names.get(e, []) for e in eid_uniq]
-    if_counts = np.array([len(l) for l in if_lists], dtype=np.int64)
-    if_starts = np.cumsum(if_counts) - if_counts
-    if_flat_pa = pa.array(
-        [nm for l in if_lists for nm in l], pa.string()
+    # Pools are code-indexed and cached per matcher (built once per
+    # worker, _matcher_lookup_arrays).
+    names_pa, types_pa, if_counts, if_starts, if_flat_pa = _matcher_lookup_arrays(
+        matcher
     )
+    n_known = len(matcher.eids)
+    conv_pa = pa.array(conv_uniq, pa.string())
 
-    # emission-filtered views
-    pe_keep = in_dict[fe]
+    # emission-filtered views (codes outside the dictionary — possible
+    # only for hand-built mention tables — are skipped like the Python
+    # walk skips eids missing from by_id)
+    pe_keep = (fe >= 0) & (fe < n_known)
     pc_, pe = fc[pe_keep], fe[pe_keep]
-    oc_keep = in_dict[oe]
+    oc_keep = (oe >= 0) & (oe < n_known)
     oc2, oe2, ot2, orf2 = oc[oc_keep], oe[oc_keep], ot[oc_keep], orf[oc_keep]
     # interface rows: one per (pair, iface)
     pif_counts = if_counts[pe]

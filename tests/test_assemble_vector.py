@@ -59,8 +59,8 @@ def test_ref_corpus_identical(ray_session, ref_corpus):
 
 
 def _random_mentions(rng, n_convs, dict_rows, max_turns=12, max_rows=6):
-    eids = [r["entity_id"] for r in dict_rows]
-    rows = {k: [] for k in ("bucket", "conv_id", "turn_idx", "pos", "entity_id", "is_pronoun")}
+    n_eids = len(dict_rows)
+    rows = {k: [] for k in ("bucket", "conv_id", "turn_idx", "pos", "eid_code", "is_pronoun")}
     for c in range(n_convs):
         conv = f"conv-{c:04d}"
         for t in range(rng.integers(1, max_turns)):
@@ -70,17 +70,17 @@ def _random_mentions(rng, n_convs, dict_rows, max_turns=12, max_rows=6):
                 rows["conv_id"].append(conv)
                 rows["turn_idx"].append(int(t))
                 rows["pos"].append(int(rng.integers(-1, 30)) if not is_pron else -1)
-                # ~10% of eids reference entities absent from the dictionary
-                eid = (
-                    ""
+                # ~10% of codes reference entities absent from the dictionary
+                code = (
+                    -1
                     if is_pron
                     else (
-                        "ghost-" + str(rng.integers(3))
+                        n_eids + int(rng.integers(3))
                         if rng.random() < 0.1
-                        else str(rng.choice(eids))
+                        else int(rng.integers(n_eids))
                     )
                 )
-                rows["entity_id"].append(eid)
+                rows["eid_code"].append(code)
                 rows["is_pronoun"].append(is_pron)
     return pa.table(
         {
@@ -88,7 +88,7 @@ def _random_mentions(rng, n_convs, dict_rows, max_turns=12, max_rows=6):
             "conv_id": pa.array(rows["conv_id"], pa.string()),
             "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
             "pos": pa.array(rows["pos"], pa.int32()),
-            "entity_id": pa.array(rows["entity_id"], pa.string()),
+            "eid_code": pa.array(rows["eid_code"], pa.int32()),
             "is_pronoun": pa.array(rows["is_pronoun"], pa.bool_()),
         },
         schema=MENTION_SCHEMA,
@@ -137,7 +137,7 @@ def test_pronoun_only_conversation(ray_session, ref_corpus):
             "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
             "turn_idx": pa.array([0, 1, 0], pa.int32()),
             "pos": pa.array([-1, -1, -1], pa.int32()),
-            "entity_id": pa.array(["", "", ""], pa.string()),
+            "eid_code": pa.array([-1, -1, -1], pa.int32()),
             "is_pronoun": pa.array([True, True, True], pa.bool_()),
         },
         schema=MENTION_SCHEMA,
@@ -157,14 +157,13 @@ def test_cross_conversation_leak_blocked(ray_session, ref_corpus):
         os.path.join(ref_corpus, "entity_dictionary.parquet")
     )
     ref = ray.put(rows)
-    eid = rows[0]["entity_id"]
     mentions = pa.table(
         {
             "bucket": pa.array([0, 0], pa.int32()),
             "conv_id": pa.array(["a", "b"], pa.string()),
             "turn_idx": pa.array([0, 5], pa.int32()),
             "pos": pa.array([0, -1], pa.int32()),
-            "entity_id": pa.array([eid, ""], pa.string()),
+            "eid_code": pa.array([0, -1], pa.int32()),
             "is_pronoun": pa.array([False, True], pa.bool_()),
         },
         schema=MENTION_SCHEMA,
