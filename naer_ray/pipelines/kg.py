@@ -324,6 +324,9 @@ def run_kg_job(
     *,
     extractor: str = "gazetteer",
     answers_path: str | None = None,
+    chat_fn_factory=None,
+    prompt_text: str | None = None,
+    answer_format: str = "structured-text",
     n_buckets: int = 16,
     resume: bool = True,
     canonicalize: bool = False,
@@ -377,6 +380,9 @@ def run_kg_job(
             dictionary_path,
             extractor=extractor,
             answers_path=answers_path,
+            chat_fn_factory=chat_fn_factory,
+            prompt_text=prompt_text,
+            answer_format=answer_format,
         )
         triples = add_bucket(triples, n_buckets)
         if done:

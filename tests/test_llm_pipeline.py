@@ -87,6 +87,30 @@ def test_llm_extractor_requires_factory(ray_session, llm_corpus):
         build_triples(llm_corpus, extractor="llm")
 
 
+def test_llm_job_checkpointed(ray_session, llm_corpus, tmp_path):
+    """run_kg_job with extractor='llm': bucketed atomic writes + resume."""
+    from naer_ray.pipelines.kg import run_kg_job
+
+    out = str(tmp_path / "job_out")
+    counters = run_kg_job(
+        llm_corpus, None, out,
+        extractor="llm",
+        chat_fn_factory=_make_echo_factory(),
+        n_buckets=4,
+    )
+    assert counters["buckets_computed"] == 4
+    assert counters["triples_rows"] > 0
+    # resume: everything skipped
+    counters2 = run_kg_job(
+        llm_corpus, None, out,
+        extractor="llm",
+        chat_fn_factory=_make_echo_factory(),
+        n_buckets=4,
+    )
+    assert counters2["buckets_skipped"] == 4
+    assert counters2["buckets_computed"] == 0
+
+
 def test_llm_extractor_dead_letters_bad_conversations(ray_session, llm_corpus):
     from naer_ray.pipelines.kg import build_triples
 
