@@ -77,6 +77,81 @@ class Prompt:
         """prompt + '\\nText:\\n' + joined document text (M1)."""
         return self.text + "\nText:\n" + "\n".join(lines)
 
+    def expected_output_format(self) -> str:
+        """Text inserted into the repair prompt (getExpectedOutputFormat)."""
+        return self.answer_format
+
+    def process(self, chat_fn: Callable[[str, str], str], lines: list[str]) -> str:
+        """One chat call (Prompt.process in the reference); TwoPartPrompt
+        overrides with the two-call chain."""
+        return chat_fn(SYSTEM_MESSAGE, self.render(lines))
+
+
+#: the JSON template TwoPartPrompt advertises as its expected output
+#: (TwoPartPrompt.getExpectedOutputFormat:88-114, example elided)
+TWO_PART_EXPECTED_FORMAT = (
+    "[\n"
+    "    {\n"
+    '        "name": "...",\n'
+    '        "type": "COMPONENT",\n'
+    '        "alternativeNames": [...],\n'
+    '        "occurrences": [...]\n'
+    "    },\n"
+    "    ...\n"
+    "]\n"
+)
+
+
+class TwoPartPrompt(Prompt):
+    """ST3: two-call prompt chain (recognizer/TwoPartPrompt.java:56-147).
+
+    Call 1: free-form recognition over the text block; call 2: the
+    second prompt + "\\nLast answer:\\n" + call-1 output, asking for the
+    structured JSON array, which is then sliced and parsed with the
+    standard JSON path.
+    """
+
+    def __init__(self, first_text: str, second_text: str):
+        if second_text is None or not second_text.strip():
+            raise ValueError(
+                "Second part of prompt cannot be null or blank for TwoPartPrompt"
+            )
+        super().__init__(first_text, answer_format=JSON_FORMAT)
+        self.second_text = second_text
+
+    def expected_output_format(self) -> str:
+        return TWO_PART_EXPECTED_FORMAT
+
+    def process(self, chat_fn: Callable[[str, str], str], lines: list[str]) -> str:
+        """Two chats: free-form, then JSON-ify (TwoPartPrompt.process:119-131)."""
+        part1 = chat_fn(SYSTEM_MESSAGE, self.text + "\nText:\n" + "\n".join(lines))
+        return chat_fn(
+            SYSTEM_MESSAGE, self.second_text + "\nLast answer:\n" + part1
+        )
+
+    @classmethod
+    def default(cls) -> "TwoPartPrompt":
+        """Reference default prompt pair (TwoPartPrompt.getDefault:152-199),
+        abbreviated to the operative instructions."""
+        task = (
+            "In the following text, identify all architecturally relevant "
+            "components that are explicitly named.\n"
+            "For each component, provide the primary name, all alternative "
+            "names or abbreviations found in the text, and all complete "
+            "lines where the component is mentioned (including indirect "
+            "references).\n"
+            "Return your findings in a clear, unambiguous, structured text "
+            "format so that a follow-up transformation into JSON is easy.\n"
+        )
+        formatting = (
+            "Given the last answer (see below), for each component, return "
+            'a JSON object containing "name", "type" ("COMPONENT"), '
+            '"alternativeNames" and "occurrences".\n'
+            "Output should be a JSON array (and nothing else!), like:\n"
+            + TWO_PART_EXPECTED_FORMAT
+        )
+        return cls(task, formatting)
+
 
 def _slice_and_parse(answer: str, fmt: str, sad: refsem.Sad) -> list[refsem.Entity]:
     if fmt == JSON_FORMAT:
@@ -100,12 +175,12 @@ class LLMExtractor:
     def recognize(self, lines: list[str]) -> list[refsem.Entity]:
         """NamedEntityRecognizer.recognize:57-81 minus the network."""
         sad = refsem.Sad(lines, validate=False)
-        answer = self.chat_fn(SYSTEM_MESSAGE, self.prompt.render(lines))
+        answer = self.prompt.process(self.chat_fn, lines)
         try:
             return _slice_and_parse(answer, self.prompt.answer_format, sad)
         except refsem.ParseError as first_error:
             repair_prompt = (
-                f"{REPAIR_PREFIX}{self.prompt.answer_format}\n"
+                f"{REPAIR_PREFIX}{self.prompt.expected_output_format()}\n"
                 f"Invalid output:\n{answer}\nError: {first_error}"
             )
             repaired = self.chat_fn(SYSTEM_MESSAGE, repair_prompt)
