@@ -109,6 +109,32 @@ def test_random_mention_tables_identical(ray_session, ref_corpus, seed):
     _assert_identical(py_fn(mentions), vec_fn(mentions))
 
 
+def test_property_random_tables_identical(ray_session, ref_corpus):
+    """Hypothesis-style sweep: 30 random seeds with varied shape params —
+    catches boundary interactions (single-row convs, all-pronoun heads,
+    ghost-heavy tables) that the fixed seeds might miss."""
+    import ray
+
+    rows = load_dictionary_rows(
+        os.path.join(ref_corpus, "entity_dictionary.parquet")
+    )
+    ref = ray.put(rows)
+    py_fn, vec_fn = _assemblers(ref)
+    for seed in range(30):
+        rng = np.random.default_rng(1000 + seed)
+        mentions = _random_mentions(
+            rng,
+            n_convs=int(rng.integers(1, 25)),
+            dict_rows=rows,
+            max_turns=int(rng.integers(2, 20)),
+            max_rows=int(rng.integers(1, 8)),
+        )
+        try:
+            _assert_identical(py_fn(mentions), vec_fn(mentions))
+        except AssertionError as e:
+            raise AssertionError(f"seed {1000 + seed}: {e}") from e
+
+
 def test_empty_group(ray_session, ref_corpus):
     import ray
 
