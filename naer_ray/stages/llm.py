@@ -159,6 +159,43 @@ def _slice_and_parse(answer: str, fmt: str, sad: refsem.Sad) -> list[refsem.Enti
     return refsem.parse_structured_text(answer, sad)
 
 
+class RecognizerBuilder:
+    """NamedEntityRecognizer.Builder parity (NamedEntityRecognizer.java:103-151):
+    chat-model + prompt injection with null validation; ``build()``
+    yields the :class:`LLMExtractor` (the engine's recognizer).
+
+    ``recognize(sad, possibleEntities)`` parity lives on the built
+    extractor: pass ``possible_entities`` to :meth:`build` and the
+    prompt gets the one-shot gazetteer block (M2) before first use.
+    """
+
+    def __init__(self) -> None:
+        self._chat_fn: Callable[[str, str], str] | None = None
+        self._prompt: Prompt | None = None
+
+    def chat_model(self, chat_fn: Callable[[str, str], str]) -> "RecognizerBuilder":
+        if chat_fn is None:
+            raise ValueError("chat model must not be null")
+        self._chat_fn = chat_fn
+        return self
+
+    def prompt(self, prompt: Prompt) -> "RecognizerBuilder":
+        if prompt is None:
+            raise ValueError("prompt must not be null")
+        self._prompt = prompt
+        return self
+
+    def build(
+        self, possible_entities: dict[str, list[str]] | None = None
+    ) -> "LLMExtractor":
+        if self._chat_fn is None:
+            raise ValueError("chat model must not be null")
+        prompt = self._prompt or TwoPartPrompt.default()
+        if possible_entities:
+            prompt.add_possible_entities(possible_entities)
+        return LLMExtractor(self._chat_fn, prompt)
+
+
 class LLMExtractor:
     """Per-conversation extractor with the reference's repair loop.
 

@@ -77,6 +77,31 @@ def test_default_prompt_pair():
     assert p.expected_output_format() == TWO_PART_EXPECTED_FORMAT
 
 
+def test_recognizer_builder_parity():
+    from naer_ray.stages.llm import Prompt, RecognizerBuilder
+
+    with pytest.raises(ValueError, match="chat model"):
+        RecognizerBuilder().chat_model(None)
+    with pytest.raises(ValueError, match="prompt"):
+        RecognizerBuilder().prompt(None)
+    with pytest.raises(ValueError, match="chat model"):
+        RecognizerBuilder().build()  # chat model is required
+
+    def chat(system, prompt):
+        return "free" if "Text:" in prompt else JSON_ANSWER
+
+    # default prompt = TwoPartPrompt.default() (reference Builder default)
+    ex = RecognizerBuilder().chat_model(chat).build()
+    assert isinstance(ex.prompt, TwoPartPrompt)
+
+    # possible-entities injection (recognize(sad, possibleEntities) parity)
+    p = Prompt("Find.")
+    ex2 = RecognizerBuilder().chat_model(chat).prompt(p).build(
+        possible_entities={"COMPONENT": ["AuthService"]}
+    )
+    assert "component entities: AuthService" in ex2.prompt.text
+
+
 def test_repair_recovers_with_two_part():
     answers = iter(["notes", "garbage", JSON_ANSWER])
 
