@@ -772,30 +772,46 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 12,
     seed: int = 11,
+    n_tables: int = 1,
 ):
     """Cosine >= threshold pairs via random-hyperplane LSH + exact verify.
 
     Vectors hashing to the same n_planes-bit signature are candidates;
     exact cosine is computed inside each bucket (vectorized matmul).
-    Recall note: near-identical vectors collide with prob
-    (1 - theta/pi)^n_planes; for threshold ~0.9 use n_planes <= 12 or
-    multiple tables (repeat with different seeds and union).
+    Recall: near-identical vectors collide in one table with prob
+    (1 - theta/pi)^n_planes; ``n_tables`` independent tables (seeded
+    ``seed + t``; table 0 == the single-table layout) drive the miss
+    rate to miss^T at T-times the bucketize/shuffle volume — the
+    standard LSH recall/cost dial.  Cross-table duplicate pairs are
+    deduped in a final hash-bucketed pass (only when n_tables > 1).
     """
-    rng = np.random.RandomState(seed)
-    planes: np.ndarray | None = None
+    planes_by_table: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        nonlocal planes
         mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        if planes is None:
-            planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_planes))
-        sig = (mat @ planes > 0).astype(np.uint32)
-        key = (sig << np.arange(n_planes, dtype=np.uint32)[None, :]).sum(axis=1)
+        n = len(mat)
+        shifts = np.arange(n_planes, dtype=np.uint64)[None, :]
+        keys = []
+        for t in range(n_tables):
+            planes = planes_by_table.get(t)
+            if planes is None:
+                planes = np.random.RandomState(seed + t).standard_normal(
+                    (mat.shape[1], n_planes)
+                )
+                planes_by_table[t] = planes
+            sig = (mat @ planes > 0).astype(np.uint64)
+            key = (sig << shifts).sum(axis=1)
+            # disjoint key spaces per table: same-signature rows of
+            # DIFFERENT tables must not land in one bucket
+            keys.append((np.uint64(t) << np.uint64(n_planes)) | key)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
         return pa.table(
             {
-                "lsh_key": pa.array(key.astype(np.int64), pa.int64()),
-                id_col: batch[id_col],
-                vec_col: batch[vec_col],
+                "lsh_key": pa.array(
+                    np.concatenate(keys).astype(np.int64), pa.int64()
+                ),
+                id_col: batch[id_col].take(idx),
+                vec_col: batch[vec_col].take(idx),
             }
         )
 
@@ -818,9 +834,34 @@ def embedding_neardup_pairs(
 
     # bucket-run over the 2^n_planes signature space: O(64) Ray groups,
     # singleton signatures vectorized-dropped before the pair kernel
-    return _grouped_runs(
+    raw = _grouped_runs(
         ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096),
         ["lsh_key"],
         pairs,
         min_group_size=2,
+    )
+    if n_tables == 1:
+        return raw
+
+    # cross-table dedup: the same pair found by several tables hashes to
+    # ONE bucket, so per-bucket drop_duplicates is a global dedup
+    def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        h = (
+            batch["id_a"].astype("int64") * 1_000_003 + batch["id_b"].astype("int64")
+        )
+        batch["bucket"] = (h % 64).astype("int32")
+        return batch
+
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["id_a", "id_b"]).drop(
+            columns=["bucket"]
+        )
+
+    return (
+        raw.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedupe, batch_format="pandas")
     )
