@@ -730,14 +730,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     n_buckets: int = 64,
+    strategy: str = "auto",
+    broadcast_max_pairs: int = 250_000,
 ):
-    """Exact n-gram Jaccard verification for candidate pairs, BOTH sides
-    large: two bucketed co-partition passes attach text_a/text_b to each
-    pair (nothing broadcast, nothing on the driver), then the Jaccard
-    kernel runs per batch.  Candidate pairs are LSH-bounded
-    (O(rows x bands)), so the shuffled volume is pairs + corpus, never
-    corpus-squared.
+    """Exact n-gram Jaccard verification for candidate pairs.
+
+    Join-strategy selection, like a real engine's size-based planner:
+
+    * ``copartition`` — BOTH sides large: two bucketed co-partition
+      passes attach text_a/text_b to each pair (nothing broadcast,
+      nothing on the driver).  Shuffled volume = pairs + 2 x corpus.
+    * ``broadcast`` — pairs side small (the common case after the
+      ``min_est`` threshold pushdown): collect the pair ids (two int64
+      columns), ``ray.put`` the id set, filter the corpus down to ONLY
+      texts referenced by some pair (a semi-join — at most 2x|pairs|
+      rows survive regardless of corpus size), broadcast that text map
+      and verify per pair batch.  Shuffle volume drops from 2 x corpus
+      to one corpus filter pass.
+    * ``auto`` — materialize the (tiny) pair list once and pick:
+      broadcast below ``broadcast_max_pairs``, else co-partition.
     """
+    if strategy == "auto":
+        pairs_ds = pairs_ds.materialize()
+        strategy = (
+            "broadcast" if pairs_ds.count() <= broadcast_max_pairs else "copartition"
+        )
+    if strategy == "broadcast":
+        return _ngram_jaccard_pairs_broadcast(
+            texts_ds, pairs_ds, id_col, text_col, n
+        )
     base = [("id_a", pa.int64()), ("id_b", pa.int64())]
     with_a = _attach_text(
         pairs_ds, texts_ds, "id_a", base, "text_a", id_col, text_col, n_buckets
@@ -760,6 +781,56 @@ def ngram_jaccard_pairs(
         )
 
     return with_b.map_batches(compute, batch_format="pandas")
+
+
+def _ngram_jaccard_pairs_broadcast(texts_ds, pairs_ds, id_col, text_col, n):
+    """Small-pairs path: semi-join-filter the corpus, broadcast the
+    surviving (id -> text) map, verify per pair batch."""
+    import ray
+
+    pair_tbl = pa.concat_tables(
+        [ray.get(r) for r in pairs_ds.to_arrow_refs()]
+    )
+    wanted = pa.compute.unique(
+        pa.concat_arrays(
+            [
+                pair_tbl["id_a"].combine_chunks(),
+                pair_tbl["id_b"].combine_chunks(),
+            ]
+        )
+    )
+    wanted_ref = ray.put(wanted)
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        ids = ray.get(wanted_ref)
+        sel = batch.filter(pa.compute.is_in(batch[id_col], value_set=ids))
+        return pa.table({id_col: sel[id_col], text_col: sel[text_col]})
+
+    needed = texts_ds.map_batches(keep_wanted, batch_format="pyarrow")
+    text_map: dict = {}
+    for r in needed.to_arrow_refs():
+        t = ray.get(r)
+        text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    map_ref = ray.put(text_map)
+
+    def compute(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(map_ref)
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].astype("int64"),
+                "id_b": batch["id_b"].astype("int64"),
+                "jaccard": [
+                    ngram_jaccard(lookup.get(a) or "", lookup.get(b) or "", n)
+                    for a, b in zip(batch["id_a"], batch["id_b"])
+                ],
+            }
+        )
+
+    import ray.data
+
+    return ray.data.from_arrow(pair_tbl).map_batches(
+        compute, batch_format="pandas"
+    )
 
 
 # --------------------------------------------------------- embedding near-dup
