@@ -59,6 +59,41 @@ def test_ngram_jaccard():
     assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
 
 
+def test_ngram_jaccard_pairs_strategies_agree(docs_ds, ray_session):
+    """broadcast and copartition verify paths must produce the same
+    (id_a, id_b, jaccard) rows (auto picks broadcast at this scale, so
+    the copartition path needs its own equivalence coverage)."""
+    import ray.data
+
+    from naer_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ray.data.from_items(
+        [
+            {"id_a": 0, "id_b": 1},
+            {"id_a": 0, "id_b": 2},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 0, "id_b": 5},
+        ]
+    )
+
+    def rows(strategy):
+        out = ngram_jaccard_pairs(
+            docs_ds, pairs, "doc_id", "text", strategy=strategy
+        ).to_pandas()
+        return sorted(
+            (int(a), int(b), round(float(j), 12))
+            for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])
+        )
+
+    b = rows("broadcast")
+    c = rows("copartition")
+    assert b == c and len(b) == 4
+    by_pair = {(a, bb): j for a, bb, j in b}
+    assert by_pair[(0, 1)] == 1.0  # identical docs
+    assert by_pair[(3, 4)] == 0.0  # unrelated docs
+    assert 0.0 < by_pair[(0, 2)] < 1.0
+
+
 def test_connected_components_chain(ray_session):
     import ray.data
 
