@@ -731,7 +731,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     n_buckets: int = 64,
     strategy: str = "auto",
-    broadcast_max_pairs: int = 250_000,
+    broadcast_max_pairs: int = 50_000,
 ):
     """Exact n-gram Jaccard verification for candidate pairs.
 
@@ -749,6 +749,10 @@ def ngram_jaccard_pairs(
       to one corpus filter pass.
     * ``auto`` — materialize the (tiny) pair list once and pick:
       broadcast below ``broadcast_max_pairs``, else co-partition.
+
+    ``broadcast_max_pairs`` bounds driver/broadcast memory: the text
+    map holds at most 2x that many documents (50k pairs x ~1.5 KB docs
+    ~ 150 MB worst case).  Raise it only with short documents.
     """
     if strategy == "auto":
         pairs_ds = pairs_ds.materialize()
