@@ -135,7 +135,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 3) -> dict:
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, trials: int = 2) -> dict:
     """Same job at two parallelism levels (N vs 4N) in fresh processes
     (sandbox stand-in for the N vs 4N node rule).
 
