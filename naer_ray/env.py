@@ -44,7 +44,10 @@ def parse_dotenv(text: str) -> dict[str, str]:
 
 
 def _load(dotenv_path: str) -> dict[str, str] | None:
-    """Load + memoize a .env file; None when the file doesn't exist."""
+    """Load + memoize a .env file; None when the file doesn't exist.
+    Keys are absolute so a relative ".env" doesn't alias across cwd
+    changes within one process."""
+    dotenv_path = os.path.abspath(dotenv_path)
     if dotenv_path not in _CACHE:
         if os.path.isfile(dotenv_path):
             with open(dotenv_path, encoding="utf-8") as f:
