@@ -309,7 +309,8 @@ def make_conversation_assembler(dict_ref, impl: str = "vector"):
     def assemble_python(group: pa.Table) -> pa.Table:
         matcher = matcher_from_ref(dict_ref)
         group = group.sort_by(
-            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("pos", "ascending")]
+            [("conv_id", "ascending"), ("turn_idx", "ascending"),
+             ("pos", "ascending"), ("eid_code", "ascending")]
         )
         conv_ids = group["conv_id"].to_pylist()
         turn_idxs = group["turn_idx"].to_pylist()
@@ -392,8 +393,13 @@ def _assemble_vectorized(group: pa.Table, matcher) -> pa.Table:
     """
     import pandas as pd
 
+    # eid_code tiebreak: two entities CAN match at the same (turn, pos)
+    # (equal-span ambiguous surfaces); without it their first-appearance
+    # order — and hence output row order — would depend on partition
+    # layout, breaking byte-identical resume
     group = group.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending"), ("pos", "ascending")]
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("pos", "ascending"), ("eid_code", "ascending")]
     )
     n = group.num_rows
     if n == 0:
