@@ -208,6 +208,21 @@ def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
         if batch.empty:
             batch["bucket"] = pd.Series([], dtype="int32")
             return batch
+        if all(pd.api.types.is_integer_dtype(batch[k]) for k in keys):
+            # vectorized splitmix-style mix for integer keys — the
+            # string-concat + per-row python hash path below costs more
+            # than the grouped kernel itself on wide band tables
+            with np.errstate(over="ignore"):
+                h = np.zeros(len(batch), np.uint64)
+                for k in keys:
+                    v = batch[k].to_numpy().astype(np.uint64, copy=False)
+                    h ^= v + np.uint64(0x9E3779B97F4A7C15) + (h << np.uint64(6)) + (
+                        h >> np.uint64(2)
+                    )
+                    h *= np.uint64(0xBF58476D1CE4E5B9)
+                    h ^= h >> np.uint64(27)
+            batch["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
+            return batch
         comb = batch[keys[0]].astype(str)
         for k in keys[1:]:
             comb = comb + "|" + batch[k].astype(str)
