@@ -271,11 +271,19 @@ def auto_n_buckets() -> int:
 
 
 def add_bucket(ds: ray.data.Dataset, n_buckets: int, col: str = "conv_id") -> ray.data.Dataset:
-    """Deterministic conv-hash bucket column (FNV-1a, stable across processes)."""
+    """Deterministic conv-hash bucket column (FNV-1a, stable across
+    processes).  Hashed per DISTINCT value via dictionary encoding —
+    conv ids repeat ~100x per block, so the python hash runs on the
+    dictionary, not the rows."""
+    import numpy as np
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vals = batch[col].to_pylist()
-        buckets = pa.array([hash_u32(v) % n_buckets for v in vals], pa.int32())
+        enc = batch[col].combine_chunks().dictionary_encode()
+        ub = np.array(
+            [hash_u32(v) % n_buckets for v in enc.dictionary.to_pylist()],
+            np.int32,
+        )
+        buckets = pa.array(ub[enc.indices.to_numpy()], pa.int32())
         return batch.append_column("bucket", buckets)
 
     return ds.map_batches(bucketize, batch_format="pyarrow")
