@@ -44,7 +44,7 @@ def build_triples(
     answers_path: str | None = None,
     validate: str | None = "quarantine",
     batch_size: int | None = None,
-    concurrency=(2, 16),
+    concurrency=None,
     dict_ref=None,
     transcripts_ds: "ray.data.Dataset | None" = None,
     dict_rows: list[dict] | None = None,
@@ -113,6 +113,12 @@ def build_triples(
     if validate:
         ds = validate_transcripts(ds, mode=validate)
     if detector == "actors":
+        if concurrency is None:
+            # size the pool to the cluster: min 2 actors (pipeline
+            # overlap), cap at cluster CPUs (a fixed (2, 16) cap left
+            # half a 32-core node idle)
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            concurrency = (2, max(2, cpus))
         mentions = ds.map_batches(
             MentionDetector,
             fn_constructor_args=(dict_ref, n_buckets),

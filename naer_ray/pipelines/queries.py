@@ -661,10 +661,11 @@ GROUP BY a.entity, b.entity
 
 
 def q17_kg_flagship(sf_dir: str):
-    """The FULL flagship KG pipeline (MentionDetector actor pool ->
-    conv-groupby -> assembler -> triples) over transcripts derived from
-    the documents table, with an inline dictionary — oracle-checked
-    end-to-end against a UNION-ALL SQL reconstruction."""
+    """The FULL flagship KG pipeline (elastic mention-detect tasks with
+    per-process matcher cache -> conv-groupby -> assembler -> triples)
+    over transcripts derived from the documents table, with an inline
+    dictionary — oracle-checked end-to-end against a UNION-ALL SQL
+    reconstruction."""
     from .kg import build_triples
 
     dict_rows = [
