@@ -36,9 +36,11 @@ from ..sources.gazetteer import matcher_from_ref, tokenize
 #: anaphora cue: the turn opens with a pronoun reference ("It is very big.")
 _PRONOUN_RE = re.compile(r"^(?:It|This|They)\b")
 
-#: per-process text -> (is_pronoun_cue, hits) memo, shared across batches;
-#: valid only for one matcher (dictionary) — owner tracked alongside
-_TEXT_MATCH_CACHE: dict[str, tuple[bool, tuple]] = {}
+#: per-process text -> (pos_array, eid_code_array) memo, shared across
+#: batches; valid only for one matcher (dictionary) — owner tracked
+#: alongside.  Entry layout: pronoun marker (pos=-1, code=-1) first,
+#: then hits in match order.
+_TEXT_MATCH_CACHE: dict[str, tuple] = {}
 _TEXT_CACHE_OWNER: list = [None]
 
 MENTION_SCHEMA = pa.schema(
