@@ -54,8 +54,16 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     # push-based sort shuffle: fewer intermediate objects per exchange;
-    # measurably faster when block counts are high, never slower here
-    DataContext.get_current().use_push_based_shuffle = True
+    # measurably faster when block counts are high, never slower here.
+    # NOTE: the replacement ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED enum
+    # is NOT equivalent on Ray 2.49 — a same-window A/B measured it 2.6x
+    # slower than this (deprecated) flag, so we keep the flag and mute
+    # the deprecation warning.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        DataContext.get_current().use_push_based_shuffle = True
 
     import logging
 
