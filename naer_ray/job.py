@@ -41,7 +41,17 @@ def _resolve_env(obj):
     if isinstance(obj, str) and obj.startswith("${ENV:") and obj.endswith("}"):
         from naer_ray.env import get_env_non_null
 
-        return get_env_non_null(obj[len("${ENV:"):-1])
+        key = obj[len("${ENV:"):-1]
+        value = get_env_non_null(key)
+        if value is None:
+            # fail fast with the variable's NAME — letting None through
+            # produced int(None) TypeErrors or a literal "None/run-0"
+            # output directory downstream
+            raise ValueError(
+                f"config references ${{ENV:{key}}} but {key} is not set "
+                "(.env or process environment)"
+            )
+        return value
     return obj
 
 

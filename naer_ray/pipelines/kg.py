@@ -197,19 +197,12 @@ def llm_extract_triples(
             outs.append(ex.extract(conv[i], lines))
             i = j
         if not outs:
-            return _schema_empty_triples()
+            from ..stages.extract import _empty_triples
+
+            return _empty_triples()
         return pa.concat_tables(outs)
 
     return ds.groupby("bucket").map_groups(extract_bucket, batch_format="pyarrow")
-
-
-def _schema_empty_triples() -> pa.Table:
-    from .. import schema as _schema
-
-    return pa.table(
-        {f.name: pa.array([], f.type) for f in _schema.TRIPLES},
-        schema=_schema.TRIPLES,
-    )
 
 
 def alias_interface_edges(triples: ray.data.Dataset, dict_ref) -> ray.data.Dataset:
@@ -376,8 +369,13 @@ def run_kg_job(
 
     if todo:
         # dead-letter sink: rows failing the SAD format rule are persisted
-        # (not silently dropped) with a manifest counter — stage "quarantine"
-        if extractor == "gazetteer" and not manifest.stage_complete("quarantine", 1):
+        # (not silently dropped) with a manifest counter — stage
+        # "quarantine".  Applies to every validating extractor (the llm
+        # path also drops invalid rows via validate="quarantine", so it
+        # gets the same persisted sink, not a silent drop).
+        if extractor in ("gazetteer", "llm") and not manifest.stage_complete(
+            "quarantine", 1
+        ):
             from ..sources.transcripts import invalid_transcripts, read_transcripts
 
             rows = write_stage_dataset_atomic(
@@ -389,6 +387,30 @@ def run_kg_job(
             manifest.mark_bucket("quarantine", 0, rows, lineage={"rule": "S3 [.!?]$"})
             counters["quarantined_rows"] = rows
 
+        # Resume pushdown: filter the done buckets out of the TRANSCRIPTS
+        # (one hash pass over turns) so extraction compute — mention
+        # detection, or every LLM chat call — is skipped for completed
+        # buckets, honoring the "filtered out BEFORE extraction" contract.
+        # The answers path keeps the post-extraction filter only (its
+        # extraction is a cheap parse and it reads its own inputs).
+        src_ds = None
+        if done and extractor in ("gazetteer", "llm"):
+            from ..sources.transcripts import read_transcripts
+
+            done_list = list(done)
+            src_ds = (
+                add_bucket(read_transcripts(transcripts_path), n_buckets)
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.invert(
+                            pc.is_in(t["bucket"], value_set=pa.array(done_list))
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+                .drop_columns(["bucket"])
+            )
+
         triples = build_triples(
             transcripts_path,
             dictionary_path,
@@ -397,6 +419,7 @@ def run_kg_job(
             chat_fn_factory=chat_fn_factory,
             prompt_text=prompt_text,
             answer_format=answer_format,
+            transcripts_ds=src_ds,
         )
         triples = add_bucket(triples, n_buckets)
         if done:

@@ -113,16 +113,28 @@ class ChatModelFactory:
     def build(self, send_fn=urllib_send, dotenv_path: str = ".env"):
         """-> ``chat_fn(system, prompt) -> str`` for LLMExtractor."""
         if self._provider is ModelProvider.OPEN_AI:
+            api_key = get_env_non_null("OPENAI_API_KEY", dotenv_path)
+            if api_key is None:
+                # fail at build time with the cause, not per-request with
+                # an opaque 401 from a literal "Bearer None" header
+                raise ValueError(
+                    "OPENAI_API_KEY is missing — set it in .env or the environment"
+                )
             return OpenAiChatModel(
-                api_key=get_env_non_null("OPENAI_API_KEY", dotenv_path),
+                api_key=api_key,
                 model_name=self._model_name or OPENAI_DEFAULT_MODEL,
                 temperature=self._temperature,
                 timeout_seconds=self._timeout_seconds,
                 send_fn=send_fn,
             )
         if self._provider is ModelProvider.OLLAMA:
+            host = get_env_non_null("OLLAMA_HOST", dotenv_path)
+            if host is None:
+                raise ValueError(
+                    "OLLAMA_HOST is missing — set it in .env or the environment"
+                )
             return OllamaChatModel(
-                host=get_env_non_null("OLLAMA_HOST", dotenv_path),
+                host=host,
                 user=get_env_non_null("OLLAMA_USER", dotenv_path),
                 password=get_env_non_null("OLLAMA_PASSWORD", dotenv_path),
                 model_name=self._model_name or OLLAMA_DEFAULT_MODEL,

@@ -802,14 +802,34 @@ def ngram_jaccard_pairs(
     return with_b.map_batches(compute, batch_format="pandas")
 
 
+def _empty_jaccard_pairs():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 def _ngram_jaccard_pairs_broadcast(texts_ds, pairs_ds, id_col, text_col, n):
     """Small-pairs path: semi-join-filter the corpus, broadcast the
-    surviving (id -> text) map, verify per pair batch."""
+    surviving (id -> text) map, verify per pair batch (the same
+    :func:`verify_pairs_exact` kernel as the small-corpus path, with
+    missing ids treated as empty text)."""
     import ray
 
-    pair_tbl = pa.concat_tables(
-        [ray.get(r) for r in pairs_ds.to_arrow_refs()]
-    )
+    blocks = [ray.get(r) for r in pairs_ds.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        # zero candidate pairs (e.g. min_est filtered everything) —
+        # empty blocks may be schema-less, so short-circuit
+        return _empty_jaccard_pairs()
+    pair_tbl = pa.concat_tables(blocks)
     wanted = pa.compute.unique(
         pa.concat_arrays(
             [
@@ -833,17 +853,13 @@ def _ngram_jaccard_pairs_broadcast(texts_ds, pairs_ds, id_col, text_col, n):
     map_ref = ray.put(text_map)
 
     def compute(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(map_ref)
-        return pd.DataFrame(
-            {
-                "id_a": batch["id_a"].astype("int64"),
-                "id_b": batch["id_b"].astype("int64"),
-                "jaccard": [
-                    ngram_jaccard(lookup.get(a) or "", lookup.get(b) or "", n)
-                    for a, b in zip(batch["id_a"], batch["id_b"])
-                ],
-            }
+        import collections
+
+        lookup = collections.defaultdict(str, ray.get(map_ref))
+        out = verify_pairs_exact(
+            batch[["id_a", "id_b"]].astype("int64"), lookup, n
         )
+        return out
 
     import ray.data
 

@@ -81,3 +81,20 @@ def test_config_env_substitution(tmp_path, monkeypatch):
     # env substitution yields strings; loader coerces known kwarg types
     assert run["buckets"] == 4
     assert run["resume"] is False
+
+
+def test_config_env_substitution_missing_var_raises(tmp_path, monkeypatch):
+    import json
+
+    import pytest
+
+    from naer_ray.job import load_config
+
+    monkeypatch.delenv("NAER_CFG_MISSING", raising=False)
+    monkeypatch.chdir(tmp_path)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"out": "${ENV:NAER_CFG_MISSING}"}))
+    # fail fast naming the variable — a silent None previously became a
+    # literal "None/run-0" output directory
+    with pytest.raises(ValueError, match="NAER_CFG_MISSING"):
+        load_config(str(cfg))

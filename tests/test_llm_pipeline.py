@@ -111,6 +111,78 @@ def test_llm_job_checkpointed(ray_session, llm_corpus, tmp_path):
     assert counters2["buckets_computed"] == 0
 
 
+def test_llm_partial_resume_skips_done_bucket_chat_calls(ray_session, tmp_path):
+    """Resume must not re-pay chat calls for completed buckets: the done
+    buckets are filtered out of the transcripts BEFORE extraction."""
+    import glob
+    import json
+
+    from naer_ray.pipelines.kg import run_kg_job
+
+    out = str(tmp_path / "job_out")
+    marker_dir = str(tmp_path / "chat_markers")
+    os.makedirs(marker_dir)
+
+    # per-conv DISTINCT text so each conversation leaves its own marker
+    import pyarrow.parquet as pq
+
+    rows = []
+    for c in range(8):
+        rows.append(
+            {"conv_id": f"conv-{c}", "turn_idx": 0, "role": "user",
+             "text": f"The Frontend talks to store number {c}."}
+        )
+    llm_corpus = str(tmp_path / "transcripts")
+    os.makedirs(llm_corpus)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(llm_corpus, "p.parquet"))
+
+    def make_marking_factory(marker_dir=marker_dir):
+        def chat(system, prompt):
+            text = prompt.split("\nText:\n", 1)[1] if "\nText:\n" in prompt else ""
+            lines = [l for l in text.splitlines() if "Frontend" in l]
+            import hashlib
+
+            h = hashlib.sha1(text.encode()).hexdigest()[:16]
+            open(os.path.join(marker_dir, h), "w").close()
+            if not lines:
+                return "COMPONENT entities recognized:\nNone\nAlternative names:\nNone\n"
+            return (
+                "COMPONENT entities recognized:\n"
+                f"Frontend, '{lines[0]}'\n"
+                "Alternative names:\nFrontend: None\n"
+            )
+
+        return lambda: chat
+
+    run_kg_job(
+        llm_corpus, None, out,
+        extractor="llm", chat_fn_factory=make_marking_factory(), n_buckets=4,
+    )
+    full_calls = len(glob.glob(os.path.join(marker_dir, "*")))
+    assert full_calls > 0
+
+    # forge a partial state: forget one bucket
+    m = json.load(open(os.path.join(out, "MANIFEST.json")))
+    buckets = m["stages"]["triples"]["buckets"]
+    victim = sorted(buckets)[0]
+    del buckets[victim]
+    json.dump(m, open(os.path.join(out, "MANIFEST.json"), "w"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "triples", f"bucket={victim}"))
+
+    for f in glob.glob(os.path.join(marker_dir, "*")):
+        os.remove(f)
+    counters = run_kg_job(
+        llm_corpus, None, out,
+        extractor="llm", chat_fn_factory=make_marking_factory(), n_buckets=4,
+    )
+    assert counters["buckets_skipped"] == 3
+    resumed_calls = len(glob.glob(os.path.join(marker_dir, "*")))
+    # only the victim bucket's conversations go through chat again
+    assert 0 < resumed_calls < full_calls
+
+
 def test_llm_extractor_dead_letters_bad_conversations(ray_session, llm_corpus):
     from naer_ray.pipelines.kg import build_triples
 
