@@ -282,10 +282,12 @@ def minhash_candidate_pairs(
             return empty
         blob = b"".join(g["signature"].tolist())
         sigs = np.frombuffer(blob, dtype=np.int64).reshape(len(g), -1)
-        codes, _ = pd.factorize(
-            g[keys[0]].astype(str) + "|" + g[keys[1]].astype(str)
-        )  # sorted input -> codes are monotonic
-        change = np.flatnonzero(np.diff(codes)) + 1
+        # sorted input: group boundaries are where either key changes
+        # (direct diffs — the old string-concat factorize built two
+        # python strings per row)
+        b0 = g[keys[0]].to_numpy()
+        b1 = g[keys[1]].to_numpy()
+        change = np.flatnonzero((np.diff(b0) != 0) | (np.diff(b1) != 0)) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(g)]))
         sizes = ends - starts
