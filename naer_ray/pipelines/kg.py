@@ -150,6 +150,7 @@ def llm_extract_triples(
     n_buckets: int | None = None,
     transcripts_ds: "ray.data.Dataset | None" = None,
     validate: str | None = "quarantine",
+    prompt_template=None,
 ) -> ray.data.Dataset:
     """LLM-recognizer pipeline path (reference main flow: SAD ->
     chat-model recognizer -> entities, NamedEntityRecognizer.java:57-81)
@@ -178,7 +179,10 @@ def llm_extract_triples(
 
     def extract_bucket(group: pa.Table) -> pa.Table:
         chat_fn = chat_fn_factory()
-        prompt = Prompt(base_prompt, answer_format)
+        # prompt_template: a pre-built Prompt/TwoPartPrompt instance
+        # (each Ray task deserializes its own copy, so the one-shot
+        # entity-injection state never crosses buckets)
+        prompt = prompt_template or Prompt(base_prompt, answer_format)
         if possible_entities:
             prompt.add_possible_entities(possible_entities)
         ex = LLMExtractor(chat_fn, prompt)

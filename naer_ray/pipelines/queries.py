@@ -1626,6 +1626,86 @@ ORDER BY subj, conv_id
 """
 
 
+def _llm_two_part_chat(system: str, prompt: str) -> str:
+    """Deterministic 2-call backend for q28.  Call 1 (has a Text block):
+    free-form notes naming each present entity + its first hit line.
+    Call 2 (has a Last-answer block): convert those notes to the JSON
+    array.  Stateless — the call is identified by the prompt's shape,
+    exactly how the reference chain composes (TwoPartPrompt.process)."""
+    import json as _json
+
+    if "\nText:\n" in prompt:
+        text = prompt.split("\nText:\n", 1)[1]
+        lines = text.split("\n")
+        notes = []
+        for entity in KG_ENTITIES:
+            hits = [l for l in lines if entity in l.split(" ")]
+            if hits:
+                notes.append(f"FOUND {entity} :: {hits[0]}")
+        return "\n".join(notes) if notes else "NOTHING FOUND"
+    # call 2: JSON-ify the notes after "Last answer:"
+    notes = prompt.split("\nLast answer:\n", 1)[1]
+    out = []
+    for line in notes.splitlines():
+        if line.startswith("FOUND "):
+            name, _, occ = line[len("FOUND "):].partition(" :: ")
+            out.append(
+                {
+                    "name": name,
+                    "type": "COMPONENT",
+                    "alternativeNames": [],
+                    "occurrences": [occ],
+                }
+            )
+    return _json.dumps(out)
+
+
+def q28_llm_two_part(sf_dir: str):
+    """ST3 end-to-end under the driver oracle: the TwoPartPrompt chain
+    (free-form call -> "Last answer:" splice -> JSON-ify call -> slice
+    -> parse) runs distributed over the derived transcripts with a
+    deterministic stateless backend; conv-grain hasType oracle as q27."""
+    from ..stages.llm import TwoPartPrompt
+    from .kg import llm_extract_triples
+
+    sampled = _derive_transcripts(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.less(pc.cast(t["conv_id"], pa.int64()), 2000)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def factory():
+        from naer_ray.pipelines.queries import _llm_two_part_chat
+
+        return _llm_two_part_chat
+
+    triples = llm_extract_triples(
+        None,
+        factory,
+        transcripts_ds=sampled,
+        validate=None,
+        n_buckets=32,
+        prompt_template=TwoPartPrompt("Identify all components.", "Make JSON."),
+    )
+
+    def conv_entities(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["pred"], "hasType"))
+        return pa.table(
+            {
+                "subj": sel["subj"].cast(pa.string()),
+                "conv_id": sel["conv_id"].cast(pa.string()),
+            }
+        )
+
+    return triples.map_batches(conv_entities, batch_format="pyarrow").sort(
+        ["subj", "conv_id"]
+    )
+
+
+Q28_SQL = Q27_SQL
+
+
 def q24_grouped_topk(sf_dir: str):
     """Top-3 orders by totalprice per mktsegment (grouped top-k):
     broadcast segment lookup -> per-batch local top-k per segment ->
@@ -1843,6 +1923,7 @@ REGISTRY: dict[str, tuple] = {
     "q24_grouped_topk": (q24_grouped_topk, Q24_SQL),
     "q26_range_join": (q26_range_join, Q26_SQL),
     "q27_llm_extract": (q27_llm_extract, Q27_SQL),
+    "q28_llm_two_part": (q28_llm_two_part, Q28_SQL),
     "d01_minhash_planted_pairs": (d01_minhash_planted_pairs, D01_SQL),
     "d02_simhash_pairs": (d02_simhash_pairs, D02_SQL),
     "d03_embedding_neardup": (d03_embedding_neardup, D03_SQL),
