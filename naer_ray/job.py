@@ -55,13 +55,18 @@ def _resolve_env(obj):
     return obj
 
 
-def load_config(path: str) -> list[dict]:
+def load_config(path: str, cli_overrides: dict | None = None) -> list[dict]:
     """JSON config -> list of run kwarg dicts (S6 config reader).
 
     Top-level keys are the base run; an optional ``"runs": [{...}]``
     array yields a matrix of runs, each merged over the base (the
     reference drives prompt/model variants from one config file the
-    same way)."""
+    same way).  ``cli_overrides`` are merged into the BASE before the
+    per-run ``/run-{i}`` out dirs are derived — merging them afterwards
+    made every matrix run share one out_root, so runs 1..n-1 resumed
+    run-0's manifest and emitted its triples (ADVICE r2).  Per-run
+    overrides from the ``runs`` array still win (they are the point of
+    the matrix)."""
     with open(path) as f:
         cfg = json.load(f)
     cfg = _resolve_env(cfg)
@@ -69,6 +74,7 @@ def load_config(path: str) -> list[dict]:
     bad = set(cfg) - _CONFIG_KEYS
     if bad:
         raise ValueError(f"unknown config keys: {sorted(bad)}")
+    cfg = {**cfg, **(cli_overrides or {})}
     out = []
     for i, override in enumerate(runs):
         bad = set(override) - _CONFIG_KEYS
@@ -105,11 +111,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--transcripts", default=None, help="transcripts parquet file/dir")
     parser.add_argument("--dictionary", default=None, help="entity_dictionary.parquet")
     parser.add_argument("--out", default=None, help="output root (checkpointed)")
-    parser.add_argument("--extractor", default="gazetteer", choices=["gazetteer", "answers"])
+    # extractor/buckets/canonicalize default to None so an EXPLICITLY
+    # passed built-in-default value (e.g. --buckets 16) still overrides a
+    # config file's different value (ADVICE r2); the built-in defaults
+    # are applied after the config+CLI merge below.
+    parser.add_argument("--extractor", default=None, choices=["gazetteer", "answers"])
     parser.add_argument("--answers", default=None, help="llm_answers.parquet (answers extractor)")
-    parser.add_argument("--buckets", type=int, default=16)
+    parser.add_argument("--buckets", type=int, default=None)
     parser.add_argument("--no-resume", action="store_true")
-    parser.add_argument("--canonicalize", action="store_true")
+    parser.add_argument("--canonicalize", action="store_true", default=None)
     parser.add_argument("--annotations", default=None,
                         help="reference_annotations.parquet -> eval stage + metrics.json")
     parser.add_argument("--expected", default=None,
@@ -133,24 +143,23 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.kg import run_kg_job
 
-    runs = load_config(args.config) if args.config else [{}]
     cli = {
         "transcripts": args.transcripts,
         "dictionary": args.dictionary,
         "out": args.out,
-        "extractor": args.extractor if args.extractor != "gazetteer" else None,
+        "extractor": args.extractor,
         "answers": args.answers,
-        "buckets": args.buckets if args.buckets != 16 else None,
+        "buckets": args.buckets,
         "resume": False if args.no_resume else None,
-        "canonicalize": True if args.canonicalize else None,
+        "canonicalize": args.canonicalize,
         "annotations": args.annotations,
         "expected": args.expected,
     }
     cli = {k: v for k, v in cli.items() if v is not None}
+    runs = load_config(args.config, cli) if args.config else [cli]
 
     all_counters = []
-    for run_cfg in runs:
-        cfg = {**run_cfg, **cli}
+    for cfg in runs:
         if not cfg.get("transcripts") or not cfg.get("out"):
             parser.error("transcripts and out are required (via flags or --config)")
         counters = run_kg_job(

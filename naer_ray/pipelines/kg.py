@@ -362,11 +362,26 @@ def run_kg_job(
         bucket_dir,
         finalize_bucket,
         make_bucket_writer,
+        sweep_orphan_tmpdirs,
         write_bucket_atomic,
         write_stage_dataset_atomic,
     )
 
     manifest = Manifest(out_root)
+    # refuse a resume whose inputs differ from the manifest's recorded
+    # lineage (ADVICE r2: a changed extractor/input would otherwise skip
+    # every done bucket and re-emit the previous run's triples)
+    manifest.record_job_lineage(
+        {
+            "transcripts": transcripts_path,
+            "dictionary": dictionary_path,
+            "extractor": extractor,
+            "answers": answers_path,
+            "answer_format": answer_format,
+        },
+        resume=resume,
+    )
+    sweep_orphan_tmpdirs(out_root)
     done = manifest.done_buckets("triples") if resume else set()
     todo = [b for b in range(n_buckets) if b not in done]
     counters = {"buckets_skipped": len(done), "buckets_computed": len(todo)}

@@ -116,7 +116,14 @@ def _co_partitioned(left_ds, right_ds, left_by: str, right_by: str, n_buckets: i
     )
 
     def restore(df: pd.DataFrame) -> pd.DataFrame:
-        casts = {c: np.int64 for c in df.columns if c in int_cols}
+        # originally-integer columns surface as float64 from the padded
+        # union; restore int64 where clean, nullable Int64 where the
+        # input itself had nulls (astype(int64) on NaN raises and fails
+        # the whole bucket kernel — ADVICE r2)
+        casts = {}
+        for c in df.columns:
+            if c in int_cols and not pd.api.types.is_integer_dtype(df[c]):
+                casts[c] = "Int64" if df[c].isna().any() else np.int64
         return df.astype(casts) if casts else df
 
     return tagged, left_cols, right_cols, restore

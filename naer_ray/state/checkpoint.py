@@ -60,6 +60,28 @@ class Manifest:
     def stage_complete(self, stage: str, n_buckets: int) -> bool:
         return len(self.done_buckets(stage)) >= n_buckets
 
+    def record_job_lineage(self, lineage: dict, *, resume: bool) -> None:
+        """Record the job's input lineage (paths + extractor) at job start.
+
+        On resume with a DIFFERENT lineage, raise — otherwise a run
+        whose extractor/prompt/input changed would see a complete
+        manifest and silently emit the previous run's triples as its
+        own (ADVICE r2).  With resume=False the recorded lineage is
+        simply replaced (everything recomputes anyway)."""
+        prev = self.data.get("job_lineage")
+        if resume and prev is not None and prev != lineage:
+            diffs = sorted(
+                k for k in set(prev) | set(lineage) if prev.get(k) != lineage.get(k)
+            )
+            raise ValueError(
+                f"resume=True but job lineage differs from the manifest at {self.path} "
+                f"(changed: {diffs}; recorded {prev!r} vs requested {lineage!r}). "
+                "Use a fresh --out or pass resume=False/--no-resume."
+            )
+        if prev != lineage:
+            self.data["job_lineage"] = lineage
+            self._flush()
+
     def _flush(self) -> None:
         os.makedirs(self.root, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".manifest-")
@@ -70,6 +92,27 @@ class Manifest:
 
 def bucket_dir(root: str, stage: str, bucket: int) -> str:
     return os.path.join(root, stage, f"bucket={bucket}")
+
+
+def sweep_orphan_tmpdirs(root: str) -> int:
+    """Remove dot-prefixed ``.bucket-*`` temp dirs (and stray
+    ``.manifest-*`` temp files) left behind when a driver died between a
+    worker write and ``finalize_bucket``, or a Ray task was retried
+    after writing (ADVICE r2).  Called at job start BEFORE any stage
+    runs, so no in-flight writes exist; without this, repeated
+    crash/resume cycles accumulate full-size stale bucket copies."""
+    import glob as _glob
+
+    removed = 0
+    for tmp in _glob.glob(os.path.join(root, "*", ".bucket-*")):
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+            removed += 1
+    for tmp in _glob.glob(os.path.join(root, ".manifest-*")):
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+            removed += 1
+    return removed
 
 
 def write_bucket_atomic(table, root: str, stage: str, bucket: int) -> int:

@@ -129,3 +129,45 @@ def test_ngram_jaccard_pairs_matches_driver_path(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp[["id_a", "id_b", "jaccard"]], check_dtype=False)
+
+
+def test_asof_join_with_null_int_column(ray_session):
+    """ADVICE r2: a nullable integer column on either side must not crash
+    restore() (float64+NaN -> astype(int64) raised inside the bucket
+    kernel); nulls round-trip as pandas nullable Int64."""
+    import ray.data
+
+    from naer_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, 1, 2, 2], dtype="int64"),
+            "lt": pd.to_datetime([10, 20, 30, 40], unit="s"),
+            "lv": pd.array([5, None, 7, None], dtype="Int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": pd.array([1, 2], dtype="int64"),
+            "rt": pd.to_datetime([5, 25], unit="s"),
+            "rv": pd.array([None, 9], dtype="Int64"),
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_on="lt",
+            right_on="rt",
+            left_by="k",
+            right_by="rk",
+            n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "lt"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    # null lv values survive; matched rv for k=2 rows at/after t=25 is 9
+    assert got.loc[(got["k"] == 2) & (got["lt"] >= pd.Timestamp(25, unit="s")), "rv"].tolist() == [9, 9]
+    assert got["lv"].isna().sum() == 2
