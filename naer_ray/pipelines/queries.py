@@ -395,13 +395,31 @@ def q09_doc_token_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
+        # fully vectorized: distinct tokens per doc via dictionary-encode
+        # + one unique over (parent, code) int64 keys (no per-doc loop)
         toks = pc.split_pattern(batch["text"], " ")
-        n_tokens = pc.list_value_length(toks)
-        uniq = [len(set(t)) for t in toks.to_pylist()]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = batch.num_rows
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat):
+            codes = pc.dictionary_encode(flat)
+            if isinstance(codes, pa.ChunkedArray):
+                codes = codes.combine_chunks()
+            key = parents.astype(np.int64) * np.int64(
+                len(codes.dictionary)
+            ) + codes.indices.to_numpy().astype(np.int64)
+            uniq = np.bincount(
+                np.unique(key) // len(codes.dictionary), minlength=n
+            )
+        else:
+            uniq = np.zeros(n, dtype=np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": n_tokens.cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_uniq_tokens": pa.array(uniq, pa.int64()),
             }
         )
@@ -424,11 +442,20 @@ def q10_doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     stop = set(STOPWORDS)
 
+    stop_arr = pa.array(sorted(stop), pa.string())
+
     def score(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"], " ").to_pylist()
-        n_stop = [sum(1 for w in t if w in stop) for t in toks]
-        n_tok = [len(t) for t in toks]
-        ratio = [s / n if n else 0.0 for s, n in zip(n_stop, n_tok)]
+        # vectorized: is_in over the flattened tokens + bincount per doc
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = batch.num_rows
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[hits], minlength=n).astype(np.int64)
+        ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -9,8 +9,13 @@
 * :func:`fingerprint` — 64-bit rolling-hash document fingerprint with
   winnowing (k-gram window minima), the classic near-dup sketch.
 
-All stages are per-batch ``map_batches`` transforms over Arrow batches;
-profiles/regexes are module-level constants compiled once per process.
+All stages are per-batch ``map_batches`` transforms over Arrow batches.
+The hot kernels are fully vectorized (pyarrow.compute splits + numpy
+byte-class tables over the zero-copy UTF-8 buffer — the
+``dedup._stable_shingles`` technique); ASCII batches take the vector
+path, the rare non-ASCII document falls back to the per-doc reference
+implementations (:func:`detect_language`, :func:`quality_one`,
+:func:`bpe_token_count`), which double as the parity oracles in tests.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..testdata import hash_u32
 
@@ -46,9 +52,139 @@ _BPE_RE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
 )
 
+# --------------------------------------------------------------- vector plumbing
+
+# RE2 character classes with EXACT Python-`re`/str semantics on ASCII
+# (RE2's \s misses \x0b and \x1c-\x1f; \W differs outside ASCII)
+_PY_SPACE_ASCII = "".join(chr(i) for i in range(128) if chr(i).isspace())
+_RE2_SPACE_CLASS = "[" + re.escape(_PY_SPACE_ASCII) + "]+"
+_RE2_NONWORD_CLASS = "[^A-Za-z0-9_]+"
+
+# byte-class tables (valid for ASCII bytes only; the vector paths are
+# gated on pc.string_is_ascii)
+_ALPHA_OR_SPACE_TBL = np.array(
+    [1 if (chr(i).isalpha() or chr(i).isspace()) else 0 for i in range(128)]
+    + [0] * 128,
+    dtype=np.int32,
+)
+
+# reusable per-process scratch (the dedup._SIG_BUF lesson: numpy munmaps
+# >1MB temporaries on free, so a fresh per-byte work array re-pays
+# first-touch page-fault cost every batch — measured 0.7-1.0 s per
+# 1.5 MB-doc batch on this host vs ~5 ms reusing warm memory)
+_BYTE_BUF: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    buf = _BYTE_BUF.get(name)
+    if buf is None or len(buf) < size or buf.dtype != dtype:
+        buf = np.empty(max(size, 1 << 20), dtype)
+        _BYTE_BUF[name] = buf
+    return buf[:size]
+
+
+def _segment_class_counts(
+    data: np.ndarray, offsets: np.ndarray, tbl: np.ndarray
+) -> np.ndarray:
+    """Per-document sum of ``tbl[byte]`` over the concatenated buffer —
+    one np.take into a reused scratch buffer + one reduceat (a sentinel
+    0 terminates the last segment; zero-length docs are zeroed after,
+    since reduceat yields a[i] for an empty segment)."""
+    n = len(offsets) - 1
+    m = len(data)
+    if m == 0:
+        return np.zeros(n, dtype=np.int64)
+    buf = _scratch("cls_i32", m + 1, np.int32)
+    np.take(tbl, data, out=buf[:m], mode="clip")
+    buf[m] = 0
+    cnt = np.add.reduceat(buf, offsets[:-1]).astype(np.int64)
+    cnt[offsets[1:] == offsets[:-1]] = 0
+    return cnt
+
+# BPE tokenizer byte classes: 0=letter 1=digit 2=ascii-space 3=other-ws 4=punct
+_BPE_TBL = np.empty(256, dtype=np.int8)
+for _i in range(256):
+    _c = chr(_i)
+    if _i < 128 and ("A" <= _c <= "Z" or "a" <= _c <= "z"):
+        _BPE_TBL[_i] = 0
+    elif "0" <= _c <= "9" and _i < 128:
+        _BPE_TBL[_i] = 1
+    elif _c == " ":
+        _BPE_TBL[_i] = 2
+    elif _i < 128 and re.match(r"\s", _c):
+        _BPE_TBL[_i] = 3
+    else:
+        _BPE_TBL[_i] = 4
+_CONTR_ONE = frozenset(b"sdmt")
+_CONTR_TWO = frozenset((b"ll", b"ve", b"re"))
+# same table with space(2)/other-ws(3) merged to run-group 3
+_BPE_GRP_TBL = np.where(_BPE_TBL == 2, np.int8(3), _BPE_TBL).astype(np.int8)
+
+
+def _string_array(col) -> pa.Array:
+    """One contiguous non-null StringArray from a (chunked) string column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def _bytes_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy UTF-8 byte buffer + int64 offsets (n+1) of a StringArray.
+
+    The buffer is sliced and the offsets normalized so offsets[0] == 0
+    regardless of any array slicing upstream."""
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data[offsets[0] : offsets[-1]], offsets - offsets[0]
+
+
+def _ascii_mask(arr: pa.Array) -> np.ndarray:
+    return pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+
+
+def _flat_nonempty(list_arr, n_docs: int):
+    """Flatten a list<string> array, dropping empty strings (split
+    artifacts at run boundaries).  Returns (flat_tokens: pa.Array,
+    parents: int64 np, counts-per-doc: int64 np)."""
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    flat = pc.list_flatten(list_arr)
+    parents = pc.list_parent_indices(list_arr).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(keep)
+    flat = flat.take(pa.array(idx, pa.int64()))
+    parents = parents[idx]
+    counts = np.bincount(parents, minlength=n_docs)
+    return flat, parents, counts
+
+
+def _per_parent_rank(parents: np.ndarray) -> np.ndarray:
+    """Rank (0-based) of each element within its parent run (parents
+    must be non-decreasing — true for list_parent_indices output)."""
+    if len(parents) == 0:
+        return np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+    run_lens = np.diff(np.r_[starts, len(parents)])
+    return np.arange(len(parents), dtype=np.int64) - np.repeat(starts, run_lens)
+
+
+# ------------------------------------------------------------------ language ID
+
 
 def detect_language(text: str) -> tuple[str, float]:
-    """Best language + confidence via stopword hits and char-bigram hits."""
+    """Best language + confidence via stopword hits and char-bigram hits.
+
+    Per-doc reference implementation — the vectorized kernel in
+    :func:`lang_id` is exact-parity with this (tested), and non-ASCII
+    docs fall back to it."""
     toks = [w.lower() for w in _WORD_RE.findall(text)][:200]
     tl = text.lower()[:500]
     bigrams = {tl[i : i + 2] for i in range(len(tl) - 1)}
@@ -65,13 +201,52 @@ def detect_language(text: str) -> tuple[str, float]:
     return best, round(best_score, 6)
 
 
+def _detect_language_vec(texts: pa.Array) -> tuple[list[str], list[float]]:
+    """Vectorized detect_language over a batch (ASCII rows on the vector
+    path, others per-doc).  Arrow regex split + is_in + numpy bincount;
+    bigram hits via 25 match_substring passes (5 langs x 5 bigrams)."""
+    n = len(texts)
+    lower = pc.utf8_lower(texts)
+    ascii_ok = _ascii_mask(lower)
+
+    # tokens: \w+ findall == split on non-word runs, empties dropped,
+    # capped at the first 200 tokens per doc
+    toks = pc.split_pattern_regex(lower, _RE2_NONWORD_CLASS)
+    flat, parents, _counts = _flat_nonempty(toks, n)
+    rank = _per_parent_rank(parents)
+    keep = rank < 200
+    flat = flat.take(pa.array(np.flatnonzero(keep), pa.int64()))
+    parents = parents[keep]
+    total = np.maximum(np.bincount(parents, minlength=n), 1).astype(np.float64)
+
+    head = pc.utf8_slice_codeunits(lower, 0, 500)
+    best = np.full(n, "unknown", dtype=object)
+    best_score = np.zeros(n, dtype=np.float64)
+    for lang in _LANG_PROFILES:  # dict order = tie-break order
+        hits = pc.is_in(
+            flat, value_set=pa.array(sorted(_LANG_PROFILES[lang]), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        stop_hits = np.bincount(parents[hits], minlength=n)
+        char_hits = np.zeros(n, dtype=np.int64)
+        for bg in _CHAR_PROFILES[lang]:
+            char_hits += pc.match_substring(head, bg).to_numpy(zero_copy_only=False)
+        score = stop_hits / total + 0.02 * char_hits
+        win = score > best_score
+        best[win] = lang
+        best_score[win] = score[win]
+    best[best_score < 0.02] = "unknown"
+
+    langs = best.tolist()
+    confs = [round(s, 6) for s in best_score.tolist()]
+    if not ascii_ok.all():
+        for i in np.flatnonzero(~ascii_ok):
+            langs[i], confs[i] = detect_language(texts[i].as_py())
+    return langs, confs
+
+
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     def f(batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for t in batch[text_col].to_pylist():
-            lang, c = detect_language(t or "")
-            langs.append(lang)
-            confs.append(c)
+        langs, confs = _detect_language_vec(_string_array(batch[text_col]))
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -83,46 +258,214 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
 
 
+# ------------------------------------------------------------------ quality
+
+
+def quality_one(text: str) -> float:
+    """Per-doc reference quality score (fallback + parity oracle)."""
+    t = text or ""
+    toks = t.split()
+    n = len(toks)
+    if n == 0:
+        return 0.0
+    alpha = sum(c.isalpha() or c.isspace() for c in t) / max(len(t), 1)
+    stop = _LANG_PROFILES["en"]
+    stop_ratio = sum(1 for w in toks if w.lower() in stop) / n
+    uniq_ratio = len(set(toks)) / n
+    length_score = min(n / 50.0, 1.0)
+    score = (
+        0.3 * length_score
+        + 0.25 * alpha
+        + 0.2 * min(stop_ratio * 4, 1.0)
+        + 0.25 * uniq_ratio
+    )
+    return round(min(max(score, 0.0), 1.0), 6)
+
+
+def _quality_vec(texts: pa.Array) -> list[float]:
+    """Vectorized quality_one with the same IEEE expression tree (term
+    order preserved so scores are bit-identical; the t03 SQL oracle
+    re-derives the exact tree)."""
+    n = len(texts)
+    ascii_ok = _ascii_mask(texts)
+
+    toks = pc.split_pattern_regex(texts, _RE2_SPACE_CLASS)
+    flat, parents, n_tok = _flat_nonempty(toks, n)
+
+    # alpha ratio: per-byte class table over the zero-copy UTF-8 buffer
+    data, offsets = _bytes_offsets(texts)
+    alpha_cnt = _segment_class_counts(data, offsets, _ALPHA_OR_SPACE_TBL)
+    tlen = np.maximum(offsets[1:] - offsets[:-1], 1)  # == char count on ASCII
+
+    stop_set = pa.array(sorted(_LANG_PROFILES["en"]), pa.string())
+    stop_hits = pc.is_in(pc.utf8_lower(flat), value_set=stop_set).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(parents[stop_hits], minlength=n)
+
+    # distinct tokens per doc: dictionary-encode the flat tokens, unique
+    # (parent, code) pairs via one int64 key sort
+    if len(flat):
+        codes = pc.dictionary_encode(flat)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        n_dict = len(codes.dictionary)
+        key = parents * np.int64(n_dict) + codes.indices.to_numpy().astype(np.int64)
+        n_uniq = np.bincount(np.unique(key) // n_dict, minlength=n)
+    else:
+        n_uniq = np.zeros(n, dtype=np.int64)
+
+    nf = np.maximum(n_tok, 1).astype(np.float64)
+    length_score = np.minimum(n_tok / 50.0, 1.0)
+    alpha = alpha_cnt / tlen
+    stop_ratio = n_stop / nf
+    uniq_ratio = n_uniq / nf
+    score = (
+        0.3 * length_score
+        + 0.25 * alpha
+        + 0.2 * np.minimum(stop_ratio * 4, 1.0)
+        + 0.25 * uniq_ratio
+    )
+    score = np.minimum(np.maximum(score, 0.0), 1.0)
+    out = [round(s, 6) for s in score.tolist()]
+    empty = n_tok == 0
+    if empty.any():
+        for i in np.flatnonzero(empty):
+            out[i] = 0.0
+    if not ascii_ok.all():
+        for i in np.flatnonzero(~ascii_ok):
+            out[i] = quality_one(texts[i].as_py())
+    return out
+
+
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Heuristic quality in [0,1]: length, alpha ratio, stopword presence,
     repetition (distinct-token ratio)."""
-    stop = _LANG_PROFILES["en"]
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out = []
-        for t in batch[text_col].to_pylist():
-            t = t or ""
-            toks = t.split()
-            n = len(toks)
-            if n == 0:
-                out.append(0.0)
-                continue
-            alpha = sum(c.isalpha() or c.isspace() for c in t) / max(len(t), 1)
-            stop_ratio = sum(1 for w in toks if w.lower() in stop) / n
-            uniq_ratio = len(set(toks)) / n
-            length_score = min(n / 50.0, 1.0)
-            score = (
-                0.3 * length_score
-                + 0.25 * alpha
-                + 0.2 * min(stop_ratio * 4, 1.0)
-                + 0.25 * uniq_ratio
-            )
-            out.append(round(min(max(score, 0.0), 1.0), 6))
+        scores = _quality_vec(_string_array(batch[text_col]))
         return pa.table(
-            {id_col: pa.array(ids), "quality": pa.array(out, pa.float64())}
+            {id_col: batch[id_col], "quality": pa.array(scores, pa.float64())}
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
 
 
+# ------------------------------------------------------------------ token counts
+
+
+def bpe_token_count(text: str) -> int:
+    """Per-doc reference BPE-ish token count (fallback + parity oracle)."""
+    return len(_BPE_RE.findall(text))
+
+
+def _bpe_counts_ascii(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(whitespace-token, BPE-token) counts per doc for a batch of ASCII
+    docs, computed as one vectorized run-level state machine (RE2 can't
+    express the BPE pattern's lookahead, so Arrow regex counting is out;
+    the ``str.split()`` count falls out of the same run arrays for free:
+    it is the number of non-whitespace runs whose predecessor is
+    whitespace or begin-of-doc).
+
+    Derivation from the ordered alternation (maximal munch):
+    * every letter / digit / punct run is one token (a single leading
+      ASCII space attaches to it and is accounted on the whitespace run);
+    * a whitespace run at end-of-doc is one token (``\\s+(?!\\S)``);
+      otherwise it emits len-1 tokens capped at 2: the run minus its
+      last char (if len >= 2), plus the last char itself unless it is an
+      ASCII space (which attaches to the following token via `` ?X``);
+    * a 1-char ``'`` punct run directly reachable (preceded by BOS, a
+      letter/digit run, or a whitespace run NOT ending in ASCII space)
+      and followed by ``s|d|m|t|ll|ve|re`` forms a contraction token;
+      the following letter run then counts 0 if fully consumed.
+    """
+    n_docs = len(offsets) - 1
+    m = len(data)
+    if m == 0:
+        return np.zeros(n_docs, dtype=np.int64), np.zeros(n_docs, dtype=np.int64)
+    # group classes with whitespace (space + other-ws) merged into one
+    # run class; per-byte work stays in reused int8/bool scratch buffers
+    # (fresh >1MB numpy temporaries re-pay page faults on this host)
+    grp = _scratch("bpe_grp", m, np.int8)
+    np.take(_BPE_GRP_TBL, data, out=grp, mode="clip")
+    new_run = _scratch("bpe_new", m, np.bool_)
+    new_run[0] = True
+    np.not_equal(grp[1:], grp[:-1], out=new_run[1:])
+    doc_starts = offsets[1:-1]
+    new_run[doc_starts[doc_starts < m]] = True  # doc boundaries break runs
+
+    run_start = np.flatnonzero(new_run)
+    run_doc = np.searchsorted(offsets, run_start, side="right") - 1
+    run_grp = grp[run_start]
+    run_end = np.r_[run_start[1:], m]
+    run_len = run_end - run_start
+    same_prev = np.r_[False, run_doc[1:] == run_doc[:-1]]
+    same_next = np.r_[run_doc[:-1] == run_doc[1:], False]
+
+    tokens = np.zeros(len(run_start), dtype=np.int64)
+    tokens[run_grp != 3] = 1  # letter/digit/punct runs
+
+    ws = run_grp == 3
+    last_is_sp = data[run_end - 1] == ord(" ")
+    tokens[ws & ~same_next] = 1  # run reaches end of doc
+    mid = ws & same_next
+    tokens[mid & (run_len == 1)] = np.where(last_is_sp[mid & (run_len == 1)], 0, 1)
+    tokens[mid & (run_len >= 2)] = np.where(last_is_sp[mid & (run_len >= 2)], 1, 2)
+
+    # contractions: 1-char "'" punct runs followed by a letter run
+    quote = (run_grp == 4) & (run_len == 1) & (data[run_start] == ord("'"))
+    cand = np.flatnonzero(quote[:-1] & same_next[:-1] & (run_grp[1:] == 0))
+    if len(cand):
+        prev_ok = ~same_prev[cand]
+        has_prev = same_prev[cand]
+        if has_prev.any():
+            pg = run_grp[cand[has_prev] - 1]
+            p_last_sp = last_is_sp[cand[has_prev] - 1]
+            prev_ok[has_prev] = (pg <= 1) | ((pg == 3) & ~p_last_sp)
+        nxt = cand + 1
+        first = data[run_start[nxt]]
+        one = np.isin(first, np.frombuffer(b"sdmt", np.uint8))
+        two = np.zeros(len(cand), dtype=bool)
+        long_enough = run_len[nxt] >= 2
+        if long_enough.any():
+            pairs = (
+                data[run_start[nxt[long_enough]]].astype(np.uint16) * 256
+                + data[run_start[nxt[long_enough]] + 1]
+            )
+            two_keys = np.array(
+                [a * 256 + b for a, b in (b"ll", b"ve", b"re")], dtype=np.uint16
+            )
+            two[long_enough] = np.isin(pairs, two_keys)
+        contr = prev_ok & (one | two)
+        if contr.any():
+            consumed = np.where(one[contr], 1, 2)
+            fully = run_len[nxt[contr]] == consumed
+            tokens[nxt[contr][fully]] = 0
+
+    bpe = np.bincount(run_doc, weights=tokens, minlength=n_docs).astype(np.int64)
+    # str.split() token count: non-ws runs starting after ws or BOS
+    word_start = (run_grp != 3) & (~same_prev | np.r_[False, ws[:-1]])
+    ws_counts = np.bincount(run_doc[word_start], minlength=n_docs).astype(np.int64)
+    return ws_counts, bpe
+
+
+def _token_counts_vec(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    ascii_ok = _ascii_mask(texts)
+    data, offsets = _bytes_offsets(texts)
+    ws, bpe = _bpe_counts_ascii(data, offsets)
+    if not ascii_ok.all():
+        for i in np.flatnonzero(~ascii_ok):
+            t = texts[i].as_py()
+            ws[i] = len(t.split())
+            bpe[i] = bpe_token_count(t)
+    return ws, bpe
+
+
 def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     def f(batch: pa.Table) -> pa.Table:
-        ws, bpe = [], []
-        for t in batch[text_col].to_pylist():
-            t = t or ""
-            ws.append(len(t.split()))
-            bpe.append(len(_BPE_RE.findall(t)))
+        ws, bpe = _token_counts_vec(_string_array(batch[text_col]))
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -132,6 +475,9 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+# ------------------------------------------------------------------ fingerprints
 
 
 def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> int:

@@ -179,3 +179,66 @@ class TestMultimodalPlans:
             "frame_ts_ms"
         ].diff().dropna()
         assert (steps == 1000).all()  # uniform 1 fps grid
+
+
+class TestVectorizedTextParity:
+    """The vectorized batch kernels must be bit-identical to the per-doc
+    reference implementations (detect_language / quality_one /
+    bpe_token_count) on adversarial inputs: contractions, quote chains,
+    mixed whitespace (incl. \\x0b, \\x1c which RE2's \\s misses), control
+    chars, and non-ASCII fallback rows."""
+
+    TEXTS = None
+
+    @classmethod
+    def _texts(cls):
+        if cls.TEXTS is None:
+            import numpy as np
+
+            rng = np.random.RandomState(7)
+            alphabet = list("abcST 'sdmtlver.!?\"\t\n 019") + [
+                "'ll", "'ve", "'re", "'s", "it's", "don't", "  ", "\x0b",
+                "\x1c", "--", ",,", "the ", "und ", "la ",
+            ]
+            texts = [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+                for _ in range(1500)
+            ]
+            texts += [
+                "", " ", "   ", "'s", "a's'd", "it'sa", "don't", "a\n's",
+                "x ' s", "3's", "'S", "ab''s", "!'s", "\n\na", " \na", "'sx",
+                "'", "a'", "word" * 5, "\x1c\x1d ok", "tab\there",
+                "héllo wörld", "naïve café's", "日本語 テスト",
+            ]
+            cls.TEXTS = texts
+        return cls.TEXTS
+
+    def _arr(self):
+        import pyarrow as pa
+
+        from naer_ray.stages.text import _string_array
+
+        return _string_array(pa.array(self._texts(), pa.string()))
+
+    def test_token_counts_parity(self):
+        from naer_ray.stages.text import _token_counts_vec, bpe_token_count
+
+        ws, bpe = _token_counts_vec(self._arr())
+        for i, t in enumerate(self._texts()):
+            assert ws[i] == len(t.split()), repr(t)
+            assert bpe[i] == bpe_token_count(t), repr(t)
+
+    def test_quality_parity(self):
+        from naer_ray.stages.text import _quality_vec, quality_one
+
+        q = _quality_vec(self._arr())
+        for i, t in enumerate(self._texts()):
+            assert q[i] == quality_one(t), repr(t)
+
+    def test_lang_id_parity(self):
+        from naer_ray.stages.text import _detect_language_vec, detect_language
+
+        langs, confs = _detect_language_vec(self._arr())
+        for i, t in enumerate(self._texts()):
+            el, ec = detect_language(t)
+            assert (langs[i], confs[i]) == (el, ec), repr(t)
