@@ -1273,23 +1273,32 @@ GROUP BY p.p_brand
 
 
 def q19_semi_anti_join(sf_dir: str):
-    """Broadcast semi/anti join: per mktsegment, customers WITH orders
-    (semi) and WITHOUT orders (anti).  The order-custkey set is the
-    broadcast side (at 100 TB scale a Bloom filter replaces the exact
-    set; exact here for the oracle)."""
-    import ray
+    """Semi/anti join via the Bloom membership path: per mktsegment,
+    customers WITH orders (semi) and WITHOUT orders (anti).
+
+    The order-custkey side becomes a mergeable Bloom filter (per-batch
+    bitmaps OR-reduced, broadcast once) — at 10^12 orders the distinct
+    key set itself is the driver OOM, the fixed-size Bloom is not.
+    Bloom negatives are exact; positives co-partition with the keys for
+    an exact verify, so the result stays hash-exact at any fpp
+    (stages/bloom.py)."""
+    import pyarrow.parquet as _pq
     from ray.data.aggregate import Sum
 
-    okeys = set(
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    from ..stages.bloom import bloom_flag_membership
+
+    # size the Bloom from the parquet footer (metadata-only read)
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    flagged = bloom_flag_membership(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+        left_col="c_custkey",
+        key_col="o_custkey",
+        n_expected=n_orders,
     )
-    keys_ref = ray.put(okeys)
 
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        has = batch["c_custkey"].isin(keys)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        has = batch["in_right"].to_numpy(dtype=bool)
         out = pd.DataFrame(
             {
                 "c_mktsegment": batch["c_mktsegment"],
@@ -1302,7 +1311,7 @@ def q19_semi_anti_join(sf_dir: str):
         ].sum()
 
     agg = (
-        ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+        flagged.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("c_mktsegment")
         .aggregate(
             Sum("with_orders", alias_name="with_orders"),
@@ -1797,15 +1806,48 @@ Q22_SQL = "SELECT TRUE AS within_5pct"
 
 
 def m01_multimodal_features(sf_dir: str):
-    """Multimodal decode/feature plumbing over synthetic media rows
-    (deterministic fake decoder; rows-only check)."""
-    import ray.data
+    """REAL multimodal decode: binary P6 PPM payloads (deterministically
+    generated from doc_id by closed-form arithmetic) flow through the
+    actor-pool decoder, which parses the header and pixel BYTES alone;
+    the SQL oracle re-derives width/height/mean_luma from the generator
+    arithmetic — so a decoder bug (offset, channel order, header parse)
+    breaks the hash match."""
+    from ..stages.multimodal import decode_ppm_features, synth_ppm_payload
 
-    from ..stages.multimodal import decode_features, synth_media_table
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
-    ds = ray.data.from_arrow(synth_media_table(128))
-    out = decode_features(ds).to_pandas()
-    return out[["media_id", "kind", "n_bytes", "mean_luma"]]
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"m{i:07d}" for i in ids], pa.string()),
+                "payload": pa.array([synth_ppm_payload(i) for i in ids], pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    return decode_ppm_features(media)
+
+
+M01_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 131) % 29 AS width,
+         4 + (doc_id * 197) % 31 AS height
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, unnest(range(0, width * height)) AS j
+  FROM dims)
+SELECT printf('m%07d', doc_id) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_pix,
+       CAST(SUM((doc_id * 7 + j * 13) % 256
+              + (doc_id * 11 + j * 17) % 256
+              + (doc_id * 13 + j * 23) % 256) AS DOUBLE)
+         / (3.0 * width * height) AS mean_luma
+FROM px GROUP BY doc_id, width, height
+"""
 
 
 def _derived_media(sf_dir: str):
@@ -1964,7 +2006,7 @@ REGISTRY: dict[str, tuple] = {
     "a01_lsh_topk": (a01_lsh_topk, ANN_RECALL_SQL),
     "a02_ivf_topk": (a02_ivf_topk, ANN_RECALL_SQL),
     "a03_brute_topk_multi": (a03_brute_topk_multi, A03_SQL),
-    "m01_multimodal_features": (m01_multimodal_features, None),
+    "m01_multimodal_features": (m01_multimodal_features, M01_SQL),
     "m02_resize_plan": (m02_resize_plan, M02_SQL),
     "m03_frame_sample_plan": (m03_frame_sample_plan, M03_SQL),
     "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),

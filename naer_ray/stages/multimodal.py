@@ -114,6 +114,93 @@ def decode_features(ds, concurrency=(1, 4), batch_size: int = 64, fake: bool = T
     )
 
 
+# ------------------------------------------------------- real PPM decode path
+
+PPM_FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_pix", pa.int64()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+def synth_ppm_payload(doc_id: int) -> bytes:
+    """Deterministic binary P6 PPM image derived from ``doc_id`` by
+    closed-form integer arithmetic — small dimensions, pixel channels
+    ``(id*7 + j*13) % 256`` etc. — so a SQL oracle can re-derive the
+    decoded statistics without ever seeing the bytes."""
+    w = 4 + (doc_id * 131) % 29
+    h = 4 + (doc_id * 197) % 31
+    j = np.arange(w * h, dtype=np.int64)
+    rgb = np.empty((w * h, 3), dtype=np.uint8)
+    rgb[:, 0] = (doc_id * 7 + j * 13) % 256
+    rgb[:, 1] = (doc_id * 11 + j * 17) % 256
+    rgb[:, 2] = (doc_id * 13 + j * 23) % 256
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL binary-PPM (P6) decode — pure header parse + numpy buffer
+    view, no codec libraries needed.  Returns (width, height,
+    (n_pix, 3) uint8 pixel array)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; pixel data starts after the single whitespace char that
+    # terminates maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, pix.reshape(w * h, 3)
+
+
+class PpmImageDecoder:
+    """Actor-pool stage doing a REAL decode of binary-PPM payloads
+    (``map_batches(PpmImageDecoder, batch_size=64)``): header parse +
+    pixel statistics from the bytes alone.  mean_luma is the exact
+    rational sum(r+g+b) / (3 * n_pix) — one integer sum and one float
+    division, so a SQL oracle that re-derives the generator arithmetic
+    is bit-identical."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in PPM_FEATURE_SCHEMA.names}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, pix = decode_ppm(payload)
+            total = int(pix.astype(np.int64).sum())
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pix"].append(w * h)
+            out["mean_luma"].append(total / (3.0 * w * h))
+        return pa.table(out, schema=PPM_FEATURE_SCHEMA)
+
+
+def decode_ppm_features(ds, concurrency=(1, 4), batch_size: int = 64):
+    """media rows (P6 payloads) -> real decoded feature rows."""
+    return ds.map_batches(
+        PpmImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def resize_plan(ds, max_side: int = 224, batch_size: int = 64):
     """Resize stage: target dimensions computed for every image row
     (aspect-preserving, longest side = max_side); the pixel resample

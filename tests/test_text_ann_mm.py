@@ -242,3 +242,41 @@ class TestVectorizedTextParity:
         for i, t in enumerate(self._texts()):
             el, ec = detect_language(t)
             assert (langs[i], confs[i]) == (el, ec), repr(t)
+
+
+class TestPpmDecode:
+    def test_roundtrip_generator(self):
+        """Real decode of the deterministic generator payloads recovers
+        the closed-form dimensions and exact rational mean luma."""
+        import numpy as np
+
+        from naer_ray.stages.multimodal import decode_ppm, synth_ppm_payload
+
+        for d in [0, 1, 17, 123456]:
+            w, h, pix = decode_ppm(synth_ppm_payload(d))
+            assert (w, h) == (4 + (d * 131) % 29, 4 + (d * 197) % 31)
+            j = np.arange(w * h, dtype=np.int64)
+            exp = np.stack(
+                [(d * 7 + j * 13) % 256, (d * 11 + j * 17) % 256, (d * 13 + j * 23) % 256],
+                axis=1,
+            )
+            assert (pix == exp).all()
+
+    def test_header_whitespace_variants(self):
+        from naer_ray.stages.multimodal import decode_ppm
+
+        pix = bytes(range(2 * 1 * 3))
+        for header in (b"P6\n2 1\n255\n", b"P6 2 1 255 ", b"P6\n2\n1\n255\t"):
+            w, h, arr = decode_ppm(header + pix)
+            assert (w, h) == (2, 1)
+            assert arr.tobytes() == pix
+
+    def test_rejects_non_ppm(self):
+        import pytest as _pytest
+
+        from naer_ray.stages.multimodal import decode_ppm
+
+        with _pytest.raises(ValueError):
+            decode_ppm(b"\x89PNG....")
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
