@@ -531,7 +531,9 @@ def q13_ann_topk(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        from ..stages.ann import _as_matrix
+
+        mat = _as_matrix(batch["embedding"])
         sims = (mat @ qnorm) / np.linalg.norm(mat, axis=1)
         vec_ids = batch["vec_id"].to_numpy()
         order = np.lexsort((vec_ids, -sims))[:10]
@@ -826,14 +828,20 @@ def d03_embedding_neardup(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def mutate(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_pylist()
-        vecs = batch["embedding"].to_pylist()
-        out_ids = list(ids) + [i + 1_000_000 for i in ids]
-        out_vecs = list(vecs) + [[2.0 * x for x in v] for v in vecs]
+        from ..stages.ann import _as_matrix
+
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        mat = _as_matrix(batch["embedding"])  # zero-copy flatten, no boxing
+        out_mat = np.concatenate([mat, 2.0 * mat]).astype(np.float32)
+        n, dim = out_mat.shape
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+            pa.array(out_mat.ravel(), pa.float32()),
+        )
         return pa.table(
             {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(out_vecs, pa.list_(pa.float32())),
+                "vec_id": pa.array(np.r_[ids, ids + 1_000_000], pa.int64()),
+                "embedding": emb,
             }
         )
 

@@ -24,7 +24,26 @@ import pyarrow.compute as pc
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """(rows, dim) float64 matrix from a list<float> / fixed_size_list
+    column via Arrow child-buffer flatten + reshape — one dtype cast,
+    no per-value Python boxing (to_pylist boxed every float)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        vals = vals[col.offset * dim : (col.offset + n) * dim]
+        return vals.reshape(n, dim).astype(np.float64)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if n and (widths == widths[0]).all():
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return (
+                vals[offs[0] : offs[-1]].reshape(n, int(widths[0])).astype(np.float64)
+            )
+    return np.array(col.to_pylist(), dtype=np.float64)  # ragged fallback
 
 
 def _topk_merge(parts: pd.DataFrame, k: int, query_col: str = "query_id") -> pd.DataFrame:

@@ -534,7 +534,11 @@ def minhash_lsh_clusters(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (two 32-bit FNV halves)."""
+    """64-bit SimHash over word tokens (two 32-bit FNV halves).
+
+    Per-doc reference implementation — :func:`simhash64_batch` is the
+    vectorized exact-parity twin (tested); non-ASCII docs fall back
+    here."""
     toks = text.lower().split()
     if not toks:
         return 0
@@ -546,27 +550,73 @@ def simhash64(text: str) -> int:
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash64_batch(texts: pa.Array) -> np.ndarray:
+    """Vectorized simhash64 over a batch: the batch vocabulary is
+    dictionary-encoded and each DISTINCT token hashed once (the
+    kg.add_bucket trick — occurrences >> vocabulary), then per-doc
+    per-bit counts run as reduceat segments, 8 bit positions at a time
+    to bound the temporary (tokens x 8 int32)."""
+    import pyarrow.compute as pc
+
+    from .text import _ascii_mask, _flat_nonempty, _RE2_SPACE_CLASS
+
+    n = len(texts)
+    ascii_ok = _ascii_mask(texts)
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), _RE2_SPACE_CLASS)
+    flat, _parents, n_tok = _flat_nonempty(toks, n)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        codes = pc.dictionary_encode(flat)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        vocab = codes.dictionary.to_pylist()
+        hu = np.array(
+            [(hash_u32(w) << 32) | hash_u32(w + "\x00s") for w in vocab],
+            dtype=np.uint64,
+        )
+        h = hu[codes.indices.to_numpy()]
+        starts = np.zeros(n, np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        sums = np.empty((n, 64), np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for c in range(8):
+            bits = ((h[:, None] >> shifts[c * 8 : (c + 1) * 8]) & np.uint64(1)).astype(
+                np.int32
+            )
+            bits = np.vstack([bits, np.zeros((1, 8), np.int32)])  # sentinel
+            sums[:, c * 8 : (c + 1) * 8] = np.add.reduceat(bits, starts, axis=0)
+        v = 2 * sums - n_tok[:, None]
+        out = np.packbits(v > 0, axis=1, bitorder="little").view(np.uint64).ravel()
+        out[n_tok == 0] = 0
+    if not ascii_ok.all():
+        for i in np.flatnonzero(~ascii_ok):
+            out[i] = simhash64(texts[i].as_py())
+    return out
+
+
 def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit
     band blocking (a pair within distance 3 shares at least one band)."""
 
     def sh(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        hashes = [simhash64(t) for t in texts]
-        out = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
-        for rid, h in zip(ids, hashes):
-            for bi in range(4):
-                out["band_id"].append(bi)
-                out["band_val"].append((h >> (16 * bi)) & 0xFFFF)
-                out[id_col].append(rid)
-                out["simhash"].append(h)
+        from .text import _string_array
+
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray
+        ) else batch[id_col]
+        hashes = simhash64_batch(_string_array(batch[text_col]))
+        n = len(hashes)
+        rep = ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
+        band_vals = (
+            (hashes[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)
         return pa.table(
             {
-                "band_id": pa.array(out["band_id"], pa.int32()),
-                "band_val": pa.array(out["band_val"], pa.int64()),
-                id_col: pa.array(out[id_col]),
-                "simhash": pa.array(out["simhash"], pa.uint64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_val": pa.array(band_vals.ravel(), pa.int64()),
+                id_col: rep,
+                "simhash": pa.array(np.repeat(hashes, 4), pa.uint64()),
             }
         )
 
@@ -896,7 +946,9 @@ def embedding_neardup_pairs(
     planes_by_table: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        from .ann import _as_matrix
+
+        mat = _as_matrix(batch[vec_col])
         n = len(mat)
         shifts = np.arange(n_planes, dtype=np.uint64)[None, :]
         keys = []

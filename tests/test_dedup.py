@@ -174,3 +174,21 @@ def test_embedding_neardup_multi_table(ray_session):
     planted_single = planted & single
     assert len(planted_multi) >= 18  # measured 19/20, seeded/deterministic
     assert len(planted_multi) >= len(planted_single)
+
+
+def test_simhash64_batch_parity():
+    """Vectorized simhash64_batch == per-doc simhash64 (incl. empty,
+    case folding, mixed whitespace, non-ASCII fallback)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from naer_ray.stages.dedup import simhash64, simhash64_batch
+    from naer_ray.stages.text import _string_array
+
+    rng = np.random.RandomState(9)
+    words = ["data", "row", "key", "the", "alpha", "beta", "Zebra", "x1", "99", "-"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 40)).tolist()) for _ in range(500)]
+    texts += ["", " ", "ONE one One", "tab\tsep\nnl", "héllo wörld"]
+    got = simhash64_batch(_string_array(pa.array(texts, pa.string())))
+    for i, t in enumerate(texts):
+        assert int(got[i]) == simhash64(t), repr(t)
