@@ -441,7 +441,10 @@ def connected_components(
         edges.map_batches(init_nodes, batch_format="pandas")
         .groupby("bucket")
         .map_groups(
-            lambda g: g.drop_duplicates(subset=["node"]), batch_format="pandas"
+            lambda g: g.drop_duplicates(subset=["node"]).assign(
+                changed=np.int8(1)
+            ),
+            batch_format="pandas",
         )
     ).materialize()
 
@@ -454,11 +457,18 @@ def connected_components(
 
     for _round in range(max_rounds):
         def send(group: pd.DataFrame) -> pd.DataFrame:
+            # label rows carry is_old=True so the reduce can emit the
+            # changed flag inline — folding the convergence check into
+            # the propagation keeps each round at TWO shuffles (the
+            # separate old/new tag-union-pivot pass was a third)
             lbl = group[group["other"].isna()][["node", "label"]]
             adj = group[group["other"].notna()][["node", "other"]]
             msgs = adj.merge(lbl, on="node", how="inner")[["other", "label"]]
             msgs = msgs.rename(columns={"other": "node"})
-            out = pd.concat([lbl, msgs], ignore_index=True)
+            out = pd.concat(
+                [lbl.assign(is_old=True), msgs.assign(is_old=False)],
+                ignore_index=True,
+            )
             return _bucketize(out, "node")
 
         def add_missing_cols(ds, cols_defaults):
@@ -470,7 +480,9 @@ def connected_components(
             return ds.map_batches(fix, batch_format="pandas")
 
         tagged_labels = add_missing_cols(labels, {"other": None})
-        tagged_adj = add_missing_cols(adjacency, {"label": None})
+        tagged_adj = add_missing_cols(
+            adjacency, {"label": None, "changed": np.int8(0)}
+        )
         messages = (
             tagged_labels.union(tagged_adj)
             .groupby("bucket")
@@ -479,34 +491,20 @@ def connected_components(
 
         def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
             out = group.groupby("node", as_index=False)["label"].min()
-            return _bucketize(out, "node")
+            old = group.loc[group["is_old"], ["node", "label"]].rename(
+                columns={"label": "old_label"}
+            )
+            out = out.merge(old, on="node", how="left")
+            out["changed"] = (out["label"] != out["old_label"]).astype("int8")
+            return _bucketize(out.drop(columns="old_label"), "node")
 
         new_labels = (
             messages.groupby("bucket").map_groups(reduce_min, batch_format="pandas")
         ).materialize()
 
-        # convergence: count changed labels via a bucketed anti-compare
-        def tag(ds, src):
-            def f(batch: pd.DataFrame) -> pd.DataFrame:
-                batch = batch.copy()
-                batch["src"] = src
-                return batch
-            return ds.map_batches(f, batch_format="pandas")
-
-        def count_changed(group: pd.DataFrame) -> pd.DataFrame:
-            piv = group.pivot_table(
-                index="node", columns="src", values="label", aggfunc="first"
-            )
-            changed = int((piv.get("old") != piv.get("new")).sum())
-            return pd.DataFrame({"changed": [changed]})
-
-        changed = (
-            tag(labels, "old")
-            .union(tag(new_labels, "new"))
-            .groupby("bucket")
-            .map_groups(count_changed, batch_format="pandas")
-            .sum("changed")
-        )
+        # convergence: the changed flags came out of the reduce itself;
+        # summing them is a scan over the already-materialized blocks
+        changed = new_labels.sum("changed")
         labels = new_labels
         if not changed:
             break
