@@ -42,11 +42,14 @@ def _read(sf_dir: str, table: str, columns=None):
     (the round-2 headline finding; see sources.transcripts.auto_num_blocks)."""
     import ray.data
 
-    from ..sources.transcripts import auto_num_blocks
+    from ..sources.transcripts import auto_num_blocks, stripped_read_schema
 
     path = f"{sf_dir}/{table}.parquet"
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=auto_num_blocks(path)
+        path,
+        columns=columns,
+        override_num_blocks=auto_num_blocks(path),
+        schema=stripped_read_schema(path, columns),
     )
 
 

@@ -50,6 +50,35 @@ def auto_num_blocks(path: str, min_block_bytes: int = 256 * 1024) -> int:
     return int(min(max(2 * cpus, total // _TARGET_BLOCK_BYTES or 1), by_min_work))
 
 
+def stripped_read_schema(path: str, columns: list[str] | None) -> pa.Schema | None:
+    """Projected, metadata-stripped schema for ``read_parquet(schema=...)``.
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata
+    blob that makes ``hash(schema)`` raise "unhashable type: 'dict'" in
+    this pyarrow build; Ray Data's per-bundle schema dedup then logs a
+    warning for every block INSIDE the read tasks (the BENCH_r02 tail
+    spam).  Supplying an explicit stripped schema removes the metadata
+    at the source — a footer-only read, no data cost."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        f = None
+        for root, _dirs, files in os.walk(path):
+            for name in sorted(files):
+                if name.endswith(".parquet"):
+                    f = os.path.join(root, name)
+                    break
+            if f:
+                break
+        if f is None:
+            return None
+    full = pq.read_schema(f).remove_metadata()
+    if columns:
+        return pa.schema([full.field(c) for c in columns])
+    return full
+
+
 def read_transcripts(
     path: str,
     columns: list[str] | None = None,
@@ -68,8 +97,12 @@ def read_transcripts(
             path = tdir
     if num_blocks == "auto":
         num_blocks = auto_num_blocks(path)
+    cols = columns or list(CORE_COLUMNS)
     return ray.data.read_parquet(
-        path, columns=columns or list(CORE_COLUMNS), override_num_blocks=num_blocks
+        path,
+        columns=cols,
+        override_num_blocks=num_blocks,
+        schema=stripped_read_schema(path, cols),
     )
 
 
