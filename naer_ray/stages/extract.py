@@ -131,18 +131,35 @@ class MentionDetector:
             )
         enc = tcol.combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy()
-        uniq_texts = enc.dictionary.to_pylist()
+        uniq = enc.dictionary
 
-        entries = [self._text_entry(t) for t in uniq_texts]
-        counts = np.array([len(e[0]) for e in entries], np.int64)
+        # vectorized hits over the block's distinct texts (the Python
+        # per-text walk at ~15us/text dominated this stage; the batch
+        # matcher is its conformance-tested numpy twin)
+        hit_counts, hpos, hcode = self.matcher.match_batch(uniq)
+        pron_flags = np.fromiter(
+            (_PRONOUN_RE.match(t.lstrip()) is not None for t in uniq.to_pylist()),
+            bool,
+            len(uniq),
+        )
+        counts = hit_counts + pron_flags
         if counts.sum() == 0:
             return pa.table(
                 {f.name: pa.array([], f.type) for f in MENTION_SCHEMA},
                 schema=MENTION_SCHEMA,
             )
-        flat_pos = np.concatenate([e[0] for e in entries])
-        flat_code = np.concatenate([e[1] for e in entries])
+        # merge the pronoun marker (pos=-1, code=-1) ahead of each text's
+        # hits — the exact per-text entry layout of the original walk
+        total = int(counts.sum())
+        flat_pos = np.empty(total, np.int32)
+        flat_code = np.empty(total, np.int32)
         u_start = np.cumsum(counts) - counts
+        pron_idx = np.flatnonzero(pron_flags)
+        flat_pos[u_start[pron_idx]] = -1
+        flat_code[u_start[pron_idx]] = -1
+        tgt = np.repeat(u_start + pron_flags, hit_counts) + _ranges(hit_counts)
+        flat_pos[tgt] = hpos
+        flat_code[tgt] = hcode
 
         total_per_row = counts[codes]
         row_idx = np.repeat(np.arange(n, dtype=np.int64), total_per_row)
