@@ -1975,6 +1975,104 @@ SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
 """
 
 
+# ------------------------------------------------- sampling / quantiles / packing
+
+
+def s01_hash_sample(sf_dir: str):
+    """Deterministic ~5% document sample (stages/sample.hash_sample):
+    multiplicative-hash of doc_id, stable under any partitioning —
+    the repeatable-subset primitive for ablations and holdouts."""
+    from ..stages.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return hash_sample(ds, "doc_id", rate_pct=5)
+
+
+S01_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 5
+"""
+
+
+def t04_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles via a distributed value
+    histogram (stages/quantile.grouped_discrete_quantiles) — the
+    shuffle carries (lang, n_tokens, cnt) partials, never documents."""
+    from ..stages.quantile import grouped_discrete_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"lang": batch["lang"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    counted = ds.map_batches(tokens, batch_format="pyarrow")
+    return grouped_discrete_quantiles(counted, "lang", "n_tokens")
+
+
+# the explicit order statistic (smallest v with cum_count >= ceil(q*n))
+# so both sides state the same rule — no engine interpolation flavor
+T04_SQL = """
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+r AS (
+  SELECT lang, v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t)
+SELECT lang,
+       MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN v END) AS p25,
+       MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN v END) AS p50,
+       MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN v END) AS p75,
+       MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN v END) AS p95
+FROM r GROUP BY lang
+"""
+
+
+def p01_pack_plan(sf_dir: str):
+    """Sequence-packing plan (stages/pack.pack_plan): distributed
+    exclusive prefix sum of token counts in doc_id order, split every
+    512 tokens; one histogram-sized shuffle per pass."""
+    from ..stages.pack import pack_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "w": pc.cast(n, pa.int64())}
+        )
+
+    plan = pack_plan(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        id_col="doc_id",
+        weight_col="w",
+        budget=512,
+        bucket_width=512,
+    )
+    df = plan.to_pandas()
+    for c in ("seq_id", "n_docs", "total_weight"):
+        df[c] = df[c].astype("int64")
+    return df[["seq_id", "n_docs", "total_weight"]]
+
+
+P01_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, w,
+         COALESCE(SUM(w) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT CAST(cum // 512 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_weight
+FROM c GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2021,4 +2119,7 @@ REGISTRY: dict[str, tuple] = {
     "m02_resize_plan": (m02_resize_plan, M02_SQL),
     "m03_frame_sample_plan": (m03_frame_sample_plan, M03_SQL),
     "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),
+    "s01_hash_sample": (s01_hash_sample, S01_SQL),
+    "t04_token_quantiles": (t04_token_quantiles, T04_SQL),
+    "p01_pack_plan": (p01_pack_plan, P01_SQL),
 }
