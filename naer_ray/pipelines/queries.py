@@ -666,7 +666,14 @@ def q16_kg_cooccurrence(sf_dir: str):
                 for b in present[i + 1 :]:
                     rows.append((a, b) if a < b else (b, a))
         if not rows:
-            return pd.DataFrame({"subj": [], "obj": [], "n": []})
+            # typed empty: zero-row object columns trip Ray's size estimator
+            return pd.DataFrame(
+                {
+                    "subj": pd.Series([], dtype="string"),
+                    "obj": pd.Series([], dtype="string"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
         df = pd.DataFrame(rows, columns=["subj", "obj"])
         df["n"] = 1
         return df.groupby(["subj", "obj"], as_index=False)[["n"]].sum()

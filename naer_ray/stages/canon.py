@@ -140,6 +140,20 @@ def name_pool_rows(names_ds, name_col: str = "name", aliases_col: str | None = N
     )
 
 
+def _edge_table(rows: list[tuple[str, str]]) -> pa.Table:
+    """(a, b) pairs -> typed Arrow edge table.
+
+    Typed even when empty: a zero-row pandas object column trips Ray's
+    block size estimator (np.vectorize on size-0 input) into per-block
+    error logs; pa.string() carries the type regardless of length."""
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in rows], pa.string()),
+            "id_b": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
 def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500):
     """(pool_key, name) rows -> undirected edges (id_a, id_b).
 
@@ -150,7 +164,7 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
     RuntimeWarning with the dropped-row count.
     """
 
-    def exact_edges(group: pd.DataFrame) -> pd.DataFrame:
+    def exact_edges(group: pd.DataFrame) -> pa.Table:
         rows = []
         # same pool key OR same space-collapsed pool key -> exact edge
         g = group.assign(ckey=group["pool_key"].str.replace(" ", "", regex=False))
@@ -158,7 +172,7 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
             names = sorted(sub["name"].unique())
             for other in names[1:]:
                 rows.append((names[0], other))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+        return _edge_table(rows)
 
     def collapse_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -202,7 +216,7 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
                 if jaro_winkler(keys[i], keys[j]) >= jw_threshold:
                     a, b = sorted((names[i], names[j]))
                     rows.append((a, b))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"])
+        return _edge_table(rows)
 
     if jw_threshold > 1.0:  # fuzzy disabled: skip the blocked-comparison stage
         return exact

@@ -236,6 +236,8 @@ def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
             return kernel(group.head(0))
+        if isinstance(outs[0], pa.Table):
+            return pa.concat_tables(outs)
         return pd.concat(outs, ignore_index=True)
 
     return (
@@ -974,21 +976,33 @@ def embedding_neardup_pairs(
         )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        mat = np.array(g[vec_col].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
+        # typed even when empty: zero-row object columns trip Ray's
+        # block size estimator into per-block error logs
+        id_dtype = group[id_col].dtype
+        if id_dtype == np.dtype(object):
+            id_dtype = "string"
         rows = []
-        for i in range(len(ids)):
-            hits = np.flatnonzero(sims[i, i + 1 :] >= threshold)
-            for off in hits:
-                rows.append((ids[i], ids[i + 1 + off], float(sims[i, i + 1 + off])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+        if not group.empty:
+            g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            mat = np.array(g[vec_col].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            sims = unit @ unit.T
+            for i in range(len(ids)):
+                hits = np.flatnonzero(sims[i, i + 1 :] >= threshold)
+                for off in hits:
+                    rows.append(
+                        (ids[i], ids[i + 1 + off], float(sims[i, i + 1 + off]))
+                    )
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([r[0] for r in rows], dtype=id_dtype),
+                "id_b": pd.Series([r[1] for r in rows], dtype=id_dtype),
+                "cosine": pd.Series([r[2] for r in rows], dtype="float64"),
+            }
+        )
 
     # bucket-run over the 2^n_planes signature space: O(64) Ray groups,
     # singleton signatures vectorized-dropped before the pair kernel
