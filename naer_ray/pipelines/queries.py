@@ -2080,6 +2080,119 @@ FROM c GROUP BY 1
 """
 
 
+def s02_bottomk_sample(sf_dir: str):
+    """Fixed-size deterministic sample (stages/sample.bottom_k_sample):
+    the 100 docs with the smallest hash rank — per-batch argpartition
+    local bottom-k, exact sort only over the k x n_blocks survivors."""
+    from ..stages.sample import bottom_k_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    df = bottom_k_sample(ds, "doc_id", k=100).to_pandas()
+    return df[["doc_id", "lang", "source"]]
+
+
+S02_SQL = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100
+"""
+
+
+def w01_weighted_mixture(sf_dir: str):
+    """Mixture reweighting (stages/sample.weighted_mixture_sample):
+    per-source keep rates over the same hash-bucket rule as s01 —
+    the curriculum/downsampling primitive; rate lookup touches unique
+    source values only (dictionary-encoded)."""
+    from ..stages.sample import weighted_mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    rates = {"src0": 80, "src1": 50, "src2": 20}
+    return weighted_mixture_sample(
+        ds, "doc_id", "source", rates, default_pct=10
+    )
+
+
+W01_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+  CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+              WHEN 'src2' THEN 20 ELSE 10 END
+"""
+
+
+def t05_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (stages/text.tfidf_top_terms): one
+    vocab-histogram shuffle for document frequencies + a broadcast
+    df-map second pass; ties (score DESC, term ASC) so the result is
+    deterministic and the float expression tree matches the SQL."""
+    from ..stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    out = tfidf_top_terms(ds, n_docs=n_docs, top_n=3).to_pandas()
+    for c in ("doc_id", "tf", "df", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "term", "tf", "df", "score", "rnk"]]
+
+
+T05_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def k01_kmeans_clusters(sf_dir: str):
+    """Distributed k-means (stages/cluster.kmeans_fit): deterministic
+    bottom-k-hash init, one broadcast + one combiner-shuffle per Lloyd
+    round.  The oracle gate: distributed assignments must equal the
+    single-process reference (same init/update rules) exactly — the
+    a01-style literal-TRUE row pattern for non-SQL-expressible ops."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import kmeans_fit, kmeans_reference
+
+    k = 8
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _cents, assign = kmeans_fit(ds, "vec_id", "embedding", k=k, n_iter=5)
+    got = assign(ds).to_pandas().sort_values("vec_id")
+
+    ref_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = ref_tbl["vec_id"].to_numpy()
+    import numpy as _np
+
+    mat = _np.array(ref_tbl["embedding"].to_pylist(), dtype=_np.float64)
+    order = _np.argsort(ids)
+    want = kmeans_reference(ids[order], mat[order], k=k, n_iter=5)
+
+    match = bool((got["cluster"].to_numpy() == want).all())
+    out = pd.DataFrame({"cluster_id": range(k)})
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["assignments_match"] = match
+    return out
+
+
+K01_SQL = """
+SELECT CAST(range AS BIGINT) AS cluster_id, TRUE AS assignments_match
+FROM range(8)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2129,4 +2242,8 @@ REGISTRY: dict[str, tuple] = {
     "s01_hash_sample": (s01_hash_sample, S01_SQL),
     "t04_token_quantiles": (t04_token_quantiles, T04_SQL),
     "p01_pack_plan": (p01_pack_plan, P01_SQL),
+    "s02_bottomk_sample": (s02_bottomk_sample, S02_SQL),
+    "w01_weighted_mixture": (w01_weighted_mixture, W01_SQL),
+    "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
+    "k01_kmeans_clusters": (k01_kmeans_clusters, K01_SQL),
 }

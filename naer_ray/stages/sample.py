@@ -55,3 +55,75 @@ def sample_sql_predicate(id_col: str, rate_pct: int, salt: int = 0) -> str:
     return (
         f"((({id_col} + {salt}) * {KNUTH_K}) % 4294967296) % 100 < {rate_pct}"
     )
+
+
+def hash_rank_of(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """((id + salt) * K) mod 2^32 — a bijection over [0, 2^32) for
+    distinct ids below 2^32 (K is odd), so ranks are collision-free."""
+    h = (ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(KNUTH_K)
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+
+def bottom_k_sample(ds, id_col: str, k: int, salt: int = 0):
+    """Fixed-SIZE deterministic uniform sample: the ``k`` rows with the
+    smallest hash rank (tie-break id) — a distributed bottom-k sketch.
+
+    Where :func:`hash_sample` fixes the RATE, this fixes the COUNT
+    (eval sets, debugging subsets).  Each batch keeps only its local
+    k smallest (argpartition, no full sort), so the final exact
+    sort+limit runs over at most k x n_blocks rows — never the
+    dataset.  Deterministic under any partitioning; SQL-expressible as
+    ``ORDER BY hash_rank, id LIMIT k``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def local_bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        rank = hash_rank_of(ids.astype(np.int64, copy=False), salt)
+        if len(rank) > k:
+            keep = np.argpartition(rank, k)[:k]
+            batch = batch.take(pa.array(keep))
+            rank = rank[keep]
+        return batch.append_column("__rank", pa.array(rank, pa.int64()))
+
+    return (
+        ds.map_batches(local_bottom_k, batch_format="pyarrow")
+        .sort(["__rank", id_col])
+        .limit(k)
+        .drop_columns(["__rank"])
+    )
+
+
+def weighted_mixture_sample(
+    ds, id_col: str, group_col: str, rates_pct: dict[str, int],
+    default_pct: int = 0, salt: int = 0,
+):
+    """Per-group sampling rates — the mixture / curriculum reweighting
+    primitive (e.g. keep 80% of books, 30% of web, 5% of crawl).
+
+    Same deterministic hash-bucket rule as :func:`hash_sample`, but the
+    keep threshold comes from the row's ``group_col`` value.  The rate
+    table is a tiny broadcast (a dict captured in the task closure);
+    no shuffle, no state.
+    """
+    for g, r in rates_pct.items():
+        if not 0 <= r <= 100:
+            raise ValueError(f"rate for {g!r} must be in [0, 100]")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = hash_bucket_of(ids.astype(np.int64, copy=False), 100, salt)
+        # dictionary-encode so the rate lookup touches UNIQUE values only
+        enc = pc.dictionary_encode(
+            batch[group_col].combine_chunks()
+        )
+        lut = np.fromiter(
+            (rates_pct.get(v, default_pct) for v in enc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        thresh = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(b < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

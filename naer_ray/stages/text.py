@@ -514,3 +514,104 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------------------------------- tf-idf
+
+
+def _term_tf_frame(batch: pa.Table, text_col: str, id_col: str):
+    """One batch -> pandas (pid, term, tf): whitespace terms per doc.
+
+    Arrow split + numpy parent-repeat explode; the (pid, term) count is
+    one pandas C-level groupby.  A document's rows never leave its
+    batch, so downstream per-doc work needs no shuffle.
+    """
+    import pandas as pd
+
+    toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    pid = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    flat = toks.flatten()
+    df = pd.DataFrame({"pid": pid, "term": flat.to_pandas()})
+    return df.groupby(["pid", "term"], as_index=False, sort=False).size().rename(
+        columns={"size": "tf"}
+    )
+
+
+def tfidf_top_terms(
+    ds, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
+    top_n: int = 3,
+):
+    """Top-``top_n`` TF-IDF terms per document.
+
+    score = tf * ln(N / df); ties broken (score DESC, term ASC) so the
+    output is deterministic and SQL-reproducible (t05 oracle).
+
+    Two passes over the input, one histogram-sized shuffle:
+
+    1. per-batch distinct (doc, term) -> partial document frequencies;
+       ``groupby(term).sum`` merges them (the shuffle carries vocab
+       rows, not token occurrences);
+    2. the (term -> df) table is broadcast via ``ray.put`` and each
+       batch recomputes its tf rows, scores them, and emits its own
+       docs' top-n — no second shuffle, since a doc's terms are
+       produced inside its batch.
+
+    The broadcast is the documented small-side assumption: web-scale
+    vocabularies (>~10^8 terms) would swap step 2's lookup for a
+    bucketed co-partition join on term (the ``stages/joins`` pattern).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = _term_tf_frame(batch, text_col, id_col)
+        part = tf.groupby("term", as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "term": pa.array(part["term"], pa.string()),
+                "df_part": pa.array(part["size"].astype("int64"), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        tf = _term_tf_frame(batch, text_col, id_col)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tf["doc_id"] = ids[tf["pid"].to_numpy()]
+        codes, uniques = pd.factorize(tf["term"], sort=False)
+        lut = np.fromiter(
+            (dfs[t] for t in uniques), dtype=np.int64, count=len(uniques)
+        )
+        tf["df"] = lut[codes]
+        tf["tf"] = tf["tf"].astype("int64")
+        # idf via math.log over UNIQUE df values: numpy's SIMD log
+        # differs from libm by 1 ulp on some inputs, and the t05
+        # oracle (DuckDB ln = libm) is compared bit-exact
+        import math
+
+        df_codes, df_uniques = pd.factorize(tf["df"], sort=False)
+        idf_lut = np.fromiter(
+            (math.log(float(n_docs) / d) for d in df_uniques),
+            dtype=np.float64,
+            count=len(df_uniques),
+        )
+        tf["score"] = tf["tf"].to_numpy() * idf_lut[df_codes]
+        tf = tf.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        top = tf.groupby("doc_id", sort=False).head(top_n).copy()
+        top["rnk"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        out = top[["doc_id", "term", "tf", "df", "score", "rnk"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")

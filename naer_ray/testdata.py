@@ -486,6 +486,8 @@ _TIERS = {
     "bench-sf0.1": (24000, 100, 300, True, 32),
     # 5x the driver bench tier (~12M turns) — scale-evidence drives only
     "bench-sf0.5": (120000, 100, 300, True, 64),
+    # 10x (~24M turns) — amortizes fixed stage overhead in scaling runs
+    "bench-sf1.0": (240000, 100, 300, True, 128),
 }
 
 _TIER_VERSION = 4  # bump to invalidate cached corpora when generation changes

@@ -123,3 +123,63 @@ def test_grouped_quantiles_order_statistic(ray_session):
     ).set_index("g")
     assert tuple(df.loc["a", ["p25", "p50", "p75", "p95"]]) == (3, 5, 8, 10)
     assert tuple(df.loc["b", ["p25", "p50", "p75", "p95"]]) == (5, 5, 5, 5)
+
+
+def test_bottom_k_partition_invariant_and_exact(ray_session):
+    import ray
+
+    from naer_ray.stages.sample import bottom_k_sample, hash_rank_of
+
+    rows = [{"doc_id": i, "x": i * 3} for i in range(2000)]
+    a = bottom_k_sample(_docs_ds(ray, rows, 1), "doc_id", 50).to_pandas()
+    b = bottom_k_sample(_docs_ds(ray, rows, 9), "doc_id", 50).to_pandas()
+    assert len(a) == len(b) == 50
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    # matches the explicit rank order computed directly
+    ids = np.arange(2000, dtype=np.int64)
+    want = set(ids[np.argsort(hash_rank_of(ids), kind="stable")[:50]].tolist())
+    assert set(a["doc_id"]) == want
+
+
+def test_bottom_k_smaller_than_k(ray_session):
+    import ray
+
+    from naer_ray.stages.sample import bottom_k_sample
+
+    rows = [{"doc_id": i} for i in range(7)]
+    out = bottom_k_sample(_docs_ds(ray, rows), "doc_id", 100).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(7))
+
+
+def test_weighted_mixture_rates(ray_session):
+    import ray
+
+    from naer_ray.stages.sample import hash_bucket_of, weighted_mixture_sample
+
+    rows = [
+        {"doc_id": i, "src": ["a", "b", "c"][i % 3]} for i in range(3000)
+    ]
+    rates = {"a": 90, "b": 10}
+    out = weighted_mixture_sample(
+        _docs_ds(ray, rows, 5), "doc_id", "src", rates, default_pct=0
+    ).to_pandas()
+    ids = np.arange(3000, dtype=np.int64)
+    buckets = hash_bucket_of(ids, 100)
+    want = {
+        int(i)
+        for i in ids
+        if buckets[i] < rates.get(["a", "b", "c"][i % 3], 0)
+    }
+    assert set(out["doc_id"]) == want
+    assert (out["src"] != "c").all()  # default 0: group c fully dropped
+
+
+def test_weighted_mixture_bad_rate(ray_session):
+    import ray
+
+    from naer_ray.stages.sample import weighted_mixture_sample
+
+    with pytest.raises(ValueError):
+        weighted_mixture_sample(
+            _docs_ds(ray, [{"doc_id": 1, "s": "x"}]), "doc_id", "s", {"x": 101}
+        )
