@@ -2155,6 +2155,55 @@ FROM r WHERE rnk <= 3
 """
 
 
+def s03_stratified_sample(sf_dir: str):
+    """Per-language fixed-size sample (stages/sample.stratified_bottom_k):
+    20 docs per lang by hash rank — local per-group bottom-k per batch,
+    k x groups x blocks merge."""
+    from ..stages.sample import stratified_bottom_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_bottom_k(ds, "doc_id", "lang", k=20)
+
+
+S03_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
+def n01_group_zscore(sf_dir: str):
+    """Per-row z-score of n_chars against the language's moments
+    (stages/agg.group_zscore): exact integer moment shuffle + broadcast
+    + fixed IEEE expression tree, so floats match DuckDB bit-exactly."""
+    from ..stages.agg import group_zscore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return group_zscore(ds, "lang", "n_chars")
+
+
+N01_SQL = """
+WITH m AS (
+  SELECT lang, COUNT(*) AS cnt,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang),
+e AS (
+  SELECT lang, cnt, s, s2,
+         CAST(s AS DOUBLE) / cnt AS mu,
+         sqrt((CAST(s2 AS DOUBLE) - s * (CAST(s AS DOUBLE) / cnt)) / cnt)
+             AS sigma
+  FROM m)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN e.sigma = 0 THEN NULL
+            ELSE (CAST(d.n_chars AS DOUBLE) - e.mu) / e.sigma END AS z
+FROM documents d JOIN e USING (lang)
+"""
+
+
 def k01_kmeans_clusters(sf_dir: str):
     """Distributed k-means (stages/cluster.kmeans_fit): deterministic
     bottom-k-hash init, one broadcast + one combiner-shuffle per Lloyd
@@ -2246,4 +2295,6 @@ REGISTRY: dict[str, tuple] = {
     "w01_weighted_mixture": (w01_weighted_mixture, W01_SQL),
     "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
     "k01_kmeans_clusters": (k01_kmeans_clusters, K01_SQL),
+    "s03_stratified_sample": (s03_stratified_sample, S03_SQL),
+    "n01_group_zscore": (n01_group_zscore, N01_SQL),
 }

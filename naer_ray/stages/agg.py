@@ -93,3 +93,89 @@ def bucketed_sum(
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def group_zscore(ds, group_col: str, value_col: str, out_col: str = "z"):
+    """Per-row z-score against the row's GROUP mean/std — the two-pass
+    normalize pattern (feature scaling, per-domain length normalization).
+
+    Pass 1 computes exact integer moments per group — per-batch partial
+    ``(count, sum, sum_sq)`` then one tiny grouped merge, so the shuffle
+    carries O(groups) rows and integer addition order cannot perturb the
+    result.  The moment table is broadcast (``ray.put``) and pass 2
+    computes ``z = (x - mu) / sigma`` per row with a FIXED float
+    expression tree::
+
+        mu    = sum / count                  (double division of exact ints)
+        sigma = sqrt((sum_sq - sum*mu) / count)   (population std)
+
+    Every step is an IEEE correctly-rounded op on exactly-represented
+    integers, so the SQL oracle (n01) states the same tree and matches
+    bit-exactly.  Requires an integer ``value_col`` with group sums
+    below 2^53 — the caller scales floats to ints first (the repo's
+    integer-cents trick).  Groups with sigma == 0 emit NULL.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_pandas().astype("int64"),
+            }
+        )
+        df["v2"] = df["v"] * df["v"]
+        out = df.groupby("g", as_index=False, sort=False).agg(
+            cnt=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return pa.table(
+            {
+                group_col: pa.array(out["g"]),
+                "cnt": pa.array(out["cnt"].astype("int64"), pa.int64()),
+                "s": pa.array(out["s"].astype("int64"), pa.int64()),
+                "s2": pa.array(out["s2"].astype("int64"), pa.int64()),
+            }
+        )
+
+    moments = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    mref = ray.put(
+        {
+            g: (int(c), int(s), int(s2))
+            for g, c, s, s2 in zip(
+                moments[group_col], moments["cnt"], moments["s"], moments["s2"]
+            )
+        }
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        groups = batch[group_col].to_pandas()
+        codes, uniques = pd.factorize(groups, sort=False)
+        mu = np.empty(len(uniques), np.float64)
+        sigma = np.empty(len(uniques), np.float64)
+        for i, g in enumerate(uniques):
+            c, s, s2 = m[g]
+            mu[i] = s / c
+            sigma[i] = np.sqrt((s2 - s * mu[i]) / c)
+        x = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sig = sigma[codes]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (x.astype(np.float64) - mu[codes]) / sig
+        z = np.where(sig == 0.0, np.nan, z)
+        return batch.append_column(
+            out_col, pa.array(z, pa.float64(), from_pandas=True)
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -95,6 +95,46 @@ def bottom_k_sample(ds, id_col: str, k: int, salt: int = 0):
     )
 
 
+def stratified_bottom_k(ds, id_col: str, group_col: str, k: int, salt: int = 0):
+    """Per-group fixed-size deterministic sample: the ``k`` rows with
+    the smallest hash rank WITHIN each group (stratified eval sets,
+    per-domain debugging subsets).
+
+    Grouped analogue of :func:`bottom_k_sample`: each batch keeps its
+    local per-group bottom-k (one lexsort + grouped head), so the final
+    merge sees at most k x n_groups x n_blocks rows — reduced on the
+    driver like the grouped-top-k pattern (pipelines/queries.q24); swap
+    for a ``groupby(group)`` merge when k x n_groups outgrows driver
+    memory.
+    """
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        rank = hash_rank_of(ids.astype(np.int64, copy=False), salt)
+        t = batch.append_column("__rank", pa.array(rank, pa.int64()))
+        df = t.to_pandas()
+        keep = (
+            df.sort_values(["__rank", id_col])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["__rank", id_col])
+        .groupby(group_col, sort=False)
+        .head(k)
+        .drop(columns="__rank")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def weighted_mixture_sample(
     ds, id_col: str, group_col: str, rates_pct: dict[str, int],
     default_pct: int = 0, salt: int = 0,

@@ -183,3 +183,44 @@ def test_weighted_mixture_bad_rate(ray_session):
         weighted_mixture_sample(
             _docs_ds(ray, [{"doc_id": 1, "s": "x"}]), "doc_id", "s", {"x": 101}
         )
+
+
+def test_stratified_bottom_k_partition_invariant(ray_session):
+    import ray
+
+    from naer_ray.stages.sample import hash_rank_of, stratified_bottom_k
+
+    rows = [
+        {"doc_id": i, "grp": ["x", "y", "z"][i % 3]} for i in range(900)
+    ]
+    a = stratified_bottom_k(_docs_ds(ray, rows, 1), "doc_id", "grp", 10)
+    b = stratified_bottom_k(_docs_ds(ray, rows, 8), "doc_id", "grp", 10)
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("grp").size() == 10).all()
+    # per-group winners match the explicit rank rule
+    ids = np.arange(900, dtype=np.int64)
+    ranks = hash_rank_of(ids)
+    for gi, g in enumerate(["x", "y", "z"]):
+        gids = ids[ids % 3 == gi]
+        want = set(gids[np.argsort(ranks[gids], kind="stable")[:10]].tolist())
+        assert set(a[a["grp"] == g]["doc_id"]) == want
+
+
+def test_group_zscore_constant_group_null(ray_session):
+    import ray
+
+    from naer_ray.stages.agg import group_zscore
+
+    rows = [{"doc_id": i, "g": "c", "v": 7} for i in range(5)] + [
+        {"doc_id": 10 + i, "g": "d", "v": i} for i in range(5)
+    ]
+    out = group_zscore(_docs_ds(ray, rows, 3), "g", "v").to_pandas()
+    assert out[out["g"] == "c"]["z"].isna().all()
+    zd = out[out["g"] == "d"].sort_values("doc_id")["z"].to_numpy()
+    v = np.arange(5, dtype=np.float64)
+    want = (v - v.mean()) / v.std()
+    assert np.allclose(zd, want)
+    # z-scores of a group sum to ~0
+    assert abs(zd.sum()) < 1e-12
