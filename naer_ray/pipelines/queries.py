@@ -2204,6 +2204,23 @@ FROM documents d JOIN e USING (lang)
 """
 
 
+def t06_normalize_text(sf_dir: str):
+    """Canonical normalization (stages/text.normalize_text): lowercase
+    + whitespace collapse + trim — pure Arrow kernels; Arrow and DuckDB
+    both use RE2, so the regex semantics line up exactly."""
+    from ..stages.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return normalize_text(ds).select_columns(["doc_id", "norm_text"])
+
+
+T06_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def k01_kmeans_clusters(sf_dir: str):
     """Distributed k-means (stages/cluster.kmeans_fit): deterministic
     bottom-k-hash init, one broadcast + one combiner-shuffle per Lloyd
@@ -2297,4 +2314,5 @@ REGISTRY: dict[str, tuple] = {
     "k01_kmeans_clusters": (k01_kmeans_clusters, K01_SQL),
     "s03_stratified_sample": (s03_stratified_sample, S03_SQL),
     "n01_group_zscore": (n01_group_zscore, N01_SQL),
+    "t06_normalize_text": (t06_normalize_text, T06_SQL),
 }

@@ -615,3 +615,27 @@ def tfidf_top_terms(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- normalization
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Canonical text normalization (the standard pre-dedup transform):
+    lowercase -> collapse runs of whitespace to one space -> trim.
+
+    Pure zero-copy Arrow kernels (``utf8_lower`` /
+    ``replace_substring_regex`` / ``utf8_trim_whitespace``); Arrow's
+    regex is RE2 and so is DuckDB's, so the t06 oracle matches exactly
+    without the Python-`re` escape-class shims the tokenizers need.
+    No shuffle, no state.
+    """
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
+        )
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -119,3 +119,24 @@ def test_tfidf_tie_break_term_asc(ray_session):
         .sort_values("doc_id")
     )
     assert list(out["term"]) == ["alpha", "alpha"]
+
+
+def test_normalize_text_kernels(ray_session):
+    import ray.data
+
+    from naer_ray.stages.text import normalize_text
+
+    docs = [
+        {"doc_id": 0, "text": "  Hello   WORLD  "},
+        {"doc_id": 1, "text": "tabs\tand\nnewlines"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "already clean"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert list(out["norm_text"]) == [
+        "hello world",
+        "tabs and newlines",
+        "",
+        "already clean",
+    ]
