@@ -2259,6 +2259,338 @@ FROM range(8)
 """
 
 
+def t07_pii_redact(sf_dir: str):
+    """PII redaction (stages/text.pii_redact): Arrow RE2 count+replace
+    kernels, emails then phones.  The corpus carries no organic PII, so
+    the query plants one deterministic email + phone per doc (pure
+    Arrow concat, mirrored exactly in the SQL) and the oracle checks
+    the redaction kernel end-to-end."""
+    from ..stages.text import pii_redact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks()
+        id_str = pc.cast(ids, pa.string())
+        pad = pc.utf8_lpad(
+            pc.cast(pa.array(ids.to_numpy() % 10000), pa.string()), 4, "0"
+        )
+        aug = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(),
+            " contact user",
+            id_str,
+            "@example.com or call +1-555-",
+            pad,
+            ".",
+            "",
+        )
+        return pa.table({"doc_id": ids, "text": aug})
+
+    return pii_redact(ds.map_batches(inject, batch_format="pyarrow"))
+
+
+T07_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or call +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS t
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(
+             t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+           AS BIGINT) AS n_emails,
+         regexp_replace(
+             t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t2
+  FROM aug)
+SELECT doc_id,
+       regexp_replace(t2, '\+?[0-9][0-9.\-()]{5,}[0-9]', '<PHONE>', 'g')
+           AS red_text,
+       n_emails,
+       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9.\-()]{5,}[0-9]'))
+           AS BIGINT) AS n_phones
+FROM e
+"""
+
+
+def t08_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules (stages/text.gopher_rules): word-count
+    bounds + mean-word-length band + stopword floor, fixed IEEE
+    expression tree (DOUBLE cast before each divide) so the SQL oracle
+    matches bit-exactly."""
+    from ..stages.text import gopher_rules
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_rules(ds)
+
+
+T08_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_chars
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CAST(n_chars AS DOUBLE) / len(ts) AS mean_word_len,
+         CAST(len(list_filter(ts, x -> x IN
+             ('the','and','of','to','a','in','is','it','that','for')))
+           AS DOUBLE) / len(ts) AS stop_frac
+  FROM tok WHERE len(ts) > 0)
+SELECT doc_id, n_words, mean_word_len, stop_frac,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 10.0
+        AND stop_frac >= 0.01) AS keep
+FROM m
+UNION ALL
+SELECT doc_id, 0 AS n_words, NULL, NULL, FALSE
+FROM tok WHERE len(ts) = 0
+"""
+
+
+def p02_chunk_plan(sf_dir: str):
+    """Overlapping chunk plan (stages/text.chunk_plan): budget 128,
+    stride 112 — per-batch arithmetic only (split + repeat/arange),
+    no shuffle; the p01 token convention."""
+    from ..stages.text import chunk_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_plan(ds, budget=128, stride=112)
+
+
+P02_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         GREATEST(1, CAST(ceil((n - 16) / 112.0) AS BIGINT)) AS n_chunks
+  FROM t)
+SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+       CAST(u.i * 112 AS BIGINT) AS start_tok,
+       CAST(LEAST(u.i * 112 + 128, n) AS BIGINT) AS end_tok
+FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+"""
+
+
+def d06_decontaminate(sf_dir: str):
+    """Test-set decontamination (stages/dedup.decontaminate): word
+    8-gram overlap vs a held-out 2% hash split.  Contamination is
+    planted deterministically — each test doc's text re-enters the
+    training side under doc_id+10M — so the flag is exercised in both
+    directions.  Test-side n-grams broadcast once (bounded, documented
+    cap); training batches probe via dictionary-encoded uniques."""
+    import ray
+
+    from ..stages.dedup import decontaminate
+    from ..stages.sample import KNUTH_K
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table, want_test: bool) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_test = ((ids.astype(np.uint64) * np.uint64(KNUTH_K))
+                   & np.uint64(0xFFFFFFFF)) % np.uint64(100) < 2
+        return batch.filter(pa.array(is_test if want_test else ~is_test))
+
+    test_ds = ds.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+
+    def leak(batch: pa.Table) -> pa.Table:
+        b = split(batch, True)
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 10_000_000),
+                "text": b["text"],
+            }
+        )
+
+    train_ds = ds.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    ).union(ds.map_batches(leak, batch_format="pyarrow"))
+    return decontaminate(train_ds, test_ds, n=8)
+
+
+D06_SQL = """
+WITH test_ids AS (
+  SELECT doc_id FROM documents
+  WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 2),
+train AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM test_ids)
+  UNION ALL
+  SELECT d.doc_id + 10000000 AS doc_id, d.text
+  FROM documents d JOIN test_ids USING (doc_id)),
+tok_test AS (
+  SELECT string_split(text, ' ') AS ts
+  FROM documents JOIN test_ids USING (doc_id)),
+tsh AS (
+  SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS g
+  FROM tok_test, UNNEST(range(1, len(ts) - 6)) AS u(i)),
+tok_train AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM train),
+hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM tok_train t, UNNEST(range(1, len(t.ts) - 6)) AS u(i)
+  JOIN tsh ON array_to_string(t.ts[u.i:u.i+7], ' ') = tsh.g)
+SELECT tr.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM train tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def d07_priority_dedup(sf_dir: str):
+    """Cross-source priority dedup (stages/dedup.keep_best_dedup):
+    lowest (source priority, doc_id) wins per distinct text.  Exact
+    duplicates are planted (each doc re-enters as source 'src9' under
+    doc_id+10M) so the keep-best rule is exercised on every text."""
+    from ..stages.dedup import keep_best_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def dup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["doc_id"], 10_000_000),
+                "text": batch["text"],
+                "source": pa.array(["src9"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    prio_map = {"src0": 0, "src1": 1, "src2": 2}
+
+    def with_prio(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["priority"] = (
+            batch["source"].map(prio_map).fillna(9).astype("int64")
+        )
+        return batch[["doc_id", "text", "priority"]]
+
+    both = ds.union(ds.map_batches(dup, batch_format="pyarrow"))
+    keyed = both.map_batches(with_prio, batch_format="pandas")
+    out = keep_best_dedup(keyed, "doc_id", "text", "priority").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["priority"] = out["priority"].astype("int64")
+    return out[["doc_id", "priority"]]
+
+
+D07_SQL = """
+WITH all_rows AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, 'src9' AS source
+  FROM documents),
+p AS (
+  SELECT doc_id, text,
+         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 2 ELSE 9 END AS priority
+  FROM all_rows),
+r AS (
+  SELECT doc_id, priority,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY priority, doc_id)
+             AS rn
+  FROM p)
+SELECT doc_id, CAST(priority AS BIGINT) AS priority FROM r WHERE rn = 1
+"""
+
+
+def w02_user_gaps(sf_dir: str, n_buckets: int = 64):
+    """Per-user inter-event gap stats (lag/lead analytics): bucket-run
+    over a user-hash shuffle, vectorized diff kernel; avg as one fixed
+    DOUBLE divide so the LAG-window oracle matches bit-exactly.
+    Single-event users have no gaps and are excluded (HAVING parity)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(
+                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[0, np.diff(ts_us)]
+        df = pd.DataFrame({"user_id": uid[same], "gap": gap[same]})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
+        )
+        for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
+            out[c] = out[c].astype("int64")
+        out["avg_gap_us"] = (
+            out["sum_gap_us"].astype("float64") / out["n_gaps"].to_numpy()
+        )
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+W02_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS avg_gap_us
+FROM g GROUP BY user_id HAVING COUNT(gap) > 0
+"""
+
+
+def r01_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP (stages/agg.rollup_sum): one distributed
+    finest-level pass (combiner partials + a cardinality-sized
+    shuffle); subtotal and grand-total levels derived from the finest
+    result on the driver — no second scan.  Quantities cast to int64
+    (whole-valued in this corpus) so sums are exact."""
+    from ..stages.agg import rollup_sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(
+                    batch["l_quantity"], pa.int64(), safe=False
+                ),
+            }
+        )
+
+    out = rollup_sum(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+    )
+    return out.rename(columns={"sum_qty": "sum_qty"})
+
+
+R01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2315,4 +2647,11 @@ REGISTRY: dict[str, tuple] = {
     "s03_stratified_sample": (s03_stratified_sample, S03_SQL),
     "n01_group_zscore": (n01_group_zscore, N01_SQL),
     "t06_normalize_text": (t06_normalize_text, T06_SQL),
+    "t07_pii_redact": (t07_pii_redact, T07_SQL),
+    "t08_gopher_rules": (t08_gopher_rules, T08_SQL),
+    "p02_chunk_plan": (p02_chunk_plan, P02_SQL),
+    "d06_decontaminate": (d06_decontaminate, D06_SQL),
+    "d07_priority_dedup": (d07_priority_dedup, D07_SQL),
+    "w02_user_gaps": (w02_user_gaps, W02_SQL),
+    "r01_rollup_agg": (r01_rollup_agg, R01_SQL),
 }

@@ -179,3 +179,56 @@ def group_zscore(ds, group_col: str, value_col: str, out_col: str = "z"):
         )
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def rollup_sum(ds, keys: list[str], value_col: str, count: bool = True):
+    """GROUP BY ROLLUP(keys): subtotals at every key prefix plus the
+    grand total, SQL-ROLLUP-shaped (coarser levels carry NULL in the
+    rolled-up key columns).
+
+    Scale shape: ONE distributed pass computes the finest-level
+    partial sums (combiner inside ``map_batches`` + one small-key
+    shuffle via :func:`bucketed_sum`'s pattern); every coarser level is
+    derived from the finest level's result — which is
+    cardinality-of-keys-sized, not data-sized — with plain pandas on
+    the driver.  No second scan, no extra shuffle.
+
+    ``value_col`` must be integer-valued (caller casts; keeps sums
+    exact and oracle-hashable).
+    """
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False)[value_col].agg(
+            ["sum", "size"]
+        )
+        g.columns = keys + ["s", "n"]
+        return g
+
+    # merge partials: the finest level is small (distinct key combos),
+    # so a single-group reduce is fine; shuffle carries partials only
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+    )
+    levels = [fine.copy()]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl = (
+            fine.groupby(keys[:i], as_index=False)[["s", "n"]].sum()
+            if i
+            else pd.DataFrame([fine[["s", "n"]].sum()])
+        )
+        for k in keys[i:]:
+            lvl[k] = None
+        levels.append(lvl[keys + ["s", "n"]])
+    out = pd.concat(levels, ignore_index=True)
+    cols = {f"sum_{value_col}": out["s"].astype("int64")}
+    if count:
+        cols["n_rows"] = out["n"].astype("int64")
+    res = out[keys].copy()
+    for c, v in cols.items():
+        res[c] = v
+    return res

@@ -1037,3 +1037,145 @@ def embedding_neardup_pairs(
         .groupby("bucket")
         .map_groups(dedupe, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- decontamination
+
+
+def _word_ngram_strings(batch: pa.Table, text_col: str, n: int):
+    """Word n-grams as strings per doc, fully Arrow-vectorized.
+
+    Split on single space (the p01/t05 token convention), flatten, and
+    build each n-gram via ``binary_join_element_wise`` over ``n``
+    shifted takes of the flat token array — no Python per token.
+    Docs with fewer than ``n`` tokens produce no n-grams.
+
+    Returns (grams: pa.Array[string], parents: int64 np.ndarray row
+    index of each gram's document).
+    """
+    toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    m = len(flat)
+    if m < n:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    # position i starts an n-gram iff tokens i..i+n-1 share a parent
+    valid = parents[: m - n + 1] == parents[n - 1 :]
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    shifted = [flat.take(pa.array(idx + j, pa.int64())) for j in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    return grams, parents[idx]
+
+
+def decontaminate(
+    train_ds,
+    test_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_test_shingles: int = 5_000_000,
+):
+    """Test-set decontamination: flag every training doc that shares at
+    least one word ``n``-gram with any test-set doc (the standard
+    eval-leakage scan for LLM training corpora).
+
+    Shape: the test side is the SMALL side by construction (held-out
+    eval sets are a fixed, bounded artifact), so its distinct n-grams
+    are collected once and broadcast via ``ray.put``; each training
+    batch then dictionary-encodes its own n-grams and probes the set
+    on unique values only.  ``max_test_shingles`` bounds the driver /
+    broadcast memory explicitly — beyond it, swap the broadcast for a
+    bucketed co-partition semi-join on the gram (the
+    ``ngram_jaccard_pairs`` machinery); at 100 TB the broadcast side
+    stays a few GB because the *test set* does not grow with the
+    training corpus.
+
+    Returns a Dataset of (id_col, contaminated: bool), one row per
+    training doc.
+    """
+    import ray
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        grams, _parents = _word_ngram_strings(batch, text_col, n)
+        if len(grams):
+            grams = pc.unique(grams)
+        return pa.table({"g": grams})
+
+    gram_set: set = set()
+    for b in test_ds.map_batches(
+        test_grams, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        gram_set.update(b["g"].to_pylist())
+        if len(gram_set) > max_test_shingles:
+            raise ValueError(
+                f"test side exceeds max_test_shingles={max_test_shingles}; "
+                "use the bucketed co-partition path"
+            )
+    gram_ref = ray.put(gram_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        gs = ray.get(gram_ref)
+        n_rows = batch.num_rows
+        grams, parents = _word_ngram_strings(batch, text_col, n)
+        hit = np.zeros(n_rows, dtype=bool)
+        if len(grams):
+            enc = pc.dictionary_encode(grams)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            vocab_hit = np.fromiter(
+                (g in gs for g in enc.dictionary.to_pylist()),
+                dtype=bool,
+                count=len(enc.dictionary),
+            )
+            gram_hit = vocab_hit[enc.indices.to_numpy(zero_copy_only=False)]
+            hit[np.unique(parents[gram_hit])] = True
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contaminated": pa.array(hit, pa.bool_()),
+            }
+        )
+
+    return train_ds.map_batches(probe, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------------------- priority dedup
+
+
+def keep_best_dedup(
+    ds,
+    id_col: str,
+    content_col: str,
+    priority_col: str,
+    n_buckets: int = 64,
+):
+    """Exact dedup keeping the BEST row per distinct content value:
+    lowest ``priority_col`` wins, ties broken by lowest ``id_col`` —
+    the cross-source curation rule ("prefer the curated mirror over
+    the crawl") layered on :func:`exact_dedup`'s hash-bucket shape.
+
+    One content-hash bucket shuffle; collisions resolved by comparing
+    the full content inside the bucket kernel.
+    """
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch[content_col].map(hash_u32)
+        out = batch[[id_col, content_col, priority_col]].copy()
+        out["bucket"] = (h % n_buckets).astype("int32")
+        return out
+
+    def best(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values([priority_col, id_col])
+            .groupby(content_col, as_index=False)
+            .first()
+        )
+        return out[[id_col, priority_col]]
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(best, batch_format="pandas")
+    )

@@ -617,6 +617,176 @@ def tfidf_top_terms(
     return ds.map_batches(score_batch, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- PII redaction
+
+# RE2 patterns (Arrow and DuckDB both run RE2, so the t07 oracle can
+# re-derive the exact same match set).  The phone pattern deliberately
+# avoids \s so no whitespace-class shim is needed.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9.\-()]{5,}[0-9]"
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact emails and phone numbers (the standard pre-training PII
+    scrub): count matches, then replace with ``<EMAIL>`` / ``<PHONE>``
+    placeholders.  Pure Arrow RE2 kernels — ``count_substring_regex``
+    + ``replace_substring_regex`` — no Python per row, no shuffle.
+
+    Emails are redacted first so phone-like digit runs inside an
+    address can't double-fire; the counts are taken against the same
+    intermediate states as the replacements.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        n_emails = pc.count_substring_regex(txt, PII_EMAIL_RE)
+        no_email = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+        n_phones = pc.count_substring_regex(no_email, PII_PHONE_RE)
+        clean = pc.replace_substring_regex(no_email, PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "red_text": clean,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------- quality rules
+
+# Gopher-style document-quality rules (Rae et al. 2021, public) adapted
+# to this corpus: word-count bounds, mean-word-length band, minimum
+# stopword presence.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOP_FRAC = 0.01
+
+
+def gopher_rules(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style quality filter: per-doc word count, mean word
+    length, stopword fraction, and the composed ``keep`` verdict.
+
+    Fully vectorized: regex whitespace split (empties dropped) +
+    ``is_in`` stopword hits bincounted per doc; non-space char counts
+    via one Arrow replace + utf8_length.  The float expression tree is
+    fixed (DOUBLE casts before each divide) so the t08 SQL oracle
+    matches bit-exactly.
+    """
+    stop_set = pa.array(sorted(_LANG_PROFILES["en"]), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        n = len(txt)
+        toks = pc.split_pattern_regex(txt, _RE2_SPACE_CLASS)
+        flat, parents, n_tok = _flat_nonempty(toks, n)
+        hits = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[hits], minlength=n).astype(np.int64)
+        n_chars = pc.utf8_length(
+            pc.replace_substring_regex(txt, _RE2_SPACE_CLASS, "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        nf = n_tok.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = n_chars.astype(np.float64) / nf
+            stop_frac = n_stop.astype(np.float64) / nf
+        empty = n_tok == 0
+        keep = (
+            (n_tok >= GOPHER_MIN_WORDS)
+            & (n_tok <= GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (stop_frac >= GOPHER_MIN_STOP_FRAC)
+        )
+        keep[empty] = False
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_tok, pa.int64()),
+                "mean_word_len": pa.array(
+                    np.where(empty, np.nan, mean_len), pa.float64()
+                ).cast(pa.float64()),
+                "stop_frac": pa.array(
+                    np.where(empty, np.nan, stop_frac), pa.float64()
+                ),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    def null_empty(batch: pa.Table) -> pa.Table:
+        # NaN -> NULL so the schema matches SQL's NULL-on-empty semantics
+        for col in ("mean_word_len", "stop_frac"):
+            vals = batch[col]
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pc.if_else(pc.is_nan(vals), pa.scalar(None, pa.float64()), vals),
+            )
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192).map_batches(
+        null_empty, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------- chunk plan
+
+
+def chunk_plan(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 128,
+    stride: int = 112,
+):
+    """Fixed-size overlapping chunk plan (the context-window splitter):
+    chunk ``i`` covers tokens ``[i*stride, min(i*stride+budget, n))``;
+    the last chunk may be short.  ``n_chunks = max(1, ceil((n - overlap)
+    / stride))`` with ``overlap = budget - stride``.
+
+    Tokenization is the p01 convention (``string_split(text, ' ')``
+    length, so an empty doc counts 1).  Pure per-batch arithmetic —
+    one Arrow split + numpy repeat/arange, no shuffle, no state; the
+    downstream gather of actual token slices is a second map_batches
+    the caller composes.
+    """
+    overlap = budget - stride
+    if overlap < 0 or stride <= 0:
+        raise ValueError("need 0 < stride <= budget")
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = (
+            pc.list_value_length(
+                pc.split_pattern(_string_array(batch[text_col]), " ")
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_chunks = np.maximum(1, -(-(n - overlap) // stride))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rep_ids = np.repeat(ids, n_chunks)
+        starts = np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )  # first output row of each doc
+        chunk_id = np.arange(len(rep_ids), dtype=np.int64) - starts
+        start_tok = chunk_id * stride
+        end_tok = np.minimum(start_tok + budget, np.repeat(n, n_chunks))
+        return pa.table(
+            {
+                id_col: pa.array(rep_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "start_tok": pa.array(start_tok, pa.int64()),
+                "end_tok": pa.array(end_tok, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
 # ----------------------------------------------------------- normalization
 
 

@@ -1,0 +1,218 @@
+"""Edge cases for the round-3 continuation operators:
+
+pii_redact / gopher_rules / chunk_plan (stages/text.py),
+decontaminate / keep_best_dedup (stages/dedup.py),
+rollup_sum (stages/agg.py).
+
+The happy paths over the real corpus are covered by the oracle suite
+(t07/t08/p02/d06/d07/r01 in pipelines/queries.py); these tests hit the
+inputs the corpus never produces.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs(texts, ids=None):
+    import ray.data
+
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+class TestPiiRedact:
+    def test_email_then_phone_no_double_fire(self, ray_session):
+        from naer_ray.stages.text import pii_redact
+
+        out = (
+            pii_redact(
+                _docs(
+                    [
+                        "mail me at a.b+c@ex-1.co.uk now",
+                        "call +1-555-0100 or (555)0199 ok",
+                        "digits 12345678@digits.example end",
+                        "nothing sensitive here",
+                        "",
+                    ]
+                )
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "red_text"] == "mail me at <EMAIL> now"
+        assert (out.loc[0, "n_emails"], out.loc[0, "n_phones"]) == (1, 0)
+        assert out.loc[1, "red_text"] == "call <PHONE> or (<PHONE> ok"
+        assert out.loc[1, "n_phones"] == 2
+        # the digit run sits inside an email: email redaction wins,
+        # no phone match remains
+        assert out.loc[2, "n_emails"] == 1 and out.loc[2, "n_phones"] == 0
+        assert out.loc[3, "red_text"] == "nothing sensitive here"
+        assert out.loc[4, "red_text"] == ""
+        assert out[["n_emails", "n_phones"]].dtypes.tolist() == [
+            np.dtype("int64")
+        ] * 2
+
+
+class TestGopherRules:
+    def test_empty_and_short_docs(self, ray_session):
+        from naer_ray.stages.text import gopher_rules
+
+        good = " ".join(["the cat sat on a mat for fun"] * 10)  # 80 words
+        out = (
+            gopher_rules(_docs(["", "   ", "tiny doc here", good]))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # empty / whitespace-only: n_words 0, NULL stats, keep False
+        for i in (0, 1):
+            assert out.loc[i, "n_words"] == 0
+            assert pd.isna(out.loc[i, "mean_word_len"])
+            assert pd.isna(out.loc[i, "stop_frac"])
+            assert not out.loc[i, "keep"]
+        # short doc fails the min-words bound
+        assert out.loc[2, "n_words"] == 3 and not out.loc[2, "keep"]
+        # the good doc passes every rule
+        assert out.loc[3, "n_words"] == 80
+        assert bool(out.loc[3, "keep"])
+        # "the", "a", "for" hit the stopword set: 3 per 8 words
+        assert out.loc[3, "stop_frac"] == pytest.approx(30 / 80)
+
+    def test_mean_word_len_band(self, ray_session):
+        from naer_ray.stages.text import gopher_rules
+
+        # 60 long tokens: word count OK, mean length 24 > 10 -> reject
+        long_doc = " ".join(["antidisestablishmentarian"] * 60)
+        out = gopher_rules(_docs([long_doc])).to_pandas()
+        assert out.loc[0, "mean_word_len"] > 10 and not out.loc[0, "keep"]
+
+
+class TestChunkPlan:
+    def test_boundaries(self, ray_session):
+        from naer_ray.stages.text import chunk_plan
+
+        def doc(n):
+            return " ".join(["w"] * n)
+
+        # n=1 (empty string splits to one token), n<budget, n==budget,
+        # n==budget+1 (first extra token forces a second chunk)
+        out = (
+            chunk_plan(
+                _docs(["", doc(100), doc(128), doc(129)]),
+                budget=128,
+                stride=112,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        per = out.groupby("doc_id")["chunk_id"].count()
+        assert per.tolist() == [1, 1, 1, 2]
+        row = out[(out.doc_id == 3) & (out.chunk_id == 1)].iloc[0]
+        assert (row.start_tok, row.end_tok) == (112, 129)
+        # every chunk covers [i*stride, min(i*stride+budget, n)]
+        assert (out.start_tok == out.chunk_id * 112).all()
+        assert (out.end_tok - out.start_tok <= 128).all()
+        # consecutive chunks overlap by budget-stride on the long doc
+        assert (
+            out[out.doc_id == 3].iloc[0].end_tok
+            - out[out.doc_id == 3].iloc[1].start_tok
+            == 16
+        )
+
+    def test_bad_stride_raises(self, ray_session):
+        from naer_ray.stages.text import chunk_plan
+
+        with pytest.raises(ValueError):
+            chunk_plan(_docs(["x"]), budget=128, stride=129)
+        with pytest.raises(ValueError):
+            chunk_plan(_docs(["x"]), budget=128, stride=0)
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, ray_session):
+        from naer_ray.stages.dedup import decontaminate
+
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+        test = _docs([f"prefix words {shared} suffix words"], ids=[100])
+        train = _docs(
+            [
+                f"leading text {shared} trailing text",  # contaminated
+                "totally unrelated content with eight or more words here",
+                "short doc",  # < n tokens: never contaminated
+                shared,  # exactly the 8-gram
+            ],
+            ids=[0, 1, 2, 3],
+        )
+        out = (
+            decontaminate(train, test, n=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["contaminated"].tolist() == [True, False, False, True]
+
+    def test_shingle_cap_raises(self, ray_session):
+        from naer_ray.stages.dedup import decontaminate
+
+        test = _docs(["one two three four five six seven eight nine ten"])
+        with pytest.raises(ValueError, match="max_test_shingles"):
+            decontaminate(_docs(["x"]), test, n=8, max_test_shingles=1)
+
+
+class TestKeepBestDedup:
+    def test_priority_then_id_tiebreak(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.dedup import keep_best_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["same", "same", "same", "other", "other", "solo"],
+                "priority": [2, 0, 0, 1, 1, 9],
+            }
+        )
+        out = (
+            keep_best_dedup(
+                ray.data.from_pandas(df), "doc_id", "text", "priority"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # 'same': priority 0 wins, tie between ids 2 and 3 -> 2
+        # 'other': tie at priority 1 -> id 4; 'solo' survives untouched
+        assert out["doc_id"].tolist() == [2, 4, 6]
+        assert out["priority"].tolist() == [0, 1, 9]
+
+
+class TestRollupSum:
+    def test_levels_match_manual_totals(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.agg import rollup_sum
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "y"],
+                "b": ["p", "q", "p", "p", "q"],
+                "v": [1, 2, 4, 8, 16],
+            }
+        )
+        out = rollup_sum(ray.data.from_pandas(df), ["a", "b"], "v")
+        fine = out[out.a.notna() & out.b.notna()]
+        mid = out[out.a.notna() & out.b.isna()]
+        grand = out[out.a.isna()]
+        assert len(fine) == 4 and len(mid) == 2 and len(grand) == 1
+        assert grand["sum_v"].iloc[0] == 31 and grand["n_rows"].iloc[0] == 5
+        assert (
+            mid.set_index("a")["sum_v"].to_dict() == {"x": 3, "y": 28}
+        )
+        key = fine.set_index(["a", "b"])["sum_v"].to_dict()
+        assert key == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 12, ("y", "q"): 16}
