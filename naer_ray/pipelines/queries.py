@@ -2591,6 +2591,112 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def _lineify(col, every: int = 7):
+    """Insert a newline after every ``every`` tokens (RE2 backref
+    rewrite — identical semantics in Arrow and DuckDB, both RE2)."""
+    pat = r"((?:\S+ ){%d}\S+) " % (every - 1)
+    return pc.replace_substring_regex(col, pat, "\\1\n")
+
+
+_LINEIFY_SQL = r"regexp_replace({col}, '((?:\S+ ){{6}}\S+) ', '\1' || chr(10), 'g')"
+
+
+def t09_c4_line_rules(sf_dir: str):
+    """C4-style line cleaning (stages/text.c4_line_rules).  The corpus
+    carries no newlines or punctuation, so the query plants line
+    structure deterministically — token replacements ('table'→'table.'
+    for terminal punctuation, 'spark'→'javascript', 'slow'→'{slow}',
+    'key agg'→'lorem ipsum') then a newline every 7 tokens — mirrored
+    exactly in the SQL, so every rule fires on real data."""
+    from ..stages.text import c4_line_rules
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def structure(batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks()
+        t = pc.replace_substring_regex(t, r"\bkey agg\b", "lorem ipsum")
+        t = pc.replace_substring_regex(t, r"\b(table|row|value|scan)\b", r"\1.")
+        t = pc.replace_substring_regex(t, r"\bspark\b", "javascript")
+        t = pc.replace_substring_regex(t, r"\bslow\b", "{slow}")
+        return pa.table({"doc_id": batch["doc_id"], "text": _lineify(t)})
+
+    return c4_line_rules(ds.map_batches(structure, batch_format="pyarrow"))
+
+
+T09_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, '\bkey agg\b', 'lorem ipsum', 'g'),
+             '\b(table|row|value|scan)\b', '\1.', 'g'),
+             '\bspark\b', 'javascript', 'g'),
+             '\bslow\b', '{slow}', 'g'),
+             '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents),
+l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM aug),
+k AS (
+  SELECT doc_id, t, ls,
+         list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(string_split_regex(x, '\s+'),
+                                 y -> y <> '')) >= 5
+             AND NOT contains(x, '{')
+             AND NOT regexp_matches(x, '(?i)javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')) AS keep
+FROM k
+"""
+
+
+def d08_line_dedup(sf_dir: str):
+    """Corpus-wide line dedup (stages/dedup.line_dedup).  Line
+    structure is planted (newline every 7 tokens) plus one shared
+    boilerplate footer appended to EVERY doc — only the earliest doc
+    keeps the footer, exercising the global first-win rule on real
+    cross-doc duplication."""
+    from ..stages.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def structure(batch: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            _lineify(batch["text"].combine_chunks()),
+            "shared boilerplate footer line",
+            "\n",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return line_dedup(ds.map_batches(structure, batch_format="pyarrow"))
+
+
+D08_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){6}\S+) ', '\1' || chr(10), 'g')
+           || chr(10) || 'shared boilerplate footer line' AS t
+  FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM aug),
+lines AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS line_no, a[u.i + 1] AS line
+  FROM ls, UNNEST(range(0, len(a))) AS u(i)),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+w AS (SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, line_no) AS rn
+      FROM lines)
+SELECT w.doc_id,
+       string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(any_value(n_lines) AS BIGINT) AS n_lines
+FROM w JOIN tot USING (doc_id)
+WHERE rn = 1
+GROUP BY w.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2654,4 +2760,6 @@ REGISTRY: dict[str, tuple] = {
     "d07_priority_dedup": (d07_priority_dedup, D07_SQL),
     "w02_user_gaps": (w02_user_gaps, W02_SQL),
     "r01_rollup_agg": (r01_rollup_agg, R01_SQL),
+    "t09_c4_line_rules": (t09_c4_line_rules, T09_SQL),
+    "d08_line_dedup": (d08_line_dedup, D08_SQL),
 }

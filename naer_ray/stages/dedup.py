@@ -1179,3 +1179,88 @@ def keep_best_dedup(
         .groupby("bucket")
         .map_groups(best, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               n_buckets: int = 64):
+    """Corpus-wide exact line dedup (the RefinedWeb/C4 boilerplate
+    remover): across ALL docs, each distinct line survives only where
+    it first appears (lowest ``(id, line_no)``); docs are reassembled
+    from their surviving lines in original order.
+
+    Shape: explode to (id, line_no, line, n_lines) rows — the line
+    bucket key is hashed on the batch's dictionary-encoded UNIQUE
+    lines, so hashing is O(distinct lines), not O(rows).  ONE
+    line-hash bucket shuffle picks global winners (full line value
+    compared inside the bucket, so hash collisions are safe); ONE
+    doc-hash bucket shuffle reassembles.  Docs whose every line loses
+    (pure-boilerplate docs) drop out of the result — standard filter
+    semantics; callers wanting them back anti-join on the id set.
+
+    Returns (id_col, clean_text, n_kept, n_lines).
+    """
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        from .text import _per_parent_rank, _string_array
+
+        txt = _string_array(batch[text_col])
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        line_no = _per_parent_rank(parents)
+        n_lines = np.bincount(parents, minlength=batch.num_rows)
+        codes = pc.dictionary_encode(flat)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        uniq_hash = np.fromiter(
+            (hash_u32(s) for s in codes.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(codes.dictionary),
+        )
+        bucket = (uniq_hash % n_buckets).astype(np.int32)[
+            codes.indices.to_numpy(zero_copy_only=False)
+        ]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                id_col: ids[parents],
+                "line_no": line_no,
+                "line": flat.to_pandas(),
+                "n_lines": n_lines[parents].astype(np.int64),
+                "bucket": bucket,
+            }
+        )
+
+    def winners(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(["line", id_col, "line_no"]).drop_duplicates(
+            "line"
+        )[[id_col, "line_no", "line", "n_lines"]]
+        out = out.copy()
+        out["bucket"] = (
+            out[id_col].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return out
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "line_no"])
+        agg = g.groupby(id_col, as_index=False).agg(
+            clean_text=("line", "\n".join),
+            n_kept=("line", "size"),
+            n_lines=("n_lines", "first"),
+        )
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        agg["n_lines"] = agg["n_lines"].astype("int64")
+        return agg
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )

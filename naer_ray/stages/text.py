@@ -809,3 +809,81 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
         return batch.append_column(out_col, out)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- C4 line rules
+
+# C4-style line-level cleaning (Raffel et al. 2020, public): keep a
+# line only if it ends in terminal punctuation, has enough words, and
+# carries no code/boilerplate markers; keep a page only if enough
+# lines survive and it isn't placeholder text.
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_rules(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_LINE_WORDS,
+    min_lines: int = C4_MIN_KEPT_LINES,
+):
+    """C4-style line cleaning: per line keep iff it ends in terminal
+    punctuation, has >= ``min_words`` words, contains no ``{`` and no
+    'javascript' (case-insensitive); the doc's ``keep`` verdict needs
+    >= ``min_lines`` surviving lines and no 'lorem ipsum' anywhere.
+
+    Fully vectorized, no shuffle: split on newline -> flat line array
+    + parent indices; every rule is one Arrow RE2 / substring kernel
+    over the flat array; surviving lines are re-listed from bincounted
+    offsets and joined with ``binary_join`` — no Python per line.
+
+    Returns (id_col, clean_text, n_lines, n_kept, keep).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        n = len(txt)
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = np.bincount(parents, minlength=n).astype(np.int64)
+        words = pc.count_substring_regex(flat, r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        ok = (
+            pc.match_substring_regex(flat, C4_TERMINAL_RE).to_numpy(
+                zero_copy_only=False
+            )
+            & (words >= min_words)
+            & ~pc.match_substring(flat, "{").to_numpy(zero_copy_only=False)
+            & ~pc.match_substring_regex(flat, "(?i)javascript").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        idx = np.flatnonzero(ok)
+        kept = flat.take(pa.array(idx, pa.int64()))
+        n_kept = np.bincount(parents[idx], minlength=n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept),
+            "\n",
+        )
+        lorem = pc.match_substring(
+            pc.utf8_lower(txt), "lorem ipsum"
+        ).to_numpy(zero_copy_only=False)
+        keep = (n_kept >= min_lines) & ~lorem
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": clean,
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)

@@ -216,3 +216,70 @@ class TestRollupSum:
         )
         key = fine.set_index(["a", "b"])["sum_v"].to_dict()
         assert key == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 12, ("y", "q"): 16}
+
+
+class TestC4LineRules:
+    def test_each_rule_fires(self, ray_session):
+        from naer_ray.stages.text import c4_line_rules
+
+        doc = "\n".join(
+            [
+                "this line has enough words here.",  # kept
+                "short line.",  # < 5 words
+                "no terminal punctuation on this line",  # no punct
+                "this { braced } line has enough words.",  # brace
+                "this JavaScript line has enough words too.",  # js marker
+                'a quoted line with plenty of words"',  # quote counts
+                "ends with a question and enough words?",  # kept
+            ]
+        )
+        out = c4_line_rules(_docs([doc, "Lorem Ipsum filler."]), min_lines=2)
+        df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert df.loc[0, "n_lines"] == 7 and df.loc[0, "n_kept"] == 3
+        assert df.loc[0, "clean_text"].count("\n") == 2
+        assert bool(df.loc[0, "keep"])
+        # lorem-ipsum doc is rejected regardless of its lines
+        assert not df.loc[1, "keep"]
+
+    def test_empty_doc(self, ray_session):
+        from naer_ray.stages.text import c4_line_rules
+
+        df = c4_line_rules(_docs([""])).to_pandas()
+        assert df.loc[0, "clean_text"] == ""
+        assert df.loc[0, "n_lines"] == 1 and df.loc[0, "n_kept"] == 0
+        assert not df.loc[0, "keep"]
+
+
+class TestLineDedup:
+    def test_first_doc_wins_shared_lines(self, ray_session):
+        from naer_ray.stages.dedup import line_dedup
+
+        footer = "shared footer"
+        docs = _docs(
+            [
+                f"a one\nb one\n{footer}",
+                f"c two\nd two\n{footer}",
+                footer,  # loses its only line -> drops out
+                f"{footer}\ne three",
+            ]
+        )
+        out = (
+            line_dedup(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [0, 1, 3]
+        assert out.loc[0, "clean_text"] == f"a one\nb one\n{footer}"
+        assert out.loc[0, "n_kept"] == 3 and out.loc[0, "n_lines"] == 3
+        assert out.loc[1, "clean_text"] == "c two\nd two"
+        assert out.loc[1, "n_kept"] == 2 and out.loc[1, "n_lines"] == 3
+        # doc 3 keeps only its unique line, in original order
+        assert out.loc[2, "clean_text"] == "e three"
+
+    def test_within_doc_duplicates_collapse(self, ray_session):
+        from naer_ray.stages.dedup import line_dedup
+
+        out = line_dedup(_docs(["x y\nx y\nz w"])).to_pandas()
+        assert out.loc[0, "clean_text"] == "x y\nz w"
+        assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_lines"] == 3
