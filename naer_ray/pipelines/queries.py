@@ -2697,6 +2697,71 @@ GROUP BY w.doc_id
 """
 
 
+def q29_heavy_hitters(sf_dir: str, k: int = 20):
+    """Exact top-k frequent tokens via Misra-Gries sketch-then-verify
+    (stages/sketch.frequent_tokens_topk): bounded-memory candidate
+    generation + one exact counting pass over the broadcast candidate
+    set — never a full-vocabulary shuffle.  The exactness guard
+    (k-th count > N/(capacity+1)) makes the result provably equal to
+    the brute-force SQL top-k, deterministic ties (count desc, token
+    asc)."""
+    from ..stages.sketch import frequent_tokens_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return frequent_tokens_topk(ds, k=k, capacity=256)
+
+
+Q29_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS token
+  FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def w03_running_revenue(sf_dir: str, n_buckets: int = 64):
+    """Per-customer running order total (cumulative window aggregate):
+    bucket-run over a custkey-hash shuffle, vectorized groupby-cumsum
+    inside the bucket kernel; integer-cents so the SUM OVER oracle is
+    exact."""
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (
+            batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        g["price_c"] = _cents(g["o_totalprice"].to_numpy())
+        g["running_c"] = (
+            g.groupby("o_custkey")["price_c"].cumsum().astype("int64")
+        )
+        return g[["o_custkey", "o_orderkey", "running_c"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+W03_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2762,4 +2827,6 @@ REGISTRY: dict[str, tuple] = {
     "r01_rollup_agg": (r01_rollup_agg, R01_SQL),
     "t09_c4_line_rules": (t09_c4_line_rules, T09_SQL),
     "d08_line_dedup": (d08_line_dedup, D08_SQL),
+    "q29_heavy_hitters": (q29_heavy_hitters, Q29_SQL),
+    "w03_running_revenue": (w03_running_revenue, W03_SQL),
 }

@@ -9,6 +9,8 @@ reduce — shuffle volume is O(batches × 2^p bytes), never O(rows).
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..testdata import hash_u32
 
@@ -92,3 +94,163 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
             other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
             merged.merge(other)
     return merged.estimate()
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary with capacity ``m``.
+
+    After ``N`` items, the stored count of any item satisfies
+    ``true - N/(m+1) <= stored <= true`` and every item with true
+    count > N/(m+1) is guaranteed present.  Merging summaries keeps
+    the combined-N bound (Agarwal et al. 2013, "Mergeable Summaries" —
+    public).  Memory is O(m) regardless of vocabulary size.
+    """
+
+    def __init__(self, m: int):
+        self.m = m
+        self.counts: dict = {}
+
+    def add_counts(self, items, counts) -> "MisraGries":
+        d = self.counts
+        for t, c in zip(items, counts):
+            d[t] = d.get(t, 0) + int(c)
+        if len(d) > self.m:
+            # decrement by the (m+1)-th largest count, drop <= 0
+            dec = sorted(d.values(), reverse=True)[self.m]
+            self.counts = {t: c - dec for t, c in d.items() if c > dec}
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        return self.add_counts(other.counts.keys(), other.counts.values())
+
+
+def frequent_tokens_topk(
+    ds,
+    text_col: str = "text",
+    k: int = 10,
+    capacity: int = 256,
+    batch_size: int = 65536,
+):
+    """EXACT top-k frequent tokens over an unbounded vocabulary via
+    sketch-then-verify — the 100 TB shape where a full token groupby
+    would shuffle the whole vocabulary:
+
+    1. One pass builds per-batch Misra-Gries summaries on the batch's
+       dictionary-encoded UNIQUE tokens (exact in-batch counts, then
+       one shrink) — each summary is <= ``capacity`` rows; the driver
+       merge holds O(capacity) entries total.
+    2. The merged candidate set (a guaranteed superset of every token
+       with count > N/(capacity+1)) is broadcast via ``ray.put``; a
+       second pass counts ONLY candidates exactly (``is_in`` on batch
+       uniques), reduced by a capacity-bounded groupby.
+    3. Exactness guard: if the k-th candidate's exact count is not
+       > N/(capacity+1), a non-candidate could tie into the top-k and
+       the result is not provably exact — raise with the capacity to
+       retry at.  Ties break (count desc, token asc).
+
+    Returns a pandas DataFrame (token, cnt), k rows.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(batch[text_col].combine_chunks(), ""), " "
+            )
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        enc = pc.dictionary_encode(toks)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        cnts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(enc.dictionary),
+        )
+        mg = MisraGries(capacity).add_counts(
+            enc.dictionary.to_pylist(), cnts
+        )
+        items = list(mg.counts.items())
+        # batch item total rides on the first summary row only, so
+        # n_total is a plain column sum even if Ray coalesces blocks;
+        # a shrink can empty the summary (uniform over-capacity batch),
+        # so a null-token carrier row keeps N when there are no items
+        tokens = [t for t, _ in items] or [None]
+        cnts = [c for _, c in items] or [0]
+        n_items = [int(len(toks))] + [0] * (len(tokens) - 1)
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "n_items": pa.array(n_items, pa.int64()),
+            }
+        )
+
+    merged, n_total = MisraGries(capacity), 0
+    for block in ds.map_batches(
+        summarize, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        if block.num_rows == 0:
+            continue
+        n_total += int(pc.sum(block["n_items"]).as_py() or 0)
+        df = block.select(["token", "cnt"]).to_pandas()
+        df = df[df["token"].notna()]
+        merged.add_counts(df["token"], df["cnt"])
+
+    candidates = sorted(merged.counts)
+    cand_ref = ray.put(set(candidates))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        toks = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(batch[text_col].combine_chunks(), ""), " "
+            )
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        enc = pc.dictionary_encode(toks)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        cnts = np.bincount(
+            enc.indices.to_numpy(zero_copy_only=False), minlength=len(vocab)
+        )
+        keep = [i for i, t in enumerate(vocab) if t in cands]
+        return pa.table(
+            {
+                "token": pa.array([vocab[i] for i in keep], pa.string()),
+                "cnt": pa.array(cnts[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    if candidates:
+        exact = (
+            ds.map_batches(
+                count_candidates,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            .groupby("token")
+            .sum("cnt")
+            .to_pandas()
+            .rename(columns={"sum(cnt)": "cnt"})
+        )
+        exact = exact.sort_values(
+            ["cnt", "token"], ascending=[False, True], ignore_index=True
+        )
+    else:
+        exact = pd.DataFrame({"token": pd.Series([], dtype=str), "cnt": []})
+    top = exact.head(k).copy()
+    # provably exact iff k candidates survive AND the k-th exact count
+    # beats the sketch error bound (so no non-candidate can tie in)
+    kth = int(top["cnt"].iloc[-1]) if len(top) == k else 0
+    if n_total and not kth > n_total / (capacity + 1):
+        raise ValueError(
+            f"top-{k} not provably exact at capacity={capacity} "
+            f"(k-th count {kth} <= N/(m+1) = "
+            f"{n_total / (capacity + 1):.1f}); retry with capacity >= "
+            f"{int(n_total / max(kth, 1)) + 1}"
+        )
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["token", "cnt"]]

@@ -283,3 +283,56 @@ class TestLineDedup:
         out = line_dedup(_docs(["x y\nx y\nz w"])).to_pandas()
         assert out.loc[0, "clean_text"] == "x y\nz w"
         assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_lines"] == 3
+
+
+class TestMisraGries:
+    def test_summary_guarantee(self):
+        from naer_ray.stages.sketch import MisraGries
+
+        rng = np.random.RandomState(3)
+        items = [f"t{i}" for i in np.repeat(np.arange(200), rng.randint(1, 40, 200))]
+        rng.shuffle(items)
+        true = pd.Series(items).value_counts()
+        n = len(items)
+        m = 32
+        mg = MisraGries(m)
+        for lo in range(0, n, 97):  # uneven bulk adds
+            chunk = pd.Series(items[lo : lo + 97]).value_counts()
+            mg.add_counts(chunk.index, chunk.to_numpy())
+        assert len(mg.counts) <= m
+        for t, c in mg.counts.items():
+            assert true[t] - n / (m + 1) <= c <= true[t]
+        # every item above the error bound is present
+        for t, c in true.items():
+            if c > n / (m + 1):
+                assert t in mg.counts
+
+    def test_topk_exact_under_capacity_pressure(self, ray_session):
+        from naer_ray.stages.sketch import frequent_tokens_topk
+
+        # 300 distinct tokens, zipf-ish; capacity 64 << vocab
+        texts = []
+        for i in range(300):
+            texts.extend([f"tok{i:03d}"] * (1 + 3000 // (i + 1)))
+        docs = _docs([" ".join(texts[i::7]) for i in range(7)])
+        out = frequent_tokens_topk(docs, k=5, capacity=64)
+        exact = (
+            pd.Series(texts)
+            .value_counts()
+            .rename_axis("token")
+            .reset_index(name="cnt")
+            .sort_values(["cnt", "token"], ascending=[False, True])
+            .head(5)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exact, check_dtype=False
+        )
+
+    def test_guard_raises_when_not_provable(self, ray_session):
+        from naer_ray.stages.sketch import frequent_tokens_topk
+
+        # uniform counts: nothing exceeds N/(m+1) at tiny capacity
+        docs = _docs([" ".join(f"u{i:04d}" for i in range(500))] * 2)
+        with pytest.raises(ValueError, match="capacity"):
+            frequent_tokens_topk(docs, k=3, capacity=4)
