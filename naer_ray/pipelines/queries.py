@@ -2762,6 +2762,64 @@ FROM orders
 """
 
 
+def t10_rep_ngrams(sf_dir: str):
+    """Gopher repetition filter (stages/text.rep_ngrams): fraction of
+    characters in the most common word 2-gram and in duplicated word
+    5-grams; the corpus's small vocabulary guarantees both rules fire
+    on real data (e.g. 'batch batch batch')."""
+    from ..stages.text import rep_ngrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return rep_ngrams(ds)
+
+
+T10_SQL = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_chars
+  FROM documents),
+g2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+         length(w[i]) + length(w[i+1]) AS glen
+  FROM ws, UNNEST(range(1, len(w))) AS u(i)),
+g2c AS (
+  SELECT doc_id, g, glen, count(*) AS c FROM g2 GROUP BY ALL),
+top2 AS (
+  SELECT doc_id, c, glen,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+  FROM g2c),
+g5 AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS g,
+         length(w[i]) + length(w[i+1]) + length(w[i+2])
+              + length(w[i+3]) + length(w[i+4]) AS glen
+  FROM ws, UNNEST(range(1, len(w) - 3)) AS u(i)),
+g5c AS (
+  SELECT doc_id, g, glen, count(*) AS c FROM g5 GROUP BY ALL),
+dup5 AS (
+  SELECT doc_id, CAST(SUM(c * glen) AS DOUBLE) AS dup_chars
+  FROM g5c WHERE c > 1 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_words,
+       CASE WHEN len(d.w) >= 2
+            THEN CAST(t.c * t.glen AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
+       END AS top2_frac,
+       CASE WHEN len(d.w) >= 5
+            THEN COALESCE(p.dup_chars / CAST(d.n_chars AS DOUBLE), 0.0)
+       END AS dup5_frac,
+       (len(d.w) > 0
+        AND COALESCE(CAST(t.c * t.glen AS DOUBLE)
+                     / CAST(d.n_chars AS DOUBLE), 0) <= 0.20
+        AND COALESCE(p.dup_chars / CAST(d.n_chars AS DOUBLE), 0) <= 0.15)
+           AS keep
+FROM ws d
+LEFT JOIN top2 t ON t.doc_id = d.doc_id AND t.rn = 1
+LEFT JOIN dup5 p ON p.doc_id = d.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -2829,4 +2887,5 @@ REGISTRY: dict[str, tuple] = {
     "d08_line_dedup": (d08_line_dedup, D08_SQL),
     "q29_heavy_hitters": (q29_heavy_hitters, Q29_SQL),
     "w03_running_revenue": (w03_running_revenue, W03_SQL),
+    "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
 }

@@ -887,3 +887,120 @@ def c4_line_rules(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------- repetition (Gopher rep rules)
+
+REP_TOP2_MAX = 0.20
+REP_DUP5_MAX = 0.15
+
+
+def _gram_stats(flat, lens, parents, k):
+    """Per-distinct word ``k``-gram stats for one batch.
+
+    Returns ``(doc_u, cnt, glen_u, lex)`` — one row per distinct
+    (doc, gram): owning doc index, occurrence count, character length
+    of the gram's tokens (separators excluded), and the gram's
+    lexicographic rank within the batch (for deterministic
+    tie-breaking).  Grams never cross doc boundaries.
+    """
+    m = len(parents)
+    empty = (np.empty(0, np.int64),) * 4
+    if m < k:
+        return empty
+    span = m - k + 1
+    ok = np.ones(span, bool)
+    for j in range(1, k):
+        ok &= parents[:span] == parents[j : span + j]
+    idx = np.flatnonzero(ok)
+    if idx.size == 0:
+        return empty
+    parts = [flat.take(pa.array(idx + j, pa.int64())) for j in range(k)]
+    g = pc.binary_join_element_wise(*parts, " ")
+    glen = lens[idx]
+    for j in range(1, k):
+        glen = glen + lens[idx + j]
+    g_np = g.to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(g_np, return_inverse=True)
+    gp = parents[idx].astype(np.int64)
+    key = gp * np.int64(len(uniq)) + inv
+    ukey, uidx, cnt = np.unique(key, return_index=True, return_counts=True)
+    doc_u = ukey // len(uniq)
+    lex = ukey % len(uniq)
+    return doc_u, cnt.astype(np.int64), glen[uidx].astype(np.int64), lex
+
+
+def rep_ngrams(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-doc fraction of characters covered by
+    the most common word 2-gram (``top2_frac``) and by duplicated word
+    5-grams (``dup5_frac``); ``keep`` composes both thresholds.
+
+    Definitions (shared bit-exactly with the t10 SQL oracle):
+
+    - chars = non-whitespace character count (sum of token lengths).
+    - top2_frac = count(top 2-gram) * charlen(gram) / chars, the top
+      gram chosen by (count DESC, gram ASC); NULL when < 2 words.
+    - dup5_frac = sum over distinct 5-grams with count > 1 of
+      count * charlen / chars (overlaps counted per occurrence, the
+      deterministic spec); 0.0 when 5-grams exist but none repeat;
+      NULL when < 5 words.
+    - keep = n_words > 0 AND coalesce(top2,0) <= 0.20
+      AND coalesce(dup5,0) <= 0.15.
+
+    Fully vectorized: one regex split per batch, Arrow take/join for
+    gram assembly, np.unique for per-(doc,gram) counts.  No shuffle —
+    per-doc metrics stay inside the producing batch, so this scales as
+    a pure map stage.  (No reference analogue; builder-brief operator.)
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        n = len(txt)
+        toks = pc.split_pattern_regex(txt, _RE2_SPACE_CLASS)
+        flat, parents, n_tok = _flat_nonempty(toks, n)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = np.bincount(parents, weights=lens, minlength=n).astype(np.int64)
+        chars_f = chars.astype(np.float64)
+
+        top2 = np.full(n, np.nan)
+        d2, c2, l2, x2 = _gram_stats(flat, lens, parents, 2)
+        if d2.size:
+            order = np.lexsort((x2, -c2, d2))
+            ds_, firsts = np.unique(d2[order], return_index=True)
+            sel = order[firsts]
+            top2[ds_] = (c2[sel] * l2[sel]).astype(np.float64) / chars_f[ds_]
+
+        dup5 = np.full(n, np.nan)
+        dup5[n_tok >= 5] = 0.0
+        d5, c5, l5, _ = _gram_stats(flat, lens, parents, 5)
+        if d5.size:
+            mask = c5 > 1
+            if mask.any():
+                add = np.bincount(
+                    d5[mask], weights=(c5 * l5)[mask].astype(np.float64),
+                    minlength=n,
+                )
+                has = np.zeros(n, bool)
+                has[d5[mask]] = True
+                dup5[has] = add[has] / chars_f[has]
+
+        t2k = np.where(np.isnan(top2), 0.0, top2)
+        d5k = np.where(np.isnan(dup5), 0.0, dup5)
+        keep = (n_tok > 0) & (t2k <= REP_TOP2_MAX) & (d5k <= REP_DUP5_MAX)
+
+        def nn(v):
+            a = pa.array(v, pa.float64())
+            return pc.if_else(pc.is_nan(a), pa.scalar(None, pa.float64()), a)
+
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_tok, pa.int64()),
+                "top2_frac": nn(top2),
+                "dup5_frac": nn(dup5),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)

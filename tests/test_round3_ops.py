@@ -336,3 +336,39 @@ class TestMisraGries:
         docs = _docs([" ".join(f"u{i:04d}" for i in range(500))] * 2)
         with pytest.raises(ValueError, match="capacity"):
             frequent_tokens_topk(docs, k=3, capacity=4)
+
+
+class TestRepNgrams:
+    def test_edge_and_repeat_docs(self, ray_session):
+        from naer_ray.stages.text import rep_ngrams
+
+        out = (
+            rep_ngrams(_docs([
+                "",                      # empty
+                "one",                   # 1 word: no grams at all
+                "a b c d",               # 4 words: 2-grams, no 5-grams
+                "x y " * 30,             # pure repetition: both rules fire
+                "a b c d e f g h i j",   # 10 distinct: 5-grams, no dups
+            ]))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out.loc[0, "n_words"] == 0 and not out.loc[0, "keep"]
+        assert pd.isna(out.loc[0, "top2_frac"]) and pd.isna(out.loc[0, "dup5_frac"])
+        assert pd.isna(out.loc[1, "top2_frac"]) and bool(out.loc[1, "keep"])
+        # 4 words -> top2 defined, dup5 NULL
+        assert not pd.isna(out.loc[2, "top2_frac"])
+        assert pd.isna(out.loc[2, "dup5_frac"])
+        # "x y" repeated: top 2-gram ('x y', count 30 of 59 grams,
+        # 2 chars each over 60 chars) -> 30*2/60 = 1.0; all 5-grams dup
+        assert out.loc[3, "top2_frac"] == pytest.approx(1.0)
+        assert out.loc[3, "dup5_frac"] > 0.15 and not out.loc[3, "keep"]
+        # distinct 5-grams: dup5 exactly 0.0 (not NULL)
+        assert out.loc[4, "dup5_frac"] == 0.0
+
+    def test_tiebreak_is_lexicographic(self, ray_session):
+        from naer_ray.stages.text import rep_ngrams
+
+        # grams 'b a' and 'a b' both occur twice ("a b a b a"):
+        # a-b (x2), b-a (x2) -> top is 'a b' (lex smaller), frac 2*2/5
+        out = rep_ngrams(_docs(["a b a b a"])).to_pandas()
+        assert out.loc[0, "top2_frac"] == pytest.approx(4 / 5)
