@@ -2762,6 +2762,133 @@ FROM orders
 """
 
 
+def r02_cube_agg(sf_dir: str):
+    """GROUP BY CUBE (stages/agg.cube_sum): all 2^k grouping subsets
+    from ONE distributed finest-level pass; coarser levels derived
+    from the cardinality-sized finest result, no second scan."""
+    from ..stages.agg import cube_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return cube_sum(ds, ["lang", "source"], "n_chars")
+
+
+R02_SQL = """
+SELECT lang, source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+def w04_order_ntile(sf_dir: str, k: int = 4, n_buckets: int = 64):
+    """NTILE window function: quartile of each order within its
+    customer's date-ordered history.  Bucket-run over a custkey-hash
+    shuffle (w03 pattern); the tile assignment is the SQL NTILE rule
+    (first n%k tiles get one extra row) computed vectorized from
+    cumcount + group size — no per-group Python."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (
+            batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        grp = g.groupby("o_custkey")
+        r = grp.cumcount().to_numpy()
+        n = grp["o_orderkey"].transform("size").to_numpy()
+        q, rem = n // k, n % k
+        boundary = rem * (q + 1)
+        tile = np.where(
+            r < boundary,
+            r // (q + 1),
+            rem + (r - boundary) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "tile": tile.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(ntile, batch_format="pandas")
+    )
+
+
+W04_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(NTILE(4) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS tile
+FROM orders
+"""
+
+
+def w05_funnel(sf_dir: str, gap_us: int = 600_000_000, n_buckets: int = 64):
+    """Sequence-pattern funnel (MATCH_RECOGNIZE-lite): per user, count
+    view→click and click→purchase steps where the second event
+    IMMEDIATELY follows the first (same user, ts order, event_id
+    tie-break) within 10 minutes.  Bucket-run over a user-hash
+    shuffle; the adjacency test is one vectorized shift-compare —
+    the LAG window expressed without a global sort."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bucket"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        prev = np.r_[[""], et[:-1]]
+        gap = np.r_[0, np.diff(ts_us)]
+        close = same & (gap <= gap_us)
+        vc = close & (prev == "view") & (et == "click")
+        cp = close & (prev == "click") & (et == "purchase")
+        out = pd.DataFrame({"user_id": uid, "vc": vc, "cp": cp})
+        res = out.groupby("user_id", as_index=False).agg(
+            n_view_click=("vc", "sum"), n_click_purchase=("cp", "sum")
+        )
+        for c in ("n_view_click", "n_click_purchase"):
+            res[c] = res[c].astype("int64")
+        return res
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+W05_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, event_id,
+         LAG(event_type) OVER w AS prev_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(COUNT(*) FILTER (prev_type = 'view' AND event_type = 'click'
+            AND gap <= 600000000) AS BIGINT) AS n_view_click,
+       CAST(COUNT(*) FILTER (prev_type = 'click'
+            AND event_type = 'purchase'
+            AND gap <= 600000000) AS BIGINT) AS n_click_purchase
+FROM s GROUP BY user_id
+"""
+
+
 def t10_rep_ngrams(sf_dir: str):
     """Gopher repetition filter (stages/text.rep_ngrams): fraction of
     characters in the most common word 2-gram and in duplicated word
@@ -2888,4 +3015,7 @@ REGISTRY: dict[str, tuple] = {
     "q29_heavy_hitters": (q29_heavy_hitters, Q29_SQL),
     "w03_running_revenue": (w03_running_revenue, W03_SQL),
     "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
+    "r02_cube_agg": (r02_cube_agg, R02_SQL),
+    "w04_order_ntile": (w04_order_ntile, W04_SQL),
+    "w05_funnel": (w05_funnel, W05_SQL),
 }

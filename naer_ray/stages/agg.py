@@ -232,3 +232,50 @@ def rollup_sum(ds, keys: list[str], value_col: str, count: bool = True):
     for c, v in cols.items():
         res[c] = v
     return res
+
+
+def cube_sum(ds, keys: list[str], value_col: str, count: bool = True):
+    """GROUP BY CUBE(keys): totals for every subset of the grouping
+    keys (2^k levels), SQL-CUBE-shaped (NULL in the cubed-out
+    columns).
+
+    Same scale shape as :func:`rollup_sum`: ONE distributed
+    finest-level pass, then every coarser level is derived from that
+    cardinality-sized result on the driver — no second scan.
+    ``value_col`` must be integer-valued (caller casts).
+    """
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False)[value_col].agg(
+            ["sum", "size"]
+        )
+        g.columns = keys + ["s", "n"]
+        return g
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .sum(["s", "n"])
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+    )
+    levels = []
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if len(kept) == len(keys):
+            lvl = fine.copy()
+        elif kept:
+            lvl = fine.groupby(kept, as_index=False)[["s", "n"]].sum()
+        else:
+            lvl = pd.DataFrame([fine[["s", "n"]].sum()])
+        for k in keys:
+            if k not in kept:
+                lvl[k] = None
+        levels.append(lvl[keys + ["s", "n"]])
+    out = pd.concat(levels, ignore_index=True)
+    res = out[keys].copy()
+    res[f"sum_{value_col}"] = out["s"].astype("int64")
+    if count:
+        res["n_rows"] = out["n"].astype("int64")
+    return res

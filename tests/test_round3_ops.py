@@ -372,3 +372,103 @@ class TestRepNgrams:
         # a-b (x2), b-a (x2) -> top is 'a b' (lex smaller), frac 2*2/5
         out = rep_ngrams(_docs(["a b a b a"])).to_pandas()
         assert out.loc[0, "top2_frac"] == pytest.approx(4 / 5)
+
+
+class TestCubeSum:
+    def test_levels_match_manual_totals(self, ray_session):
+        import ray.data
+        from naer_ray.stages.agg import cube_sum
+
+        t = pa.table(
+            {
+                "a": ["x", "x", "y", "y"],
+                "b": ["p", "q", "p", "p"],
+                "v": pa.array([1, 2, 4, 8], pa.int64()),
+            }
+        )
+        out = cube_sum(ray.data.from_arrow(t), ["a", "b"], "v")
+        # 2^2 levels: fine(3) + by-a(2) + by-b(2) + grand(1) = 8 rows
+        assert len(out) == 8
+        grand = out[out["a"].isna() & out["b"].isna()]
+        assert grand["sum_v"].iloc[0] == 15 and grand["n_rows"].iloc[0] == 4
+        by_b = out[out["a"].isna() & (out["b"] == "p")]
+        assert by_b["sum_v"].iloc[0] == 13  # 1 + 4 + 8
+        by_a = out[(out["a"] == "x") & out["b"].isna()]
+        assert by_a["sum_v"].iloc[0] == 3
+
+
+class TestNtile:
+    def test_small_groups_and_remainder(self, ray_session):
+        import ray.data
+        from naer_ray.pipelines.queries import w04_order_ntile
+        import naer_ray.pipelines.queries as Q
+
+        # custkey 1 has 6 orders -> NTILE(4) sizes 2,2,1,1;
+        # custkey 2 has 2 orders (< k) -> tiles 1,2
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(list(range(8)), pa.int64()),
+                "o_custkey": pa.array([1] * 6 + [2] * 2, pa.int64()),
+                "o_orderdate": pa.array(
+                    pd.to_datetime(
+                        [f"2024-01-0{i+1}" for i in range(6)]
+                        + ["2024-02-01", "2024-02-02"]
+                    ).astype("datetime64[us]")
+                ),
+            }
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, os.path.join(d, "orders.parquet"))
+            out = (
+                w04_order_ntile(d)
+                .to_pandas()
+                .sort_values(["o_custkey", "o_orderkey"])
+                .reset_index(drop=True)
+            )
+        assert list(out[out.o_custkey == 1]["tile"]) == [1, 1, 2, 2, 3, 4]
+        assert list(out[out.o_custkey == 2]["tile"]) == [1, 2]
+
+
+class TestFunnel:
+    def test_adjacency_and_gap_boundary(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+        from naer_ray.pipelines.queries import w05_funnel
+
+        base = pd.Timestamp("2024-01-01")
+        rows = [
+            # user 1: view -> click 10 min exactly (counts, <=),
+            # then click -> purchase 10 min + 1 us (does not count)
+            (0, 1, "view", base),
+            (1, 1, "click", base + pd.Timedelta(minutes=10)),
+            (2, 1, "purchase",
+             base + pd.Timedelta(minutes=20, microseconds=1)),
+            # user 2: view then error then click -> not adjacent
+            (3, 2, "view", base),
+            (4, 2, "error", base + pd.Timedelta(seconds=1)),
+            (5, 2, "click", base + pd.Timedelta(seconds=2)),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "ts": pa.array(
+                    pd.Series([r[3] for r in rows]).astype("datetime64[us]")
+                ),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = (
+                w05_funnel(d)
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+        assert list(out["n_view_click"]) == [1, 0]
+        assert list(out["n_click_purchase"]) == [0, 0]
