@@ -2762,6 +2762,79 @@ FROM orders
 """
 
 
+def q30_set_ops(sf_dir: str):
+    """Distributed INTERSECT / EXCEPT decomposition: classify each
+    custkey as 'both' (INTERSECT), 'only_a' (A EXCEPT B) or 'only_b'
+    (B EXCEPT A), where A = customers with an URGENT order and B =
+    customers with a finished ('F') order.  Per-batch dedup partials
+    (one small row per distinct member key per batch) then ONE
+    key-shuffle max-reduce — never ships full rows, never runs three
+    separate passes."""
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch.loc[
+            batch["o_orderpriority"] == "1-URGENT", "o_custkey"
+        ].unique()
+        b = batch.loc[batch["o_orderstatus"] == "F", "o_custkey"].unique()
+        df = pd.concat(
+            [
+                pd.DataFrame({"o_custkey": a, "in_a": 1, "in_b": 0}),
+                pd.DataFrame({"o_custkey": b, "in_a": 0, "in_b": 1}),
+            ]
+        )
+        return df.groupby("o_custkey", as_index=False).max()
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["max(in_a)"].to_numpy() == 1
+        b = batch["max(in_b)"].to_numpy() == 1
+        op = np.where(a & b, "both", np.where(a, "only_a", "only_b"))
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].astype("int64"), "set_op": op}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("o_custkey")
+        .max(["in_a", "in_b"])
+        .map_batches(classify, batch_format="pandas")
+    )
+
+
+Q30_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'both' AS set_op
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT o_custkey, 'only_a' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT o_custkey, 'only_b' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
+def q31_quantile_sketch(sf_dir: str):
+    """Mergeable quantile sketch over l_extendedprice with an exact
+    rank-verification gate (stages/sketch.quantile_sketch_gate):
+    p50/p90/p99 estimates must have true rank within ±1% — asserted
+    against literal-TRUE oracle rows, the q22/q29 sketch-then-verify
+    pattern."""
+    from ..stages.sketch import quantile_sketch_gate
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return quantile_sketch_gate(ds, "l_extendedprice")
+
+
+Q31_SQL = """
+SELECT CAST(q AS DOUBLE) AS quantile, TRUE AS within_eps
+FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+"""
+
+
 def r02_cube_agg(sf_dir: str):
     """GROUP BY CUBE (stages/agg.cube_sum): all 2^k grouping subsets
     from ONE distributed finest-level pass; coarser levels derived
@@ -3015,6 +3088,8 @@ REGISTRY: dict[str, tuple] = {
     "q29_heavy_hitters": (q29_heavy_hitters, Q29_SQL),
     "w03_running_revenue": (w03_running_revenue, W03_SQL),
     "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
+    "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q31_quantile_sketch": (q31_quantile_sketch, Q31_SQL),
     "r02_cube_agg": (r02_cube_agg, R02_SQL),
     "w04_order_ntile": (w04_order_ntile, W04_SQL),
     "w05_funnel": (w05_funnel, W05_SQL),

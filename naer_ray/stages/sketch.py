@@ -254,3 +254,137 @@ def frequent_tokens_topk(
         )
     top["cnt"] = top["cnt"].astype("int64")
     return top[["token", "cnt"]]
+
+
+class QuantileSketch:
+    """Mergeable weighted-sample quantile summary with capacity ``c``.
+
+    Per-batch: the batch's sorted values enter with unit weight and are
+    compressed to ``c`` evenly-(weight-)spaced representatives, each
+    carrying ``W/c`` weight.  Merging concatenates, re-sorts, and
+    re-compresses — O(c) memory regardless of input size, the
+    mergeable-summary shape (Agarwal et al. 2013; the compression is
+    the classic equi-weight sample, not GK, so the rank-error bound is
+    empirical — the caller VERIFIES the estimate's true rank with one
+    exact counting pass, q29-style sketch-then-verify).
+    """
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.values = np.empty(0, np.float64)
+        self.weights = np.empty(0, np.float64)
+
+    @property
+    def total(self) -> float:
+        return float(self.weights.sum())
+
+    def _load(self, values_sorted: np.ndarray, weights: np.ndarray):
+        if len(values_sorted) <= self.capacity:
+            self.values, self.weights = values_sorted, weights
+            return self
+        w_total = weights.sum()
+        cum = np.cumsum(weights) - weights / 2.0  # midpoint ranks
+        targets = (np.arange(self.capacity) + 0.5) / self.capacity * w_total
+        idx = np.clip(
+            np.searchsorted(cum, targets), 0, len(values_sorted) - 1
+        )
+        self.values = values_sorted[idx]
+        self.weights = np.full(self.capacity, w_total / self.capacity)
+        return self
+
+    @classmethod
+    def from_array(cls, v: np.ndarray, capacity: int = 1024):
+        v = np.asarray(v, np.float64)
+        return cls(capacity)._load(np.sort(v), np.ones(len(v)))
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        values = np.concatenate([self.values, other.values])
+        weights = np.concatenate([self.weights, other.weights])
+        order = np.argsort(values, kind="stable")
+        return self._load(values[order], weights[order])
+
+    def query(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight >= q * W."""
+        if not len(self.values):
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        i = int(np.searchsorted(cum, q * cum[-1]))
+        return float(self.values[min(i, len(self.values) - 1)])
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.values, self.weights]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, capacity: int = 1024):
+        arr = np.frombuffer(buf, np.float64)
+        sk = cls(capacity)
+        sk.values = arr[: len(arr) // 2].copy()
+        sk.weights = arr[len(arr) // 2 :].copy()
+        return sk
+
+
+def quantile_sketch_gate(
+    ds,
+    col: str,
+    quantiles=(0.5, 0.9, 0.99),
+    capacity: int = 1024,
+    eps: float = 0.01,
+    batch_size: int = 65536,
+):
+    """Approximate quantiles via mergeable sketches + an EXACT rank
+    verification (sketch-then-verify, the q29 pattern):
+
+    1. One pass builds a per-batch :class:`QuantileSketch`; the driver
+       merges O(batches) fixed-size summaries.
+    2. One exact pass counts rows strictly below / at-or-below each
+       estimate (vectorized compare, a scalar pair per batch) — the
+       estimate's TRUE rank interval.
+    3. Gate: the rank interval must overlap ``q ± eps`` — asserted per
+       quantile, so a bad sketch breaks the literal-TRUE oracle.
+
+    Returns a DataFrame (quantile, within_eps) — one row per quantile.
+    """
+    import pandas as pd
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v.astype(np.float64))]
+        sk = QuantileSketch.from_array(v, capacity)
+        return pa.table(
+            {"sketch": pa.array([sk.to_bytes()], pa.binary()),
+             "n": pa.array([len(v)], pa.int64())}
+        )
+
+    merged, n_total = QuantileSketch(capacity), 0
+    for block in ds.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size
+    ).iter_batches(batch_format="pyarrow"):
+        for buf, n in zip(block["sketch"].to_pylist(), block["n"].to_pylist()):
+            merged = merged.merge(QuantileSketch.from_bytes(buf, capacity))
+            n_total += int(n)
+
+    ests = np.array([merged.query(q) for q in quantiles])
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v.astype(np.float64))]
+        lt = np.array([(v < e).sum() for e in ests], np.int64)
+        le = np.array([(v <= e).sum() for e in ests], np.int64)
+        return pa.table(
+            {"i": pa.array(np.arange(len(ests)), pa.int64()),
+             "lt": pa.array(lt, pa.int64()),
+             "le": pa.array(le, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(ranks, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("i")
+        .sum(["lt", "le"])
+        .to_pandas()
+        .sort_values("i")
+    )
+    lt = agg["sum(lt)"].to_numpy(np.float64)
+    le = agg["sum(le)"].to_numpy(np.float64)
+    qs = np.array(quantiles, np.float64)
+    ok = (lt / n_total <= qs + eps) & (le / n_total >= qs - eps)
+    return pd.DataFrame({"quantile": qs, "within_eps": ok})
