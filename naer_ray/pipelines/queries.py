@@ -2835,6 +2835,104 @@ FROM (VALUES (0.5), (0.9), (0.99)) t(q)
 """
 
 
+def q32_grouped_hll(sf_dir: str):
+    """Per-group approximate distinct (grouped mergeable HLLs,
+    stages/sketch.grouped_approx_distinct) gated within 5% of the
+    exact per-group count (computed by the q21 bucketed-distinct
+    pipeline) — literal-TRUE oracle rows per group."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    est = grouped_approx_distinct(ds, "o_orderpriority", "o_custkey")
+    exact = q21_distinct_count(sf_dir).set_index("o_orderpriority")[
+        "n_customers"
+    ]
+    rows = [
+        (g, bool(abs(est.get(g, 0.0) - n) <= 0.05 * max(n, 1)))
+        for g, n in exact.items()
+    ]
+    return pd.DataFrame(rows, columns=["o_orderpriority", "within_5pct"])
+
+
+Q32_SQL = """
+SELECT DISTINCT o_orderpriority, TRUE AS within_5pct FROM orders
+"""
+
+
+def r03_pivot(sf_dir: str):
+    """PIVOT: documents count by source (rows) × lang (columns).  One
+    distributed (source, lang) combiner-count pass; the pivot itself
+    runs on the cardinality-sized result (sources × langs), never on
+    rows.  Column set is the corpus's closed lang vocabulary."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    wide = (
+        fine.pivot_table(
+            index="source", columns="lang", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=langs, fill_value=0)
+        .reset_index()
+    )
+    wide.columns.name = None
+    for c in langs:
+        wide[c] = wide[c].astype("int64")
+    return wide
+
+
+R03_SQL = """
+SELECT source,
+       CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source
+"""
+
+
+def s04_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data ordering: range-
+    partitioned sort on a splitmix-style hash of doc_id — the same
+    permutation on every run and any partition layout, without
+    ``random_shuffle``'s nondeterminism.  The oracle checks the row
+    SET is preserved; determinism and mixing are unit-tested."""
+    from ..stages.sketch import _fmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _fmix64(ids.astype(np.uint64))  # full avalanche: a
+        # multiplicative hash stays monotonic for small ids (no wrap)
+        return batch.append_column(
+            "_h", pa.array(h.view(np.int64), pa.int64())
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort("_h")
+        .drop_columns(["_h"])
+    )
+
+
+S04_SQL = """
+SELECT doc_id, lang, source FROM documents
+"""
+
+
 def r02_cube_agg(sf_dir: str):
     """GROUP BY CUBE (stages/agg.cube_sum): all 2^k grouping subsets
     from ONE distributed finest-level pass; coarser levels derived
@@ -3089,6 +3187,9 @@ REGISTRY: dict[str, tuple] = {
     "w03_running_revenue": (w03_running_revenue, W03_SQL),
     "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q32_grouped_hll": (q32_grouped_hll, Q32_SQL),
+    "r03_pivot": (r03_pivot, R03_SQL),
+    "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
     "q31_quantile_sketch": (q31_quantile_sketch, Q31_SQL),
     "r02_cube_agg": (r02_cube_agg, R02_SQL),
     "w04_order_ntile": (w04_order_ntile, W04_SQL),

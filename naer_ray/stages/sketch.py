@@ -388,3 +388,38 @@ def quantile_sketch_gate(
     qs = np.array(quantiles, np.float64)
     ok = (lt / n_total <= qs + eps) & (le / n_total >= qs - eps)
     return pd.DataFrame({"quantile": qs, "within_eps": ok})
+
+
+def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 12):
+    """Per-group approximate COUNT(DISTINCT col): one mergeable HLL
+    per (batch, group) — shuffle volume is O(batches × groups × 2^p),
+    never O(rows).  Groups are assumed low-cardinality (dashboard
+    dimensions); the driver merge holds groups × 2^p bytes.
+
+    Returns ``dict group -> estimate``.
+    """
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"g": batch[group_col].to_pylist(), "v": batch[col].to_pylist()}
+        )
+        groups, bufs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            groups.append(g)
+            bufs.append(
+                HyperLogLog(p).add_many(sub["v"].unique()).registers.tobytes()
+            )
+        return pa.table(
+            {"g": pa.array(groups), "registers": pa.array(bufs, pa.binary())}
+        )
+
+    merged: dict = {}
+    parts = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=65536)
+    for block in parts.iter_batches(batch_format="pyarrow"):
+        for g, buf in zip(block["g"].to_pylist(), block["registers"].to_pylist()):
+            hll = merged.setdefault(g, HyperLogLog(p))
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
+            hll.merge(other)
+    return {g: hll.estimate() for g, hll in merged.items()}

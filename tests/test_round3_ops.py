@@ -472,3 +472,37 @@ class TestFunnel:
             )
         assert list(out["n_view_click"]) == [1, 0]
         assert list(out["n_click_purchase"]) == [0, 0]
+
+
+class TestGlobalShuffle:
+    def test_deterministic_and_mixed(self, ray_session):
+        from naer_ray.pipelines.queries import s04_global_shuffle
+
+        sf = "/root/testdata/sf0.001"
+        a = s04_global_shuffle(sf).to_pandas()
+        b = s04_global_shuffle(sf).to_pandas()
+        # identical permutation across runs
+        pd.testing.assert_frame_equal(a, b)
+        ids = a["doc_id"].to_numpy()
+        # a real permutation of the input, not the input order
+        assert sorted(ids) == list(range(len(ids)))
+        assert not np.array_equal(ids, np.arange(len(ids)))
+        # well-mixed: adjacent doc_ids are far apart on average
+        assert np.abs(np.diff(ids.astype(np.int64))).mean() > len(ids) / 10
+
+
+class TestGroupedHll:
+    def test_small_groups_exactish(self, ray_session):
+        import ray.data
+        from naer_ray.stages.sketch import grouped_approx_distinct
+
+        t = pa.table(
+            {
+                "g": (["a"] * 600 + ["b"] * 400),
+                "v": [i % 97 for i in range(600)] + [i % 13 for i in range(400)],
+            }
+        )
+        est = grouped_approx_distinct(
+            ray.data.from_arrow(t).repartition(4), "g", "v"
+        )
+        assert abs(est["a"] - 97) <= 3 and abs(est["b"] - 13) <= 1
