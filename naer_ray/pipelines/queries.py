@@ -2933,6 +2933,164 @@ SELECT doc_id, lang, source FROM documents
 """
 
 
+def e01_json_extract(sf_dir: str):
+    """Vectorized JSON field extraction: pull ``k`` out of the
+    ``props`` JSON column with one RE2 ``extract_regex`` kernel (no
+    per-row json.loads), then aggregate per event_type.  The shape for
+    semi-structured columns at scale: regex/simdjson-style projection
+    inside map_batches, aggregation on the extracted ints."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch["props"].combine_chunks(), r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", as_index=False)["k"].agg(
+            ["sum", "size"]
+        )
+        g.columns = ["event_type", "s", "n"]
+        return g
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .sum(["s", "n"])
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum(s)"].astype("int64")
+    out["n_events"] = out["sum(n)"].astype("int64")
+    return out[["event_type", "sum_k", "n_events"]]
+
+
+E01_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def g01_pagerank(sf_dir: str, iters: int = 3):
+    """Iterative graph computation: integer-arithmetic PageRank over
+    the bidirected part↔supplier graph from DISTINCT lineitem pairs.
+
+    All arithmetic is scaled-int64 with explicit floor divisions
+    (rank0 = SCALE//N; contrib = rank//outdeg; rank' = (15*(SCALE//N))
+    //100 + (85*in_sum)//100) so every iteration is order-independent
+    and the 3-round SQL oracle matches hash-exactly — no float
+    summation-order hazard.
+
+    Ray shape: the edge list stays distributed; per-iteration, batches
+    pre-aggregate (dst, contrib) partials and a BUCKETED sum reduces
+    them (64 bucket-runs — never a per-edge-key groupby, the CLAUDE.md
+    bucket-run rule); the node→rank vector (node-sized, not
+    edge-sized) broadcasts via ``ray.put``.  Assumption documented:
+    node set fits worker memory (true for entity/catalog graphs; a
+    web-scale node set would co-partition ranks with edges by dst
+    instead)."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    SCALE = 1_000_000_000
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates()
+        p = g["l_partkey"].to_numpy().astype(np.int64) * 2
+        s = g["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1
+        return pd.DataFrame(
+            {"src": np.concatenate([p, s]), "dst": np.concatenate([s, p])}
+        )
+
+    both = ds.map_batches(
+        edge_partial, batch_format="pandas", batch_size=65536
+    )
+    edges = (
+        bucketed_sum(both, ["src", "dst"], [], count_col="n")
+        .drop_columns(["n"])
+        .materialize()  # distinct edge list, reused every iteration
+    )
+    deg_df = bucketed_sum(edges, ["src"], [], count_col="od").to_pandas()
+    outdeg = pd.Series(
+        deg_df["od"].astype("int64").to_numpy(),
+        index=deg_df["src"].to_numpy(),
+    )
+    nodes = outdeg.index.to_numpy()  # every node has an edge (bidirected)
+    n = len(nodes)
+    base = (15 * (SCALE // n)) // 100
+    ranks = pd.Series(np.full(n, SCALE // n, np.int64), index=nodes)
+
+    for _ in range(iters):
+        rank_ref = ray.put(ranks)
+        deg_ref = ray.put(outdeg)
+
+        def contribs(batch: pd.DataFrame) -> pd.DataFrame:
+            r, d = ray.get(rank_ref), ray.get(deg_ref)
+            src = batch["src"].to_numpy()
+            c = (
+                r.loc[src].to_numpy(np.int64)
+                // d.loc[src].to_numpy(np.int64)
+            )
+            out = pd.DataFrame({"dst": batch["dst"].to_numpy(), "c": c})
+            return out.groupby("dst", as_index=False)["c"].sum()
+
+        agg = bucketed_sum(
+            edges.map_batches(contribs, batch_format="pandas"),
+            ["dst"],
+            ["c"],
+        ).to_pandas()
+        in_sum = pd.Series(
+            agg["c"].astype("int64").to_numpy(),
+            index=agg["dst"].to_numpy(),
+        ).reindex(nodes, fill_value=0)
+        ranks = base + (85 * in_sum) // 100
+
+    return pd.DataFrame(
+        {"node_id": nodes.astype("int64"), "rank": ranks.to_numpy("int64")}
+    ).sort_values("node_id", ignore_index=True)
+
+
+G01_SQL = """
+WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM d
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM d),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT src AS id, 1000000000 // (SELECT n FROM p) AS r FROM deg),
+i1 AS (SELECT e.dst AS id, SUM(r0.r // deg.od) AS s
+       FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT r0.id,
+              (15 * (1000000000 // (SELECT n FROM p))) // 100
+              + (85 * COALESCE(i1.s, 0)) // 100 AS r
+       FROM r0 LEFT JOIN i1 ON i1.id = r0.id),
+i2 AS (SELECT e.dst AS id, SUM(r1.r // deg.od) AS s
+       FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT r1.id,
+              (15 * (1000000000 // (SELECT n FROM p))) // 100
+              + (85 * COALESCE(i2.s, 0)) // 100 AS r
+       FROM r1 LEFT JOIN i2 ON i2.id = r1.id),
+i3 AS (SELECT e.dst AS id, SUM(r2.r // deg.od) AS s
+       FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT r2.id,
+              (15 * (1000000000 // (SELECT n FROM p))) // 100
+              + (85 * COALESCE(i3.s, 0)) // 100 AS r
+       FROM r2 LEFT JOIN i3 ON i3.id = r2.id)
+SELECT id AS node_id, CAST(r AS BIGINT) AS rank FROM r3
+"""
+
+
 def r02_cube_agg(sf_dir: str):
     """GROUP BY CUBE (stages/agg.cube_sum): all 2^k grouping subsets
     from ONE distributed finest-level pass; coarser levels derived
@@ -3188,6 +3346,8 @@ REGISTRY: dict[str, tuple] = {
     "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
     "q32_grouped_hll": (q32_grouped_hll, Q32_SQL),
+    "e01_json_extract": (e01_json_extract, E01_SQL),
+    "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
     "q31_quantile_sketch": (q31_quantile_sketch, Q31_SQL),

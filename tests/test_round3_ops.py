@@ -506,3 +506,46 @@ class TestGroupedHll:
             ray.data.from_arrow(t).repartition(4), "g", "v"
         )
         assert abs(est["a"] - 97) <= 3 and abs(est["b"] - 13) <= 1
+
+
+class TestPagerank:
+    def test_small_graph_hand_computed(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+        from naer_ray.pipelines.queries import g01_pagerank
+
+        # parts {1,2} both link supplier 7; bidirected:
+        # nodes: 2, 4 (parts), 15 (supp); edges 2->15, 4->15, 15->2, 15->4
+        t = pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 1], pa.int64()),  # dup edge
+                "l_suppkey": pa.array([7, 7, 7], pa.int64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+            out = g01_pagerank(d, iters=1).set_index("node_id")["rank"]
+        S, n = 1_000_000_000, 3
+        r0, base = S // n, (15 * (S // n)) // 100
+        # supp 15 receives r0//1 from each part; parts receive r0//2
+        assert out[15] == base + (85 * (2 * r0)) // 100
+        assert out[2] == base + (85 * (r0 // 2)) // 100
+        assert out[4] == out[2]
+
+
+class TestJsonExtract:
+    def test_negative_and_spacing(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+        from naer_ray.pipelines.queries import e01_json_extract
+
+        t = pa.table(
+            {
+                "event_type": ["a", "a", "b"],
+                "props": ['{"k": -5}', '{"k":7}', '{ "k":  42 }'],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = e01_json_extract(d).set_index("event_type")
+        assert out.loc["a", "sum_k"] == 2 and out.loc["b", "sum_k"] == 42
