@@ -3276,6 +3276,220 @@ LEFT JOIN dup5 p ON p.doc_id = d.doc_id
 """
 
 
+def w06_retention_cohorts(sf_dir: str, n_buckets: int = 64):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted once per later active week (offset).  The classic
+    training-data / product-analytics rollup.
+
+    Ray shape: one user-hash bucket shuffle co-locates each user's
+    events; inside a bucket-run the kernel reduces to DISTINCT
+    (user, week), a per-user MIN transform, and a partial
+    (cohort_week, week_offset) count — all vectorized pandas.  Buckets
+    partition users, so partial counts are disjoint user sets; the
+    final merge is a bucketed sum over the cardinality-sized partials
+    (weeks x offsets rows, not events)."""
+    from ..stages.agg import bucketed_sum
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        week = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // WEEK_US
+        )
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "week": week,
+                "bucket": (uid % n_buckets).astype(np.int32),
+            }
+        ).drop_duplicates()
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["user_id", "week"]].drop_duplicates()
+        cohort = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_week": cohort.to_numpy(),
+                "week_offset": df["week"].to_numpy() - cohort.to_numpy(),
+            }
+        )
+        p = out.groupby(
+            ["cohort_week", "week_offset"], as_index=False
+        ).size()
+        return p.rename(columns={"size": "n_users"}).astype("int64")
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cohort_partial, batch_format="pandas")
+    )
+    out = bucketed_sum(
+        partials, ["cohort_week", "week_offset"], ["n_users"], n_buckets=8
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+W06_SQL = """
+WITH w AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(w.week - f.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def w07_activity_streaks(sf_dir: str, n_buckets: int = 64):
+    """Gaps-and-islands: per-user runs of consecutive active days
+    (streaks).  SQL needs the day - ROW_NUMBER() grouping trick; the
+    Ray kernel gets the same islands from one boolean break mask over
+    the user-sorted distinct-day array — no window function, no
+    per-user loop.  One user-hash bucket shuffle, then vectorized
+    numpy inside each bucket-run."""
+    DAY_US = 86_400 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        day = (
+            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // DAY_US
+        )
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "day": day,
+                "bucket": (uid % n_buckets).astype(np.int32),
+            }
+        ).drop_duplicates()
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            g[["user_id", "day"]]
+            .drop_duplicates()
+            .sort_values(["user_id", "day"])
+        )
+        uid = df["user_id"].to_numpy()
+        day = df["day"].to_numpy()
+        # A new streak starts at each user change or day gap > 1.
+        start = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(day) != 1)]
+        sid = np.cumsum(start) - 1
+        lens = np.bincount(sid)  # streak lengths, in order
+        out = pd.DataFrame(
+            {"user_id": uid[start], "len": lens.astype(np.int64)}
+        )
+        res = out.groupby("user_id", as_index=False).agg(
+            n_streaks=("len", "size"), max_streak_days=("len", "max")
+        )
+        return res.astype("int64")
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(streaks, batch_format="pandas")
+    )
+
+
+W07_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d),
+s AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM i GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MAX(len) AS max_streak_days
+FROM s GROUP BY user_id
+"""
+
+_SCD2_OPEN_US = np.iinfo(np.int64).max  # "current row" sentinel
+
+
+def i01_scd2_intervals(sf_dir: str, n_buckets: int = 64):
+    """SCD2 / CDC interval build: collapse each user's event stream
+    into validity intervals per run of equal event_type —
+    (user_id, event_type, valid_from_us, valid_to_us), half-open,
+    with int64-max marking the still-open current interval.
+
+    This is the change-data-capture "snapshot to slowly-changing
+    dimension" transform.  Ray shape: user-hash bucket shuffle, then
+    one vectorized pass per bucket-run — run starts from a boolean
+    change mask, valid_to from the next run's start (shift), no LAG /
+    LEAD window machinery and no per-user loop."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(
+                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+        )
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        start = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        s_uid = uid[start]
+        s_from = ts_us[start]
+        # next run's start within the same user closes this interval
+        nxt = np.r_[s_from[1:], np.int64(0)]
+        same_user = np.r_[s_uid[1:] == s_uid[:-1], False]
+        valid_to = np.where(same_user, nxt, _SCD2_OPEN_US)
+        return pd.DataFrame(
+            {
+                "user_id": s_uid,
+                "event_type": et[start],
+                "valid_from_us": s_from,
+                "valid_to_us": valid_to.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+I01_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM o),
+iv AS (
+  SELECT user_id, event_type, run,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS valid_from_us
+  FROM r GROUP BY user_id, event_type, run)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(
+         LEAD(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY valid_from_us),
+         9223372036854775807) AS valid_to_us
+FROM iv
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -3354,4 +3568,7 @@ REGISTRY: dict[str, tuple] = {
     "r02_cube_agg": (r02_cube_agg, R02_SQL),
     "w04_order_ntile": (w04_order_ntile, W04_SQL),
     "w05_funnel": (w05_funnel, W05_SQL),
+    "w06_retention_cohorts": (w06_retention_cohorts, W06_SQL),
+    "w07_activity_streaks": (w07_activity_streaks, W07_SQL),
+    "i01_scd2_intervals": (i01_scd2_intervals, I01_SQL),
 }

@@ -549,3 +549,136 @@ class TestJsonExtract:
             pq.write_table(t, os.path.join(d, "events.parquet"))
             out = e01_json_extract(d).set_index("event_type")
         assert out.loc["a", "sum_k"] == 2 and out.loc["b", "sum_k"] == 42
+
+
+def _events_table(user_ids, ts_us, event_types=None, tmpdir=None):
+    import os
+    import pyarrow.parquet as pq
+
+    n = len(user_ids)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, n + 1), pa.int64()),
+            "user_id": pa.array(user_ids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "event_type": pa.array(event_types or ["x"] * n),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+class TestRetentionCohorts:
+    def test_hand_computed_offsets(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import w06_retention_cohorts
+
+        WEEK = 7 * 86_400 * 1_000_000
+        # user 1: weeks 0, 0, 2 -> cohort 0, offsets {0, 2}
+        # user 2: weeks 1, 3    -> cohort 1, offsets {0, 2}
+        # user 3: week 0        -> cohort 0, offset {0}
+        with tempfile.TemporaryDirectory() as d:
+            _events_table(
+                [1, 1, 1, 2, 2, 3],
+                [10, 20, 2 * WEEK, WEEK, 3 * WEEK + 5, 30],
+                tmpdir=d,
+            )
+            out = w06_retention_cohorts(d)
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in out.itertuples()
+        }
+        assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+    def test_duplicate_weeks_counted_once(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import w06_retention_cohorts
+
+        with tempfile.TemporaryDirectory() as d:
+            _events_table([5, 5, 5], [1, 2, 3], tmpdir=d)
+            out = w06_retention_cohorts(d)
+        assert out.to_dict("records") == [
+            {"cohort_week": 0, "week_offset": 0, "n_users": 1}
+        ]
+
+
+class TestActivityStreaks:
+    def test_islands_split_on_gap(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import w07_activity_streaks
+
+        DAY = 86_400 * 1_000_000
+        # user 1: days 0,1,2 then 5 -> streaks [3, 1]
+        # user 2: days 0 and 0 (dup) -> one streak of 1
+        with tempfile.TemporaryDirectory() as d:
+            _events_table(
+                [1, 1, 1, 1, 2, 2],
+                [0, DAY, 2 * DAY, 5 * DAY, 10, 20],
+                tmpdir=d,
+            )
+            out = (
+                w07_activity_streaks(d)
+                .to_pandas()
+                .set_index("user_id")
+                .sort_index()
+            )
+        assert out.loc[1, "n_streaks"] == 2
+        assert out.loc[1, "max_streak_days"] == 3
+        assert out.loc[2, "n_streaks"] == 1
+        assert out.loc[2, "max_streak_days"] == 1
+
+    def test_streak_never_crosses_users(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import w07_activity_streaks
+
+        DAY = 86_400 * 1_000_000
+        # user 1 ends on day 3, user 65 (same bucket mod 64) starts day 4:
+        # consecutive days across a user boundary must NOT merge.
+        with tempfile.TemporaryDirectory() as d:
+            _events_table([1, 65], [3 * DAY, 4 * DAY], tmpdir=d)
+            out = w07_activity_streaks(d).to_pandas().set_index("user_id")
+        assert out.loc[1, "max_streak_days"] == 1
+        assert out.loc[65, "max_streak_days"] == 1
+
+
+class TestScd2Intervals:
+    def test_runs_collapse_and_close(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import i01_scd2_intervals
+
+        OPEN = np.iinfo(np.int64).max
+        # user 1: a@10, a@20, b@30, a@40 -> [a,10,30) [b,30,40) [a,40,open)
+        with tempfile.TemporaryDirectory() as d:
+            _events_table(
+                [1, 1, 1, 1],
+                [10, 20, 30, 40],
+                event_types=["a", "a", "b", "a"],
+                tmpdir=d,
+            )
+            out = (
+                i01_scd2_intervals(d)
+                .to_pandas()
+                .sort_values("valid_from_us")
+                .reset_index(drop=True)
+            )
+        assert list(out["event_type"]) == ["a", "b", "a"]
+        assert list(out["valid_from_us"]) == [10, 30, 40]
+        assert list(out["valid_to_us"]) == [30, 40, OPEN]
+
+    def test_last_interval_open_per_user(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import i01_scd2_intervals
+
+        OPEN = np.iinfo(np.int64).max
+        with tempfile.TemporaryDirectory() as d:
+            _events_table(
+                [1, 2], [10, 20], event_types=["a", "a"], tmpdir=d
+            )
+            out = i01_scd2_intervals(d).to_pandas()
+        assert set(out["valid_to_us"]) == {OPEN}
