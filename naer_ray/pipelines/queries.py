@@ -3490,6 +3490,313 @@ FROM iv
 """
 
 
+def t11_unigram_lm(sf_dir: str):
+    """Corpus-frequency (unigram-LM-ish) quality scoring
+    (stages/text.unigram_lm_score): vocab histogram shuffle +
+    broadcast-frequency scoring pass; integer-exact per-doc stats so
+    the oracle hashes bit-identically (no float log sums)."""
+    from ..stages.text import unigram_lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_lm_score(ds)
+
+
+T11_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.c) AS BIGINT) AS sum_tok_freq,
+       MIN(v.c) AS min_tok_freq,
+       CAST(SUM(v.c) AS DOUBLE) / COUNT(*) AS avg_tok_freq
+FROM tok JOIN vocab v ON v.t = tok.t
+GROUP BY tok.doc_id
+"""
+
+
+def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
+    """Distributed triangle counting over the co-purchase graph
+    (parts sharing an order; graph thinned to ``l_partkey % 7 == 0``
+    so the all-pairs-per-order step stays bounded at bench scale —
+    the SQL oracle applies the same filter).
+
+    Compact-forward / degree-orientation algorithm (Latapy 2008):
+    orient each undirected edge from lower to higher (degree, id)
+    rank, enumerate rank-ordered wedges from each vertex's
+    out-neighborhood, and count wedges that close against the
+    oriented edge set — each triangle counted exactly once, and
+    out-degrees are O(sqrt(E)) after orientation so the wedge count
+    is subquadratic.
+
+    Ray shape: order-hash bucket-run builds distinct in-order pairs;
+    a bucketed sum dedupes edges; the node-degree vector (node-sized,
+    not edge-sized) broadcasts via ``ray.put``; wedges are generated
+    per out-neighborhood bucket-run; the closing test is one tagged
+    co-partition (union wedges+edges, hash-bucket on the pair) — no
+    driver-side adjacency, no all-pairs."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_partkey"].to_numpy() % 7 == 0]
+        return b.assign(
+            bucket=(
+                b["l_orderkey"].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+        )
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            g[["l_orderkey", "l_partkey"]]
+            .drop_duplicates()
+            .sort_values(["l_orderkey", "l_partkey"])
+        )
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        us, vs = [], []
+        # distance-j pairs within each order run; orders hold only a
+        # handful of parts, so this loop is O(max parts per order)
+        j = 1
+        while True:
+            same = ok[j:] == ok[:-j]
+            if not same.any():
+                break
+            us.append(pk[:-j][same])
+            vs.append(pk[j:][same])
+            j += 1
+        if not us:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"u": np.concatenate(us), "v": np.concatenate(vs)}
+        ).drop_duplicates()
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(order_pairs, batch_format="pandas")
+    )
+    edges = (
+        bucketed_sum(pairs, ["u", "v"], [], count_col="n")
+        .drop_columns(["n"])
+        .materialize()  # distinct undirected edges (u < v), reused twice
+    )
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+        )
+        n, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": n, "deg": c.astype(np.int64)})
+
+    deg_df = bucketed_sum(
+        edges.map_batches(node_partial, batch_format="pandas"),
+        ["node"],
+        ["deg"],
+    ).to_pandas()
+    # rank = (deg << 32) | node: one int64 total order on (deg, id)
+    rank = pd.Series(
+        (deg_df["deg"].astype("int64").to_numpy() << 32)
+        | deg_df["node"].to_numpy(np.int64),
+        index=deg_df["node"].to_numpy(),
+    )
+    rank_ref = ray.put(rank)
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = r.loc[batch["u"].to_numpy(np.int64)].to_numpy()
+        rv = r.loc[batch["v"].to_numpy(np.int64)].to_numpy()
+        return pd.DataFrame(
+            {
+                "a": np.where(ru < rv, ru, rv),
+                "b": np.where(ru < rv, rv, ru),
+                "bucket": ((np.where(ru < rv, ru, rv)) % n_buckets).astype(
+                    np.int32
+                ),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["a", "b"]].sort_values(["a", "b"])
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        xs, ys = [], []
+        j = 1
+        while True:
+            same = a[j:] == a[:-j]
+            if not same.any():
+                break
+            xs.append(b[:-j][same])  # rank-ordered: b sorted within a
+            ys.append(b[j:][same])
+            j += 1
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"x": np.concatenate(xs), "y": np.concatenate(ys), "w": 1}
+        )
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas"
+    )
+
+    def edge_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": batch["a"].to_numpy(np.int64),
+                "y": batch["b"].to_numpy(np.int64),
+                "w": np.int64(0),
+            }
+        )
+
+    tagged = wedge_ds.union(
+        oriented.map_batches(edge_tag, batch_format="pandas")
+    )
+
+    def close_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch["x"].to_numpy(np.int64) * np.int64(1_000_003)
+            + batch["y"].to_numpy(np.int64)
+        ) % n_buckets
+        return batch.assign(bucket=h.astype(np.int32))
+
+    def count_closed(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["w"].to_numpy() == 0
+        key = g["x"].to_numpy(np.int64) * np.int64(1 << 32) + g[
+            "y"
+        ].to_numpy(np.int64)
+        edge_keys = np.unique(key[is_edge])
+        hit = np.isin(key[~is_edge], edge_keys)
+        return pd.DataFrame({"t": [np.int64(hit.sum())]})
+
+    parts = (
+        tagged.map_batches(close_bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_closed, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"n_triangles": [np.int64(parts["t"].to_numpy().sum())]}
+    )
+
+
+G02_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+def t12_mad_outliers(sf_dir: str):
+    """Robust outlier flagging: per-source lower-median and MAD
+    (median absolute deviation) of document length; a doc is an
+    outlier when |n_chars - median| > 3 * MAD.  Both medians use the
+    explicit lower order statistic k = (n+1)//2 (shared with the SQL
+    ROW_NUMBER construction) so ties and even counts are
+    deterministic.
+
+    Ray shape: ONE distributed value-histogram pass — per-batch
+    (source, n_chars) counts, bucketed sum — gives a
+    cardinality-sized table from which the driver takes BOTH order
+    statistics (the deviation histogram is the value histogram
+    re-keyed by |v - med|, no second scan); the flag pass broadcasts
+    the tiny per-source (med, mad) map."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = bucketed_sum(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["source", "n_chars"],
+        ["n"],
+        n_buckets=8,
+    ).to_pandas()
+
+    def lower_median(values: np.ndarray, counts: np.ndarray) -> int:
+        order = np.argsort(values)
+        v, c = values[order], counts[order]
+        k = (c.sum() + 1) // 2  # 1-based lower-median rank
+        return int(v[np.searchsorted(np.cumsum(c), k)])
+
+    stats = {}
+    for src, g in hist.groupby("source"):
+        v = g["n_chars"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        med = lower_median(v, c)
+        # deviation histogram = same counts re-keyed by |v - med|
+        dev = np.abs(v - med)
+        dv = pd.DataFrame({"d": dev, "c": c}).groupby("d", as_index=False)[
+            "c"
+        ].sum()
+        mad = lower_median(dv["d"].to_numpy(np.int64), dv["c"].to_numpy(np.int64))
+        stats[src] = (med, mad)
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(stats_ref)
+        med = batch["source"].map(lambda x: s[x][0]).to_numpy(np.int64)
+        mad = batch["source"].map(lambda x: s[x][1]).to_numpy(np.int64)
+        nc = batch["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "source": batch["source"],
+                "n_chars": nc,
+                "is_outlier": np.abs(nc - med) > 3 * mad,
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+T12_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+med AS (SELECT source, n_chars AS med FROM r WHERE rn = (n + 1) // 2),
+ad AS (
+  SELECT d.source, ABS(d.n_chars - m.med) AS dev
+  FROM documents d JOIN med m USING (source)),
+r2 AS (
+  SELECT source, dev,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM ad),
+mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.doc_id, d.source, d.n_chars,
+       (ABS(d.n_chars - m.med) > 3 * x.mad) AS is_outlier
+FROM documents d
+JOIN med m USING (source)
+JOIN mad x USING (source)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -3571,4 +3878,7 @@ REGISTRY: dict[str, tuple] = {
     "w06_retention_cohorts": (w06_retention_cohorts, W06_SQL),
     "w07_activity_streaks": (w07_activity_streaks, W07_SQL),
     "i01_scd2_intervals": (i01_scd2_intervals, I01_SQL),
+    "t11_unigram_lm": (t11_unigram_lm, T11_SQL),
+    "g02_triangle_count": (g02_triangle_count, G02_SQL),
+    "t12_mad_outliers": (t12_mad_outliers, T12_SQL),
 }

@@ -1004,3 +1004,82 @@ def rep_ngrams(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def unigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-frequency (unigram-LM) document scoring — the
+    integer-exact cousin of a CCNet-style LM quality filter: docs
+    whose tokens are rare in the corpus score low.
+
+    Per doc: ``n_tokens``, ``sum_tok_freq`` (sum over token instances
+    of that token's corpus-wide count), ``min_tok_freq`` (the rarest
+    token's count), and ``avg_tok_freq`` (one DOUBLE division of the
+    two exact integers — no float-summation-order hazard, unlike a
+    log-prob sum).
+
+    Two passes, t05-tfidf shape: (1) per-batch np.unique token
+    partials -> bucketed sum = the corpus vocabulary histogram;
+    (2) broadcast the vocab (``ray.put`` once, read per task) and
+    score each batch with searchsorted + bincount/minimum.at.
+    Assumption (documented, as for g01's node vector): the distinct
+    vocabulary fits worker memory — true for natural-language corpora
+    (vocab grows ~O(corpus^0.5), Heaps' law); a pathological corpus
+    would need a freq-join co-partition instead.  Docs with zero
+    tokens are dropped (SQL inner-join parity)."""
+    import ray
+
+    from .agg import bucketed_sum
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        flat, _, _ = _flat_nonempty(
+            pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), len(txt)
+        )
+        toks, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    vocab = bucketed_sum(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["token"],
+        ["c"],
+    ).to_pandas()
+    order = np.argsort(vocab["token"].to_numpy())
+    vocab_ref = ray.put(
+        (
+            vocab["token"].to_numpy()[order],
+            vocab["c"].to_numpy().astype(np.int64)[order],
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_sorted, freqs = ray.get(vocab_ref)
+        txt = _string_array(batch[text_col])
+        n = len(txt)
+        flat, parents, n_tok = _flat_nonempty(
+            pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), n
+        )
+        f = freqs[np.searchsorted(toks_sorted, flat.to_numpy(zero_copy_only=False))]
+        s = np.bincount(parents, weights=f, minlength=n).astype(np.int64)
+        mn = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(mn, parents, f)
+        keep = n_tok > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+                "sum_tok_freq": pa.array(s[keep]),
+                "min_tok_freq": pa.array(mn[keep]),
+                "avg_tok_freq": pa.array(
+                    s[keep].astype(np.float64) / n_tok[keep]
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)

@@ -682,3 +682,116 @@ class TestScd2Intervals:
             )
             out = i01_scd2_intervals(d).to_pandas()
         assert set(out["valid_to_us"]) == {OPEN}
+
+
+class TestUnigramLm:
+    def test_hand_corpus_freqs(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        from naer_ray.pipelines.queries import t11_unigram_lm
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                # corpus freqs: the=3, cat=2, dog=1
+                "text": ["the cat", "the cat dog", "the"],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            out = t11_unigram_lm(d).to_pandas().set_index("doc_id")
+        assert out.loc[1, "sum_tok_freq"] == 5  # the(3)+cat(2)
+        assert out.loc[1, "min_tok_freq"] == 2
+        assert out.loc[2, "sum_tok_freq"] == 6  # 3+2+1
+        assert out.loc[2, "min_tok_freq"] == 1
+        assert out.loc[3, "avg_tok_freq"] == 3.0
+
+    def test_empty_doc_dropped(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        from naer_ray.pipelines.queries import t11_unigram_lm
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["a a", "   "],
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            out = t11_unigram_lm(d).to_pandas()
+        assert list(out["doc_id"]) == [1]
+
+
+class TestTriangleCount:
+    def _li(self, orders_parts, tmpdir):
+        import os
+        import pyarrow.parquet as pq
+
+        ok, pk = zip(*orders_parts)
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(tmpdir, "lineitem.parquet"))
+
+    def test_hand_graph(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import g02_triangle_count
+
+        # parts 7,14,21 all share order 1 -> K3 = 1 triangle;
+        # part 28 shares order 2 with 7 only -> adds edge, no triangle;
+        # part 5 (not % 7 == 0) must be ignored even though it would
+        # close a second triangle via orders 3 and 4.
+        rows = [
+            (1, 7), (1, 14), (1, 21),
+            (2, 7), (2, 28),
+            (3, 5), (3, 7), (4, 5), (4, 14),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            self._li(rows, d)
+            out = g02_triangle_count(d)
+        assert out["n_triangles"].tolist() == [1]
+
+    def test_k4_counts_each_triangle_once(self, ray_session):
+        import tempfile
+
+        from naer_ray.pipelines.queries import g02_triangle_count
+
+        # K4 on {7,14,21,28} via one order -> C(4,3) = 4 triangles,
+        # plus a duplicate order that must not double-count.
+        rows = [(1, 7), (1, 14), (1, 21), (1, 28),
+                (2, 7), (2, 14), (2, 21), (2, 28)]
+        with tempfile.TemporaryDirectory() as d:
+            self._li(rows, d)
+            out = g02_triangle_count(d)
+        assert out["n_triangles"].tolist() == [4]
+
+
+class TestMadOutliers:
+    def test_lower_median_rule_and_flag(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        from naer_ray.pipelines.queries import t12_mad_outliers
+
+        # source A lengths: [10, 10, 12, 100]; lower median (k=2) = 10;
+        # deviations [0, 0, 2, 90] -> MAD (k=2) = 0; outlier iff dev > 0.
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": ["A"] * 4,
+                "n_chars": pa.array([10, 10, 12, 100], pa.int64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            out = (
+                t12_mad_outliers(d).to_pandas().set_index("doc_id")
+            )
+        assert out["is_outlier"].tolist() == [False, False, True, True]
