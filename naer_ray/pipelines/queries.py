@@ -3797,6 +3797,157 @@ JOIN mad x USING (source)
 """
 
 
+def d09_edit_distance_pairs(sf_dir: str):
+    """Typo / spelling-variant pair mining (stages/dedup.
+    edit_distance_pairs): FastSS deletion-neighborhood candidates +
+    exact verify over the corpus vocabulary ∪ planted middle-char
+    deletions (the corpus vocab alone has no lev-1 pairs; the planted
+    derivation is SQL-expressible, c02 pattern).  Oracle = brute
+    levenshtein join."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import edit_distance_pairs
+    from ..stages.text import _RE2_SPACE_CLASS, _flat_nonempty, _string_array
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch["text"])
+        flat, _, _ = _flat_nonempty(
+            pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), len(txt)
+        )
+        u = np.unique(flat.to_numpy(zero_copy_only=False))
+        u = u[np.char.str_len(u.astype(str)) >= 4]
+        return pa.table({"t": pa.array(u.astype(object), pa.string())})
+
+    vocab = bucketed_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), ["t"], [], count_col="n"
+    ).drop_columns(["n"])
+
+    def with_variants(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["t"].to_pylist():  # vocab-sized, not corpus-sized
+            out.append(t)
+            p = (len(t) + 1) // 2  # 1-based middle position
+            out.append(t[: p - 1] + t[p:])
+        return pa.table({"s": pa.array(out, pa.string())})
+
+    strings = bucketed_sum(
+        vocab.map_batches(with_variants, batch_format="pyarrow"),
+        ["s"],
+        [],
+        count_col="n",
+    ).drop_columns(["n"])
+    return edit_distance_pairs(strings)
+
+
+D09_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+v AS (SELECT DISTINCT t FROM tok WHERE length(t) >= 4),
+s AS (
+  SELECT t AS s FROM v
+  UNION
+  SELECT substr(t, 1, (length(t) + 1) // 2 - 1)
+         || substr(t, (length(t) + 1) // 2 + 1, length(t))
+  FROM v)
+SELECT a.s AS a, b.s AS b
+FROM s a JOIN s b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+"""
+
+
+def a04_knn_graph(sf_dir: str, k: int = 3, modulus: int = 4):
+    """kNN-graph construction over an embedding column — the
+    neighbor-list artifact semantic-dedup and curriculum pipelines
+    consume.  Similarity is the INTEGER dot product of
+    1e-3-quantized vectors (the _cents trick lifted to vectors), so
+    ranks and scores are order-independent and hash-exact — no float
+    cosine tie hazard at 125k pairs.
+
+    Ray shape: the quantized index side broadcasts via ``ray.put``
+    (bounded by the modulus filter here; at corpus scale the index
+    side comes from an IVF partition, ann.save_ivf_index, and each
+    task probes its list) while batches stream through one int64
+    matmul + vectorized top-k each.  Self-pairs excluded; ties break
+    on neighbor id."""
+    import ray
+
+    from ..stages.ann import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fil(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["vec_id"], modulus - 1), 0)
+            if (modulus & (modulus - 1)) == 0
+            else pc.equal(
+                pc.mod(batch["vec_id"], modulus), 0
+            )
+        )
+
+    f = ds.map_batches(fil, batch_format="pyarrow")
+    idx = f.to_pandas()  # index side: bounded by the modulus filter
+    ids = idx["vec_id"].to_numpy(np.int64)
+    mat = np.floor(
+        np.array(idx["embedding"].tolist(), dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    index_ref = ray.put((ids, mat))
+
+    def topk(batch: pa.Table) -> pd.DataFrame:
+        iids, imat = ray.get(index_ref)
+        q = np.floor(_as_matrix(batch["embedding"]) * 1000 + 0.5).astype(
+            np.int64
+        )
+        src = np.asarray(batch["vec_id"]).astype(np.int64)
+        dots = q @ imat.T  # exact int64 matmul
+        self_col = np.searchsorted(iids, src)
+        # sort on the NEGATED key, masking self AFTER negation —
+        # -int64.min overflows back to int64.min and would sort first
+        ndots = -dots
+        ndots[np.arange(len(src)), self_col] = np.iinfo(np.int64).max
+        frames = []
+        for r in range(len(src)):
+            o = np.lexsort((iids, ndots[r]))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src": src[r],
+                        "rank": np.arange(1, k + 1, dtype=np.int64),
+                        "nbr": iids[o],
+                        "dot": dots[r, o],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return f.map_batches(topk, batch_format="pyarrow", batch_size=4096)
+
+
+A04_SQL = """
+WITH f AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id % 4 = 0),
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                      i -> a.v[i] * b.v[i])) AS BIGINT)
+             AS dot
+  FROM f a JOIN f b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT src, nbr, dot,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY dot DESC, nbr) AS rank
+  FROM d)
+SELECT src, CAST(rank AS BIGINT) AS rank, nbr, dot
+FROM r WHERE rank <= 3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -3881,4 +4032,6 @@ REGISTRY: dict[str, tuple] = {
     "t11_unigram_lm": (t11_unigram_lm, T11_SQL),
     "g02_triangle_count": (g02_triangle_count, G02_SQL),
     "t12_mad_outliers": (t12_mad_outliers, T12_SQL),
+    "d09_edit_distance_pairs": (d09_edit_distance_pairs, D09_SQL),
+    "a04_knn_graph": (a04_knn_graph, A04_SQL),
 }

@@ -1264,3 +1264,90 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("bucket")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def _lev_is_1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check (strings assumed distinct)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def edit_distance_pairs(ds, col: str = "s", n_buckets: int = 64):
+    """All pairs of distinct strings at edit distance exactly 1 —
+    FastSS deletion neighborhoods (Bocek et al. 2007): two strings
+    with lev <= 1 must share an element of {s} ∪ {s minus one char},
+    so candidate generation is a hash-bucket co-partition on the
+    O(len) deletion keys, never an all-pairs scan; candidates are
+    then verified with the exact distance.
+
+    Spelling-variant / typo dedup for token vocabularies and short
+    fields (titles, names).  The verify loop runs per CANDIDATE pair
+    (output-sized — pairs sharing a deletion key — not corpus-sized);
+    keys and pair dedup both go through bucketed shuffles, nothing
+    driver-side.  Returns a Dataset of (a, b) with a < b."""
+    from .agg import bucketed_sum
+
+    def keys(batch: pa.Table) -> pd.DataFrame:
+        s = batch[col].to_pandas().drop_duplicates()
+        out_k, out_s = [], []
+        for v in s:
+            out_k.append(v)
+            out_s.append(v)
+            for i in range(len(v)):
+                out_k.append(v[:i] + v[i + 1 :])
+                out_s.append(v)
+        df = pd.DataFrame({"k": out_k, "s": out_s})
+        h = pd.util.hash_array(df["k"].to_numpy(object)).astype(np.int64)
+        return df.assign(bucket=(h % n_buckets).astype(np.int32))
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["k", "s"]].drop_duplicates().sort_values(["k", "s"])
+        k = df["k"].to_numpy(object)
+        s = df["s"].to_numpy(object)
+        xs, ys = [], []
+        j = 1
+        while True:
+            same = k[j:] == k[:-j]
+            if not same.any():
+                break
+            xs.append(s[:-j][same])
+            ys.append(s[j:][same])
+            j += 1
+        if not xs:
+            # typed empty: zero-row object columns trip Ray's size estimator
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="string"),
+                    "b": pd.Series([], dtype="string"),
+                }
+            )
+        a = np.concatenate(xs)
+        b = np.concatenate(ys)
+        neq = a != b
+        return pd.DataFrame({"a": a[neq], "b": b[neq]}).drop_duplicates()
+
+    cand = (
+        ds.map_batches(keys, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(candidates, batch_format="pandas")
+    )
+    deduped = bucketed_sum(cand, ["a", "b"], [], count_col="n").drop_columns(
+        ["n"]
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        keep = pa.array([_lev_is_1(x, y) for x, y in zip(a, b)], pa.bool_())
+        return batch.filter(keep)
+
+    return deduped.map_batches(verify, batch_format="pyarrow")

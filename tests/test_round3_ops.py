@@ -795,3 +795,74 @@ class TestMadOutliers:
                 t12_mad_outliers(d).to_pandas().set_index("doc_id")
             )
         assert out["is_outlier"].tolist() == [False, False, True, True]
+
+
+class TestEditDistancePairs:
+    def _pairs(self, strings, ray_session):
+        import ray.data
+
+        from naer_ray.stages.dedup import edit_distance_pairs
+
+        ds = ray.data.from_arrow(
+            pa.table({"s": pa.array(strings, pa.string())})
+        )
+        out = edit_distance_pairs(ds).to_pandas()
+        if out.empty:
+            return set()
+        return set(zip(out["a"], out["b"]))
+
+    def test_sub_ins_del_found(self, ray_session):
+        got = self._pairs(
+            ["spark", "spork", "sparks", "park", "merge"], None
+        )
+        assert ("spark", "spork") in got  # substitution
+        assert ("spark", "sparks") in got  # insertion
+        assert ("park", "spark") in got  # deletion
+        assert not any("merge" in p for p in got)
+
+    def test_shared_deletion_not_lev1_rejected(self, ray_session):
+        # "abc" and "cab" share deletion "ab" but lev = 2: the verify
+        # pass must reject the FastSS candidate.
+        got = self._pairs(["abc", "cab"], None)
+        assert got == set()
+
+    def test_lev2_excluded(self, ray_session):
+        got = self._pairs(["abcd", "abxy"], None)
+        assert got == set()
+
+
+class TestKnnGraph:
+    def test_hand_vectors_rank_and_self_exclusion(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        from naer_ray.pipelines.queries import a04_knn_graph
+
+        # ids 0,4,8,12 pass the %4 filter; id 5 must be ignored.
+        # Quantized dots from unit-ish vectors: 0~4 closest, then 8.
+        vecs = {
+            0: [1.0, 0.0],
+            4: [0.9, 0.1],
+            8: [0.5, 0.5],
+            12: [0.0, 1.0],
+            5: [1.0, 0.0],  # filtered out
+        }
+        ids = sorted(vecs)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in ids], pa.list_(pa.float32())
+                ),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+            out = a04_knn_graph(d, k=2).to_pandas()
+        assert set(out["src"]) == {0, 4, 8, 12}
+        assert 5 not in set(out["nbr"])
+        assert (out["src"] != out["nbr"]).all()
+        g0 = out[out["src"] == 0].sort_values("rank")
+        assert list(g0["nbr"]) == [4, 8]
+        # exact quantized dots: 0.9*1000=900 -> 900*1000 = 900000
+        assert list(g0["dot"]) == [900_000, 500_000]
