@@ -3797,6 +3797,16 @@ JOIN mad x USING (source)
 """
 
 
+def _mod_filter(modulus: int, col: str = "vec_id"):
+    """Arrow-batch filter keeping rows where ``col % modulus == 0``."""
+
+    def fil(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[col]).astype(np.int64)
+        return batch.filter(pa.array(vals % modulus == 0))
+
+    return fil
+
+
 def d09_edit_distance_pairs(sf_dir: str):
     """Typo / spelling-variant pair mining (stages/dedup.
     edit_distance_pairs): FastSS deletion-neighborhood candidates +
@@ -3877,16 +3887,7 @@ def a04_knn_graph(sf_dir: str, k: int = 3, modulus: int = 4):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def fil(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.equal(pc.bit_wise_and(batch["vec_id"], modulus - 1), 0)
-            if (modulus & (modulus - 1)) == 0
-            else pc.equal(
-                pc.mod(batch["vec_id"], modulus), 0
-            )
-        )
-
-    f = ds.map_batches(fil, batch_format="pyarrow")
+    f = ds.map_batches(_mod_filter(modulus), batch_format="pyarrow")
     idx = f.to_pandas()  # index side: bounded by the modulus filter
     ids = idx["vec_id"].to_numpy(np.int64)
     mat = np.floor(
@@ -3945,6 +3946,105 @@ r AS (
   FROM d)
 SELECT src, CAST(rank AS BIGINT) AS rank, nbr, dot
 FROM r WHERE rank <= 3
+"""
+
+
+def d10_semantic_dedup(sf_dir: str, threshold: int = 350_000, modulus: int = 4):
+    """Semantic deduplication end-to-end: embedding similarity graph
+    (integer-quantized dot >= threshold, the a04 trick) → connected
+    components → keep one representative (min vec_id) per cluster.
+    The full near-dup REMOVAL path a training-data pipeline runs, not
+    just pair mining.
+
+    Ray shape: quantized index broadcast + streamed int64 matmul per
+    batch emits threshold edges; `dedup.connected_components` (bucketed
+    min-label propagation) labels clusters; isolated nodes label
+    themselves.  Oracle: DuckDB recursive-CTE transitive closure —
+    multi-hop chains (A~B~C with A!~C) must share one label, which a
+    pairwise SQL join can't express."""
+    import ray
+
+    from ..stages.dedup import connected_components
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    f = ds.map_batches(_mod_filter(modulus), batch_format="pyarrow")
+    idx = f.to_pandas()  # index side: bounded by the modulus filter
+    ids = np.sort(idx["vec_id"].to_numpy(np.int64))
+    mat = np.floor(
+        np.array(
+            idx.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64
+        )
+        * 1000
+        + 0.5
+    ).astype(np.int64)
+    index_ref = ray.put((ids, mat))
+
+    from ..stages.ann import _as_matrix
+
+    def edges(batch: pa.Table) -> pd.DataFrame:
+        iids, imat = ray.get(index_ref)
+        q = np.floor(_as_matrix(batch["embedding"]) * 1000 + 0.5).astype(
+            np.int64
+        )
+        src = np.asarray(batch["vec_id"]).astype(np.int64)
+        hit_r, hit_c = np.nonzero(q @ imat.T >= threshold)
+        a = src[hit_r]
+        b = iids[hit_c]
+        keep = a < b  # dedupe symmetric pairs; drops self-pairs too
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a[keep], dtype="int64"),
+                "id_b": pd.Series(b[keep], dtype="int64"),
+            }
+        )
+
+    edge_ds = f.map_batches(edges, batch_format="pyarrow", batch_size=4096)
+    labels = connected_components(edge_ds).to_pandas()
+    if labels.empty:
+        labels = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+            }
+        )
+    lbl = pd.Series(
+        labels["label"].to_numpy(np.int64),
+        index=labels["node"].to_numpy(np.int64),
+    ).reindex(ids)
+    out_label = np.where(lbl.isna(), ids, lbl.fillna(0).to_numpy(np.int64))
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "label": out_label.astype(np.int64),
+            "keep": ids == out_label,
+        }
+    )
+
+
+D10_SQL = """
+WITH RECURSIVE f AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id % 4 = 0),
+e AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM f a JOIN f b
+    ON a.vec_id < b.vec_id
+   AND list_sum(list_transform(range(1, len(a.v) + 1),
+                               i -> a.v[i] * b.v[i])) >= 350000),
+ee AS (SELECT u, w FROM e UNION ALL SELECT w, u FROM e),
+r(a, b) AS (
+  SELECT u, w FROM ee
+  UNION
+  SELECT r.a, ee.w FROM r JOIN ee ON ee.u = r.b),
+lbl AS (
+  SELECT f.vec_id,
+         LEAST(f.vec_id, COALESCE(MIN(r.b), f.vec_id)) AS label
+  FROM f LEFT JOIN r ON r.a = f.vec_id
+  GROUP BY f.vec_id)
+SELECT vec_id, label, (vec_id = label) AS keep FROM lbl
 """
 
 
@@ -4034,4 +4134,5 @@ REGISTRY: dict[str, tuple] = {
     "t12_mad_outliers": (t12_mad_outliers, T12_SQL),
     "d09_edit_distance_pairs": (d09_edit_distance_pairs, D09_SQL),
     "a04_knn_graph": (a04_knn_graph, A04_SQL),
+    "d10_semantic_dedup": (d10_semantic_dedup, D10_SQL),
 }

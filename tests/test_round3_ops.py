@@ -866,3 +866,39 @@ class TestKnnGraph:
         assert list(g0["nbr"]) == [4, 8]
         # exact quantized dots: 0.9*1000=900 -> 900*1000 = 900000
         assert list(g0["dot"]) == [900_000, 500_000]
+
+
+class TestSemanticDedup:
+    def test_multi_hop_chain_one_label(self, ray_session):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        from naer_ray.pipelines.queries import d10_semantic_dedup
+
+        # Chain: 0~4 (dot 1e6*0.9), 4~8 (0.9) but 0!~8 (0.62 < thr):
+        # transitive closure must still put all three in one cluster.
+        # 12 is isolated and must keep itself.
+        vecs = {
+            0: [1.0, 0.0],
+            4: [0.9, 0.43589],  # ~unit, dot with 0 = 0.9
+            8: [0.62, 0.78],    # dot with 4 ~ 0.898, with 0 = 0.62
+            12: [-1.0, 0.0],
+        }
+        ids = sorted(vecs)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in ids], pa.list_(pa.float32())
+                ),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+            out = (
+                d10_semantic_dedup(d, threshold=850_000)
+                .set_index("vec_id")
+                .sort_index()
+            )
+        assert list(out["label"]) == [0, 0, 0, 12]
+        assert list(out["keep"]) == [True, False, False, True]
