@@ -4048,6 +4048,56 @@ SELECT vec_id, label, (vec_id = label) AS keep FROM lbl
 """
 
 
+def d11_incremental_dedup(sf_dir: str):
+    """Incremental near-dup detection against a PERSISTED MinHash-LSH
+    index (stages/dedup.save_minhash_index / minhash_probe_index): the
+    original documents are indexed ONCE to hash-sharded parquet; the
+    planted mutants (doc_id + 1M, uppercased — the 'daily delta')
+    probe only the index shards their band hashes touch and must each
+    recover their source doc at est_jaccard = 1.0.
+
+    This is the production incremental shape: at 100 TB the corpus is
+    never re-shuffled against itself — each intake batch probes the
+    persisted index (partition-pruned read), pays O(delta x bands),
+    and appends its own band rows afterwards."""
+    import os as _os
+    import shutil
+
+    from ..stages.dedup import minhash_probe_index, save_minhash_index
+
+    path = f"/tmp/naer_minhash_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    save_minhash_index(docs, path)
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                "text": pc.utf8_upper(batch["text"]),
+            }
+        )
+
+    delta = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        mutate, batch_format="pyarrow"
+    )
+    pairs = minhash_probe_index(delta, path, min_est=0.95)
+
+    def planted(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "id_a": batch["old_id"].cast(pa.int64()),
+                "id_b": batch["new_id"].cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.equal(pc.subtract(t["id_b"], t["id_a"]), 1_000_000))
+
+    return pairs.map_batches(planted, batch_format="pyarrow")
+
+
+D11_SQL = D01_SQL
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -4135,4 +4185,5 @@ REGISTRY: dict[str, tuple] = {
     "d09_edit_distance_pairs": (d09_edit_distance_pairs, D09_SQL),
     "a04_knn_graph": (a04_knn_graph, A04_SQL),
     "d10_semantic_dedup": (d10_semantic_dedup, D10_SQL),
+    "d11_incremental_dedup": (d11_incremental_dedup, D11_SQL),
 }

@@ -1351,3 +1351,221 @@ def edit_distance_pairs(ds, col: str = "s", n_buckets: int = 64):
         return batch.filter(keep)
 
     return deduped.map_batches(verify, batch_format="pyarrow")
+
+
+# -------------------------------------- incremental dedup (persisted index)
+
+
+def save_minhash_index(
+    ds,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    n_shards: int = 64,
+) -> None:
+    """Persist the banded MinHash-LSH index of a corpus as sharded
+    parquet + a metadata file — the historical side of INCREMENTAL
+    dedup (daily-delta-vs-corpus, the production shape: the 100-TB
+    corpus is indexed ONCE; each new batch probes the index instead of
+    re-shuffling the world).
+
+    Band rows are written under hive dirs ``shard=<band_hash & mask>``
+    so a probe reads only the shards its own band hashes touch
+    (partition pruning by path — the ann.save_lsh_index pattern).
+    (No reference analogue; builder-brief operator.)"""
+    import json
+    import os
+
+    rows = minhash_bands(ds, id_col, text_col, num_perm, bands, shingle_k)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("shard", s)
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    rows.map_batches(shard, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "data"), partition_cols=["shard"]
+    )
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "minhash_lsh",
+                "num_perm": num_perm,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "n_shards": n_shards,
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            f,
+        )
+
+
+def minhash_probe_index(
+    new_ds,
+    path: str,
+    min_est: float = 0.0,
+    max_group: int = 200,
+    n_buckets: int = 64,
+):
+    """Probe a :func:`save_minhash_index` index with NEW documents ->
+    near-dup candidates ``(new_id, old_id, est_jaccard)`` against the
+    indexed corpus.
+
+    The delta is the small side by contract (a day's intake vs the
+    full corpus), so its band rows are materialized once: first to
+    collect the distinct shard ids it touches (the index read then
+    opens ONLY those hive dirs), then as the probe side of one
+    bucketed co-partition on ``(band_id, band_hash)``.  Nothing about
+    the INDEX side is ever loaded beyond the touched shards, and the
+    pair kernel compares signatures new-vs-old only (never old-vs-old
+    — the corpus was already deduped when it was indexed).
+
+    Same-pair-via-multiple-bands duplicates collapse through one more
+    bucketed max-reduce, mirroring :func:`minhash_candidate_pairs`.
+    """
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(path, "index_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    n_shards = meta["n_shards"]
+
+    probe_rows = minhash_bands(
+        new_ds,
+        id_col,
+        meta["text_col"],
+        meta["num_perm"],
+        meta["bands"],
+        meta["shingle_k"],
+    ).materialize()  # delta side: small by contract (documented above)
+
+    shards = set()
+    for batch in probe_rows.select_columns(["band_hash"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        shards.update(
+            np.unique(
+                np.bitwise_and(
+                    batch["band_hash"].to_numpy(zero_copy_only=False), n_shards - 1
+                )
+            ).tolist()
+        )
+    import glob as _glob
+
+    dirs = [
+        f
+        for s in sorted(shards)
+        for f in sorted(
+            _glob.glob(os.path.join(path, "data", f"shard={s}", "*.parquet"))
+        )
+    ]
+    cols = ["band_id", "band_hash", id_col, "signature"]
+    if not dirs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "new_id": pa.array([], pa.int64()),
+                    "old_id": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    index_rows = ray.data.read_parquet(dirs, columns=cols)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols)
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+            )
+
+        return f
+
+    tagged = index_rows.map_batches(tag(0), batch_format="pyarrow").union(
+        probe_rows.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    empty = pd.DataFrame(
+        {
+            "new_id": pd.Series([], dtype="int64"),
+            "old_id": pd.Series([], dtype="int64"),
+            "est_jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def cross_pairs(sub: pd.DataFrame) -> pd.DataFrame:
+        if sub.empty:
+            return empty
+        new = sub[sub["side"] == 1]
+        old = sub[sub["side"] == 0]
+        if new.empty or old.empty:
+            return None
+        if len(new) > max_group or len(old) > max_group:
+            import warnings
+
+            warnings.warn(
+                f"minhash probe: degenerate band group capped at {max_group} "
+                f"rows per side ({len(new)}x{len(old)} candidates dropped beyond)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            new = new.sort_values(id_col).head(max_group)
+            old = old.sort_values(id_col).head(max_group)
+        sig_n = np.frombuffer(b"".join(new["signature"].tolist()), np.int64).reshape(
+            len(new), -1
+        )
+        sig_o = np.frombuffer(b"".join(old["signature"].tolist()), np.int64).reshape(
+            len(old), -1
+        )
+        est = (sig_n[:, None, :] == sig_o[None, :, :]).mean(axis=2)
+        ii, jj = np.nonzero(est >= min_est)
+        if not ii.size:
+            return None
+        return pd.DataFrame(
+            {
+                "new_id": new[id_col].to_numpy()[ii].astype(np.int64),
+                "old_id": old[id_col].to_numpy()[jj].astype(np.int64),
+                "est_jaccard": est[ii, jj].astype(np.float64),
+            }
+        )
+
+    cands = _grouped_runs(
+        tagged, ["band_id", "band_hash"], cross_pairs, n_buckets=n_buckets,
+        min_group_size=2,
+    )
+
+    # collapse same-pair-from-multiple-bands: whole-bucket pandas groupby
+    # (one kernel call per bucket, NOT per pair — the bucket-run rule)
+    def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        h = (
+            batch["new_id"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B1)
+            + batch["old_id"].to_numpy().astype(np.uint64)
+        )
+        batch["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
+        return batch
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty
+        return group.groupby(["new_id", "old_id"], as_index=False)[
+            "est_jaccard"
+        ].max()
+
+    return (
+        cands.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )

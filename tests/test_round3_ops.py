@@ -902,3 +902,64 @@ class TestSemanticDedup:
             )
         assert list(out["label"]) == [0, 0, 0, 12]
         assert list(out["keep"]) == [True, False, False, True]
+
+
+class TestIncrementalDedupIndex:
+    """save_minhash_index / minhash_probe_index (stages/dedup.py)."""
+
+    def test_probe_finds_near_dup_and_skips_novel(self, ray_session, tmp_path):
+        from naer_ray.stages.dedup import minhash_probe_index, save_minhash_index
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs before the party",
+            "sphinx of black quartz judge my vow tonight under the moon",
+        ]
+        save_minhash_index(_docs(base), str(tmp_path / "idx"))
+        probe = _docs(
+            [
+                # near-copy of base[1] (case change only -> jaccard 1.0)
+                "PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS BEFORE THE PARTY",
+                # novel text sharing no 5-gram shingles
+                "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp",
+            ],
+            ids=[100, 101],
+        )
+        out = minhash_probe_index(probe, str(tmp_path / "idx"), min_est=0.9).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["new_id"], row["old_id"]) == (100, 1)
+        assert row["est_jaccard"] == 1.0
+
+    def test_meta_roundtrip_and_empty_probe(self, ray_session, tmp_path):
+        import json
+
+        from naer_ray.stages.dedup import minhash_probe_index, save_minhash_index
+
+        save_minhash_index(
+            _docs(["some indexed document text here"]), str(tmp_path / "idx"),
+            num_perm=32, bands=8, n_shards=16,
+        )
+        meta = json.load(open(tmp_path / "idx" / "index_meta.json"))
+        assert (meta["num_perm"], meta["bands"], meta["n_shards"]) == (32, 8, 16)
+        # novel probe: no shared band -> empty result with typed schema
+        out = minhash_probe_index(
+            _docs(["completely different words entirely"], ids=[7]),
+            str(tmp_path / "idx"),
+            min_est=0.9,
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_probe_old_vs_old_never_pairs(self, ray_session, tmp_path):
+        """Two identical indexed docs must NOT pair with each other —
+        only new-vs-old pairs come back."""
+        from naer_ray.stages.dedup import minhash_probe_index, save_minhash_index
+
+        txt = "identical corpus document text repeated in the index twice over"
+        save_minhash_index(_docs([txt, txt], ids=[1, 2]), str(tmp_path / "idx"))
+        out = minhash_probe_index(
+            _docs([txt], ids=[50]), str(tmp_path / "idx"), min_est=0.9
+        ).to_pandas()
+        assert set(out["new_id"]) == {50}
+        assert set(out["old_id"]) == {1, 2}
+        assert len(out) == 2
