@@ -4098,6 +4098,53 @@ def d11_incremental_dedup(sf_dir: str):
 D11_SQL = D01_SQL
 
 
+def m04_audio_features(sf_dir: str):
+    """REAL multimodal audio decode: RIFF/WAVE mono-PCM payloads
+    (deterministically generated from doc_id by closed-form arithmetic)
+    flow through the actor-pool decoder, which chunk-walks the RIFF
+    container and computes amplitude statistics from the sample BYTES
+    alone; the SQL oracle re-derives n_samples/sum_abs/peak/mean from
+    the generator arithmetic — so a decoder bug (chunk offset, fmt
+    parse, endianness, word alignment) breaks the hash match.  The
+    audio analogue of m01's PPM image path (builder-brief multimodal
+    operator; no reference analogue)."""
+    from ..stages.multimodal import decode_wav_features, synth_wav_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"a{i:07d}" for i in ids], pa.string()),
+                "payload": pa.array([synth_wav_payload(i) for i in ids], pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    return decode_wav_features(media)
+
+
+M04_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         64 + (doc_id * 89) % 193 AS n,
+         8000 + (doc_id % 8) * 1000 AS rate
+  FROM documents),
+s AS (
+  SELECT doc_id, n, rate,
+         abs(((doc_id * 31 + unnest(range(0, n)) * 57) % 2048) - 1024) AS a
+  FROM dims)
+SELECT printf('a%07d', doc_id) AS media_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS INTEGER) AS peak_abs,
+       CAST(SUM(a) AS DOUBLE) / n AS mean_abs
+FROM s GROUP BY doc_id, n, rate
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -4143,6 +4190,7 @@ REGISTRY: dict[str, tuple] = {
     "m01_multimodal_features": (m01_multimodal_features, M01_SQL),
     "m02_resize_plan": (m02_resize_plan, M02_SQL),
     "m03_frame_sample_plan": (m03_frame_sample_plan, M03_SQL),
+    "m04_audio_features": (m04_audio_features, M04_SQL),
     "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),
     "s01_hash_sample": (s01_hash_sample, S01_SQL),
     "t04_token_quantiles": (t04_token_quantiles, T04_SQL),

@@ -280,3 +280,52 @@ class TestPpmDecode:
             decode_ppm(b"\x89PNG....")
         with _pytest.raises(ValueError):
             decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
+
+
+class TestWavDecode:
+    def test_roundtrip_matches_generator(self):
+        import numpy as np
+
+        from naer_ray.stages.multimodal import decode_wav, synth_wav_payload
+
+        for i in (0, 1, 7, 123, 4999):
+            rate, s = decode_wav(synth_wav_payload(i))
+            n = 64 + (i * 89) % 193
+            assert rate == 8000 + (i % 8) * 1000
+            j = np.arange(n, dtype=np.int64)
+            exp = ((i * 31 + j * 57) % 2048) - 1024
+            assert (s.astype(np.int64) == exp).all()
+
+    def test_chunk_walk_skips_unknown_and_pads_odd(self):
+        import numpy as np
+
+        from naer_ray.stages.multimodal import decode_wav
+
+        samples = np.array([-3, 5, 0, 32767, -32768], dtype=np.int16)
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (44100).to_bytes(4, "little") + (88200).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        # odd-sized unknown chunk before data: the walker must apply RIFF
+        # word alignment or it lands mid-chunk
+        junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+        data = b"data" + (10).to_bytes(4, "little") + samples.tobytes()
+        body = fmt + junk + data
+        payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+        rate, out = decode_wav(payload)
+        assert rate == 44100
+        assert (out == samples).all()
+
+    def test_rejects_bad_payloads(self):
+        import pytest as _pytest
+
+        from naer_ray.stages.multimodal import decode_wav, synth_wav_payload
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"OggS....")
+        stereo = bytearray(synth_wav_payload(1))
+        stereo[22] = 2  # channels=2 in the fmt chunk
+        with _pytest.raises(ValueError):
+            decode_wav(bytes(stereo))
