@@ -3518,28 +3518,14 @@ GROUP BY tok.doc_id
 """
 
 
-def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
-    """Distributed triangle counting over the co-purchase graph
-    (parts sharing an order; graph thinned to ``l_partkey % 7 == 0``
-    so the all-pairs-per-order step stays bounded at bench scale —
-    the SQL oracle applies the same filter).
-
-    Compact-forward / degree-orientation algorithm (Latapy 2008):
-    orient each undirected edge from lower to higher (degree, id)
-    rank, enumerate rank-ordered wedges from each vertex's
-    out-neighborhood, and count wedges that close against the
-    oriented edge set — each triangle counted exactly once, and
-    out-degrees are O(sqrt(E)) after orientation so the wedge count
-    is subquadratic.
-
-    Ray shape: order-hash bucket-run builds distinct in-order pairs;
-    a bucketed sum dedupes edges; the node-degree vector (node-sized,
-    not edge-sized) broadcasts via ``ray.put``; wedges are generated
-    per out-neighborhood bucket-run; the closing test is one tagged
-    co-partition (union wedges+edges, hash-bucket on the pair) — no
-    driver-side adjacency, no all-pairs."""
-    import ray
-
+def _copurchase_edges(sf_dir: str, n_buckets: int = 64):
+    """Distinct undirected co-purchase edges (u < v): parts sharing an
+    order, thinned to ``l_partkey % 7 == 0`` so the all-pairs-per-order
+    step stays bounded at bench scale (the SQL oracles apply the same
+    filter).  Order-hash bucket-run builds distinct in-order pairs; a
+    bucketed sum dedupes edges.  Shared by g02 (triangles) and g03
+    (link prediction).  Returns a materialized Dataset — the edge list
+    is reused by multiple downstream passes."""
     from ..stages.agg import bucketed_sum
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -3583,11 +3569,39 @@ def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
         .groupby("bucket")
         .map_groups(order_pairs, batch_format="pandas")
     )
-    edges = (
+    return (
         bucketed_sum(pairs, ["u", "v"], [], count_col="n")
         .drop_columns(["n"])
-        .materialize()  # distinct undirected edges (u < v), reused twice
+        .materialize()
     )
+
+
+def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
+    """Distributed triangle counting over the co-purchase graph
+    (parts sharing an order; graph thinned to ``l_partkey % 7 == 0``
+    so the all-pairs-per-order step stays bounded at bench scale —
+    the SQL oracle applies the same filter).
+
+    Compact-forward / degree-orientation algorithm (Latapy 2008):
+    orient each undirected edge from lower to higher (degree, id)
+    rank, enumerate rank-ordered wedges from each vertex's
+    out-neighborhood, and count wedges that close against the
+    oriented edge set — each triangle counted exactly once, and
+    out-degrees are O(sqrt(E)) after orientation so the wedge count
+    is subquadratic.
+
+    Ray shape: order-hash bucket-run builds distinct in-order pairs;
+    a bucketed sum dedupes edges; the node-degree vector (node-sized,
+    not edge-sized) broadcasts via ``ray.put``; wedges are generated
+    per out-neighborhood bucket-run; the closing test is one tagged
+    co-partition (union wedges+edges, hash-bucket on the pair) — no
+    driver-side adjacency, no all-pairs."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    # distinct undirected edges (u < v), reused twice
+    edges = _copurchase_edges(sf_dir, n_buckets)
 
     def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
         nodes = np.concatenate(
@@ -4098,6 +4112,302 @@ def d11_incremental_dedup(sf_dir: str):
 D11_SQL = D01_SQL
 
 
+def d12_duplicated_spans(sf_dir: str):
+    """Exact duplicated-span dedup signal (Lee et al. 2021 substring
+    dedup): every doc pair sharing an IDENTICAL 40-character span —
+    gram-hash bucket-run candidates + exact co-partition verify
+    (stages/dedup.duplicated_span_pairs); the SQL oracle brute-forces
+    the same grams with substr + self-join."""
+    from ..stages.dedup import duplicated_span_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_span_pairs(ds, k=40)
+
+
+D12_SQL = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(j AS INT), 40) AS gram
+  FROM documents,
+       LATERAL unnest(generate_series(1, GREATEST(len(text) - 39, 0))) AS t(j))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+"""
+
+
+def v01_constraint_violations(sf_dir: str):
+    """KG ontology/constraint validation (SHACL-lite): check emitted
+    triples against per-predicate rules and emit the VIOLATING rows —
+    the data-contract gate a production KG ingest runs before
+    publishing a graph snapshot.
+
+    Rules: ``mentionedIn`` subjects must come from the entity
+    dictionary (domain constraint — the noisy first-word extractor
+    deliberately produces out-of-dictionary subjects); ``occursIn``
+    objects must sit within the first 20 turns (range constraint).
+
+    Ray shape: one streaming pass per triple source; the dictionary is
+    a broadcast small side (`pc.is_in` per batch — never a shuffle
+    join); nothing materializes."""
+    ds = _derive_transcripts(sf_dir)
+    entities = KG_ENTITIES
+
+    def domain_violations(batch: pa.Table) -> pa.Table:
+        first = pc.list_element(pc.split_pattern(batch["text"], " "), 0)
+        obj = pc.binary_join_element_wise(
+            batch["conv_id"],
+            pc.cast(batch["turn_idx"], pa.string()),
+            "#",
+        )
+        bad = pc.invert(pc.is_in(first, value_set=pa.array(entities)))
+        t = pa.table(
+            {
+                "subj": first,
+                "pred": pa.array(["mentionedIn"] * len(batch), pa.string()),
+                "obj": obj,
+                "violation": pa.array(["domain"] * len(batch), pa.string()),
+            }
+        )
+        return t.filter(bad)
+
+    def range_violations(batch: pa.Table) -> pa.Table:
+        out = {"subj": [], "pred": [], "obj": [], "violation": []}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            if turn_idx <= 20:
+                continue
+            toks = set(text.split(" "))
+            for e in entities:
+                if e in toks:
+                    out["subj"].append(e)
+                    out["pred"].append("occursIn")
+                    out["obj"].append(f"{conv_id}#{turn_idx}")
+                    out["violation"].append("range")
+        return pa.table(
+            {
+                "subj": pa.array(out["subj"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "violation": pa.array(out["violation"], pa.string()),
+            }
+        )
+
+    dom = ds.map_batches(domain_violations, batch_format="pyarrow")
+    rng = ds.map_batches(range_violations, batch_format="pyarrow")
+    return dom.union(rng)
+
+
+V01_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)})
+SELECT string_split(t.text, ' ')[1] AS subj,
+       'mentionedIn' AS pred,
+       t.conv_id || '#' || CAST(t.turn_idx AS VARCHAR) AS obj,
+       'domain' AS violation
+FROM t
+WHERE string_split(t.text, ' ')[1] NOT IN (SELECT entity FROM d)
+UNION ALL
+SELECT d.entity AS subj, 'occursIn' AS pred,
+       t.conv_id || '#' || CAST(t.turn_idx AS VARCHAR) AS obj,
+       'range' AS violation
+FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity)
+WHERE t.turn_idx > 20
+"""
+
+
+def i02_cdc_merge(sf_dir: str, n_buckets: int = 64):
+    """CDC merge-apply (MERGE INTO semantics): treat the event stream
+    as a changelog keyed by (user_id, event_type), ordered by
+    (ts, event_id); the LATEST change per key wins, and a change whose
+    integer-cents value is divisible by 10 is a DELETE marker — the key
+    disappears from the snapshot.  This is the "apply a changelog to a
+    base table" upsert path every incremental-ingest pipeline needs.
+
+    Ray shape: user-hash bucket shuffle (the key's natural prefix), one
+    vectorized pass per bucket-run — last-of-run boolean mask instead
+    of ROW_NUMBER machinery, deletes filtered after the last-wins
+    selection (a delete must suppress older upserts, not be skipped).
+    Integer-cents value so the oracle is hash-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(
+                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+        )
+
+    def merge_apply(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        value_c = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        last = np.r_[(uid[1:] != uid[:-1]) | (et[1:] != et[:-1]), True]
+        keep = last & (value_c % 10 != 0)  # delete marker wins, emits nothing
+        return pd.DataFrame(
+            {
+                "user_id": uid[keep],
+                "event_type": et[keep],
+                "last_value_c": value_c[keep],
+                "last_ts_us": ts_us[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_apply, batch_format="pandas")
+    )
+
+
+I02_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM c)
+SELECT user_id, event_type, value_c AS last_value_c, ts_us AS last_ts_us
+FROM ranked WHERE rn = 1 AND value_c % 10 <> 0
+"""
+
+
+def g03_link_prediction(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """Common-neighbor link prediction over the co-purchase graph: for
+    every NON-adjacent node pair, count shared neighbors and return the
+    top-k candidate links (the classic KG link-prediction baseline,
+    Liben-Nowell & Kleinberg 2003).
+
+    Ray shape: the shared ``_copurchase_edges`` derivation gives the
+    distinct edge list; adjacency rows (w, n) in both directions are
+    bucket-run on w-hash, each center's sorted neighborhood emits its
+    rank-ordered pairs as count-1 partials (wedge generation — same
+    run-diff kernel as g02, O(sum deg^2) bounded by the thinned graph),
+    and one bucketed sum reduces them to common-neighbor counts.
+    Existing edges are removed by a tagged co-partition (union scored
+    pairs + edges, hash-bucket on the pair — never a broadcast edge
+    set), and top-k is per-bucket local top-k + one k x n_buckets
+    driver merge (q24 pattern).  Deterministic tie-break:
+    (count desc, u, v)."""
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir, n_buckets)
+
+    def adjacency(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy(np.int64)
+        v = batch["v"].to_numpy(np.int64)
+        w = np.concatenate([u, v])
+        n = np.concatenate([v, u])
+        return pd.DataFrame(
+            {"w": w, "n": n, "bucket": (w % n_buckets).astype(np.int32)}
+        )
+
+    def wedge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["w", "n"]].sort_values(["w", "n"])
+        a = df["w"].to_numpy(np.int64)
+        b = df["n"].to_numpy(np.int64)
+        xs, ys = [], []
+        j = 1
+        while True:
+            same = a[j:] == a[:-j]
+            if not same.any():
+                break
+            xs.append(b[:-j][same])  # n sorted within w -> u < v holds
+            ys.append(b[j:][same])
+            j += 1
+        if not xs:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"u": np.concatenate(xs), "v": np.concatenate(ys),
+             "c": np.int64(1)}
+        )
+
+    scored = bucketed_sum(
+        edges.map_batches(adjacency, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(wedge_partials, batch_format="pandas"),
+        ["u", "v"],
+        ["c"],
+    )
+
+    def edge_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": batch["u"].to_numpy(np.int64),
+                "v": batch["v"].to_numpy(np.int64),
+                "c": np.int64(-1),  # marker: existing edge
+            }
+        )
+
+    tagged = scored.union(edges.map_batches(edge_tag, batch_format="pandas"))
+
+    def pair_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch["u"].to_numpy(np.int64) * np.int64(1_000_003)
+            + batch["v"].to_numpy(np.int64)
+        ) % n_buckets
+        return batch.assign(bucket=h.astype(np.int32))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * np.int64(1 << 32) + g[
+            "v"
+        ].to_numpy(np.int64)
+        is_edge = g["c"].to_numpy() == -1
+        keep = ~np.isin(key[~is_edge], np.unique(key[is_edge]))
+        cand = g[~is_edge][keep]
+        return (
+            cand.sort_values(["c", "u", "v"], ascending=[False, True, True])
+            .head(k)[["u", "v", "c"]]
+        )
+
+    survivors = (
+        tagged.map_batches(pair_bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()  # <= k x n_buckets rows
+    )
+    top = (
+        survivors.sort_values(["c", "u", "v"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+        .rename(columns={"c": "common_neighbors"})
+    )
+    return top[["u", "v", "common_neighbors"]]
+
+
+G03_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+adj AS (
+  SELECT u AS w, v AS n FROM edges
+  UNION ALL
+  SELECT v AS w, u AS n FROM edges),
+cn AS (
+  SELECT a.n AS u, b.n AS v, COUNT(*) AS common_neighbors
+  FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+  GROUP BY a.n, b.n),
+cand AS (
+  SELECT cn.u, cn.v, cn.common_neighbors
+  FROM cn LEFT JOIN edges e ON cn.u = e.u AND cn.v = e.v
+  WHERE e.u IS NULL)
+SELECT u, v, common_neighbors FROM cand
+ORDER BY common_neighbors DESC, u, v LIMIT 20
+"""
+
+
 def m04_audio_features(sf_dir: str):
     """REAL multimodal audio decode: RIFF/WAVE mono-PCM payloads
     (deterministically generated from doc_id by closed-form arithmetic)
@@ -4227,11 +4537,15 @@ REGISTRY: dict[str, tuple] = {
     "w06_retention_cohorts": (w06_retention_cohorts, W06_SQL),
     "w07_activity_streaks": (w07_activity_streaks, W07_SQL),
     "i01_scd2_intervals": (i01_scd2_intervals, I01_SQL),
+    "i02_cdc_merge": (i02_cdc_merge, I02_SQL),
+    "v01_constraint_violations": (v01_constraint_violations, V01_SQL),
     "t11_unigram_lm": (t11_unigram_lm, T11_SQL),
     "g02_triangle_count": (g02_triangle_count, G02_SQL),
+    "g03_link_prediction": (g03_link_prediction, G03_SQL),
     "t12_mad_outliers": (t12_mad_outliers, T12_SQL),
     "d09_edit_distance_pairs": (d09_edit_distance_pairs, D09_SQL),
     "a04_knn_graph": (a04_knn_graph, A04_SQL),
     "d10_semantic_dedup": (d10_semantic_dedup, D10_SQL),
     "d11_incremental_dedup": (d11_incremental_dedup, D11_SQL),
+    "d12_duplicated_spans": (d12_duplicated_spans, D12_SQL),
 }

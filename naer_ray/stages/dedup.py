@@ -1569,3 +1569,192 @@ def minhash_probe_index(
         .groupby("bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- exact duplicated spans
+
+
+def _span_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct u64 FNV-1a hashes of every k-byte window of ``text``
+    (the corpus is ASCII, so byte windows == character windows and the
+    SQL ``substr`` oracle sees identical grams).  Vectorized as k
+    column-folds over a sliding-window view — the `_stable_shingles`
+    technique at 64-bit width so 1.5M-gram corpora stay collision-free
+    in practice (and an exact verify pass guarantees it regardless)."""
+    t = text.encode("utf-8")
+    if len(t) < k:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(t, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    h = np.full(windows.shape[0], np.uint64(14695981039346656037), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(k):
+            h = (h ^ windows[:, c]) * np.uint64(1099511628211)
+    return np.unique(h)
+
+
+def _has_shared_span(a: str, b: str, k: int) -> bool:
+    """Exact predicate: do a and b share any identical k-char substring?"""
+    if a is None or b is None or len(a) < k or len(b) < k:
+        return False
+    grams_a = {a[i : i + k] for i in range(len(a) - k + 1)}
+    return any(b[i : i + k] in grams_a for i in range(len(b) - k + 1))
+
+
+def duplicated_span_pairs(
+    texts_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    n_buckets: int = 64,
+    max_group: int = 2048,
+):
+    """Exact duplicated-span detection (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    the substring-dedup signal): emit every doc pair (id_a < id_b)
+    sharing at least one IDENTICAL k-character span.
+
+    Ray shape (never all-pairs, never a driver adjacency):
+    1. per-batch vectorized window hashing -> (gram_h, id) rows
+       (distinct per doc);
+    2. gram-hash bucket-run pair generation (flat-array run kernel,
+       degenerate grams capped at ``max_group`` ids with a warning —
+       a boilerplate gram shared by everything would otherwise emit
+       O(n^2) pairs);
+    3. one bucketed sum dedupes candidate pairs across grams;
+    4. exact verify: texts co-partition onto the (output-sized) pair
+       list via two `_attach_text` passes and the shared-span predicate
+       runs per pair — hash collisions can never reach the output.
+    """
+    from .agg import bucketed_sum
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        hs, out_ids = [], []
+        for i, t in zip(ids, texts):
+            h = _span_hashes(t or "", k)
+            if len(h):
+                hs.append(h.view(np.int64))
+                out_ids.append(np.full(len(h), i, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"gram_h": pa.array([], pa.int64()), "id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gram_h": pa.array(np.concatenate(hs), pa.int64()),
+                "id": pa.array(np.concatenate(out_ids), pa.int64()),
+            }
+        )
+
+    gram_rows = texts_ds.map_batches(grams, batch_format="pyarrow")
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+        if group.empty:
+            return empty
+        g = (
+            group.drop_duplicates(subset=["gram_h", "id"])
+            .sort_values(["gram_h", "id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(g) < 2:
+            return empty
+        gh = g["gram_h"].to_numpy(np.int64)
+        ids = g["id"].to_numpy(np.int64)
+        change = np.flatnonzero(np.diff(gh) != 0) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        sizes = ends - starts
+        capped_rows = int(np.maximum(sizes - max_group, 0).sum())
+        if capped_rows:
+            import warnings
+
+            warnings.warn(
+                f"duplicated_span_pairs: {capped_rows} rows beyond "
+                f"max_group={max_group} in degenerate gram groups lose pairs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # pos-in-run: the cap keeps only pairs among the first max_group
+        # ids of a run (both endpoints inside the cap window)
+        pos = np.arange(len(g)) - starts.repeat(sizes)
+        out_a, out_b = [], []
+        # run-diff pair generation: distance-j pairs within equal-hash runs
+        j = 1
+        while j < max_group:
+            same = (gh[j:] == gh[:-j]) & (pos[j:] < max_group)
+            if not same.any():
+                break
+            out_a.append(ids[:-j][same])
+            out_b.append(ids[j:][same])
+            j += 1
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    # gram_h-hash bucket shuffle + flat-array run kernel (one kernel call
+    # per bucket, not per gram — the CLAUDE.md bucket-run rule)
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        h = batch["gram_h"].to_numpy(np.int64).view(np.uint64)
+        batch["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
+        return batch
+
+    cand = (
+        gram_rows.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
+    distinct = (
+        bucketed_sum(cand, ["id_a", "id_b"], [], count_col="n")
+        .drop_columns(["n"])
+        .materialize()  # candidate pairs are output-sized
+    )
+    if distinct.count() == 0:
+        # zero candidates: downstream all-empty blocks lose their
+        # schema, so short-circuit with a typed empty (the
+        # _empty_jaccard_pairs precedent)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        )
+
+    base = [("id_a", pa.int64()), ("id_b", pa.int64())]
+    with_a = _attach_text(
+        distinct, texts_ds, "id_a", base, "text_a", id_col, text_col, n_buckets
+    )
+    with_b = _attach_text(
+        with_a, texts_ds, "id_b", base + [("text_a", pa.string())],
+        "text_b", id_col, text_col, n_buckets,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "id_a" not in batch.columns:
+            # zero candidates: empty blocks may arrive schema-less
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        keep = [
+            _has_shared_span(a, b, k)
+            for a, b in zip(batch["text_a"], batch["text_b"])
+        ]
+        out = batch.loc[keep, ["id_a", "id_b"]]
+        return pd.DataFrame(
+            {"id_a": out["id_a"].astype("int64"), "id_b": out["id_b"].astype("int64")}
+        )
+
+    return with_b.map_batches(verify, batch_format="pandas")

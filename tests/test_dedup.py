@@ -192,3 +192,51 @@ def test_simhash64_batch_parity():
     got = simhash64_batch(_string_array(pa.array(texts, pa.string())))
     for i, t in enumerate(texts):
         assert int(got[i]) == simhash64(t), repr(t)
+
+
+class TestDuplicatedSpanPairs:
+    def _run(self, docs, k=16):
+        import ray.data
+
+        from naer_ray.stages.dedup import duplicated_span_pairs
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        )
+        out = duplicated_span_pairs(ds, k=k, n_buckets=8)
+        if out.count() == 0:  # Ray's to_pandas drops columns on empty
+            return set()
+        df = out.to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    def test_planted_shared_span_found(self, ray_session):
+        span = "the quick brown fox jumps over it"  # 33 chars > k
+        docs = [
+            (1, f"prefix one {span} suffix alpha"),
+            (2, f"another beginning {span} and more"),
+            (3, "completely unrelated text with nothing shared here at all"),
+        ]
+        assert self._run(docs, k=16) == {(1, 2)}
+
+    def test_short_docs_and_near_miss_excluded(self, ray_session):
+        # 15-char shared prefix < k=16 -> no pair; doc shorter than k -> none
+        docs = [
+            (1, "abcdefghijklmnoXXXXXXXXXXXXXXXX"),
+            (2, "abcdefghijklmnoYYYYYYYYYYYYYYYY"),
+            (3, "tiny"),
+        ]
+        assert self._run(docs, k=16) == set()
+
+    def test_transitive_group_emits_all_pairs(self, ray_session):
+        span = "shared sixteen-plus character run here"
+        docs = [(i, f"doc {i} body {span} tail {i}") for i in range(1, 5)]
+        assert self._run(docs, k=16) == {
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+        }
+
+    def test_exact_predicate(self):
+        from naer_ray.stages.dedup import _has_shared_span
+
+        assert _has_shared_span("xx ABCDEFGHIJKLMNOP yy", "ABCDEFGHIJKLMNOP", 16)
+        assert not _has_shared_span("ABCDEFGHIJKLMNO", "ABCDEFGHIJKLMNO", 16)
+        assert not _has_shared_span(None, "whatever text this is", 4)
