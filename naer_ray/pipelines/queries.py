@@ -4112,6 +4112,40 @@ def d11_incremental_dedup(sf_dir: str):
 D11_SQL = D01_SQL
 
 
+def b01_bpe_merges(sf_dir: str, n_merges: int = 12):
+    """Distributed BPE merge learning (stages/text.bpe_learn) over the
+    documents corpus — tokenizer training as a pipeline stage.  The
+    oracle gate (k01 pattern for non-SQL-expressible iterative ops):
+    the distributed merge list must equal the single-process reference
+    (same count/tie-break/apply rules) exactly, asserted as
+    literal-TRUE rows per merge rank."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import bpe_learn, bpe_reference
+
+    ds = _read(sf_dir, "documents", ["text"])
+    got = bpe_learn(ds, "text", n_merges=n_merges)
+
+    ref_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    for t in ref_tbl["text"].to_pylist():
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = bpe_reference(counts, n_merges=n_merges)
+
+    match = got == want
+    out = pd.DataFrame({"merge_rank": range(len(want))})
+    out["merge_rank"] = out["merge_rank"].astype("int64")
+    out["merges_match"] = bool(match)
+    return out
+
+
+B01_SQL = """
+SELECT CAST(range AS BIGINT) AS merge_rank, TRUE AS merges_match
+FROM range(12)
+"""
+
+
 def d12_duplicated_spans(sf_dir: str):
     """Exact duplicated-span dedup signal (Lee et al. 2021 substring
     dedup): every doc pair sharing an IDENTICAL 40-character span —
@@ -4509,6 +4543,7 @@ REGISTRY: dict[str, tuple] = {
     "w01_weighted_mixture": (w01_weighted_mixture, W01_SQL),
     "t05_tfidf_top_terms": (t05_tfidf_top_terms, T05_SQL),
     "k01_kmeans_clusters": (k01_kmeans_clusters, K01_SQL),
+    "b01_bpe_merges": (b01_bpe_merges, B01_SQL),
     "s03_stratified_sample": (s03_stratified_sample, S03_SQL),
     "n01_group_zscore": (n01_group_zscore, N01_SQL),
     "t06_normalize_text": (t06_normalize_text, T06_SQL),

@@ -1083,3 +1083,153 @@ def unigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+# ------------------------------------------------------------- BPE learning
+
+
+def _bpe_apply_merge(sym: tuple, left: str, right: str) -> tuple:
+    """Left-to-right merge application within one symbol sequence —
+     'aaa' under merge (a,a) becomes ('aa','a'), the standard BPE rule."""
+    out, i, n = [], 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Single-process reference BPE merge learning (Sennrich et al.
+    2016, arXiv:1508.07909): start from character symbols, repeatedly
+    merge the most frequent adjacent symbol pair.  Deterministic
+    tie-break: highest count, then lexicographically smallest
+    (left, right).  Pair counts are weighted by word frequency and
+    count every adjacent occurrence (overlaps included) — the same
+    rule the distributed pass uses, so parity is exact."""
+    vocab: dict[tuple, int] = {tuple(w): c for w, c in word_counts.items() if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best_c = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == best_c)
+        merges.append(best)
+        vocab = {
+            _bpe_apply_merge(sym, best[0], best[1]): c for sym, c in vocab.items()
+        }
+    return merges
+
+
+_BPE_SEP = "\x1f"  # unit separator: cannot occur inside whitespace-split words
+
+
+def bpe_learn(ds, text_col: str = "text", n_merges: int = 10, n_buckets: int = 64):
+    """Distributed BPE merge learning — the tokenizer-training primitive
+    a training-data pipeline runs over its corpus before packing.
+
+    Shape: ONE corpus-sized pass builds the word-frequency histogram
+    (per-batch np.unique partials -> bucketed sum, the t05/t11 vocab
+    pattern); every merge round then runs over the VOCAB table (Heaps'
+    law: ~O(corpus^0.5) rows), never the corpus — a pair-count
+    partials pass + bucketed sum + a driver argmax on the pair table
+    (pair table is vocab-sized), then a broadcast merge-apply pass.
+    The vocab dataset is materialized per round so round k+1 does not
+    re-execute round k's DAG.  Tie-break matches
+    :func:`bpe_reference`: (count desc, left asc, right asc).
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    from .agg import bucketed_sum
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        flat, _, _ = _flat_nonempty(
+            pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), len(txt)
+        )
+        words, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def to_symbols(batch: pa.Table) -> pa.Table:
+        words = batch["word"].to_pylist()
+        return pa.table(
+            {
+                "sym": pa.array(
+                    [_BPE_SEP.join(w) for w in words], pa.string()
+                ),
+                "n": batch["n"],
+            }
+        )
+
+    vocab = (
+        bucketed_sum(
+            ds.map_batches(word_partial, batch_format="pyarrow"), ["word"], ["n"]
+        )
+        .map_batches(to_symbols, batch_format="pyarrow")
+        .materialize()
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _round in range(n_merges):
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            counts: dict[tuple[str, str], int] = {}
+            for s, c in zip(batch["sym"].to_pylist(), batch["n"].to_pylist()):
+                sym = s.split(_BPE_SEP)
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                return pa.table(
+                    {
+                        "left": pa.array([], pa.string()),
+                        "right": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            ls, rs = zip(*counts.keys())
+            return pa.table(
+                {
+                    "left": pa.array(ls, pa.string()),
+                    "right": pa.array(rs, pa.string()),
+                    "c": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+        pair_df = bucketed_sum(
+            vocab.map_batches(pair_partial, batch_format="pyarrow"),
+            ["left", "right"],
+            ["c"],
+            n_buckets=n_buckets,
+        ).to_pandas()  # vocab-sized pair table, not corpus-sized
+        if pair_df.empty:
+            break
+        best_c = pair_df["c"].max()
+        cand = pair_df[pair_df["c"] == best_c].sort_values(["left", "right"])
+        left, right = str(cand.iloc[0]["left"]), str(cand.iloc[0]["right"])
+        merges.append((left, right))
+
+        def apply(batch: pa.Table, left=left, right=right) -> pa.Table:
+            out = []
+            for s in batch["sym"].to_pylist():
+                sym = _bpe_apply_merge(tuple(s.split(_BPE_SEP)), left, right)
+                out.append(_BPE_SEP.join(sym))
+            return pa.table({"sym": pa.array(out, pa.string()), "n": batch["n"]})
+
+        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+    return merges

@@ -140,3 +140,58 @@ def test_normalize_text_kernels(ray_session):
         "",
         "already clean",
     ]
+
+
+class TestBpeLearn:
+    def test_reference_sennrich_example(self):
+        from naer_ray.stages.text import bpe_reference
+
+        merges = bpe_reference(
+            {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4
+        )
+        assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+    def test_tie_break_lexicographic(self):
+        from naer_ray.stages.text import bpe_reference
+
+        # 'ab' and 'cd' both appear twice: lexicographically smaller wins
+        merges = bpe_reference({"ab": 2, "cd": 2}, 1)
+        assert merges == [("a", "b")]
+
+    def test_overlap_merge_left_to_right(self):
+        from naer_ray.stages.text import _bpe_apply_merge, bpe_reference
+
+        assert _bpe_apply_merge(("a", "a", "a", "a", "a"), "a", "a") == (
+            "aa", "aa", "a",
+        )
+        # 'aaa'x1: pair (a,a) counted twice (overlaps included)
+        merges = bpe_reference({"aaa": 1, "bc": 1}, 1)
+        assert merges == [("a", "a")]
+
+    def test_distributed_matches_reference(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.text import bpe_learn, bpe_reference
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog and a rat",
+            "mat rat log dog cat the the",
+        ] * 7
+        ds = ray.data.from_items([{"text": t} for t in texts])
+        got = bpe_learn(ds, "text", n_merges=8, n_buckets=8)
+        counts: dict = {}
+        for t in texts:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        assert got == bpe_reference(counts, 8)
+
+    def test_exhausts_pairs_early(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.text import bpe_learn
+
+        # single two-char word: only 1 merge possible even if 5 asked
+        ds = ray.data.from_items([{"text": "ab ab ab"}])
+        assert bpe_learn(ds, "text", n_merges=5, n_buckets=4) == [("a", "b")]
