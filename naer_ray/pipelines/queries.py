@@ -144,7 +144,7 @@ def q02_top_revenue_orders(sf_dir: str):
         return batch.sort_values(["rev_c", "l_orderkey"], ascending=[False, True]).head(10)
 
     df = (
-        agg.map_batches(local_topk, batch_format="pandas")
+        agg.map_batches(local_topk, batch_format="pandas", batch_size=65536)
         .to_pandas()
         .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
         .head(10)
@@ -339,7 +339,7 @@ def q07_sessionize(sf_dir: str, n_buckets: int = 64):
         return out
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
     )
@@ -1065,7 +1065,7 @@ def t02_fingerprints(sf_dir: str, n_buckets: int = 64):
         return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64")
 
     pair_ds = (
-        fps.map_batches(bucketize, batch_format="pandas")
+        fps.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -1503,7 +1503,7 @@ def q23_asof_join(sf_dir: str):
         return batch.groupby("event_type", as_index=False)[["matched", "price_c"]].sum()
 
     agg = (
-        merged.map_batches(partial, batch_format="pandas")
+        merged.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("event_type")
         .aggregate(
             Sum("matched", alias_name="n_matched"),
@@ -1574,7 +1574,7 @@ def q26_range_join(sf_dir: str):
         return batch.groupby("o_orderpriority", as_index=False)[["prior_c", "n"]].sum()
 
     agg = (
-        matched.map_batches(partial, batch_format="pandas")
+        matched.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("o_orderpriority")
         .aggregate(
             Sum("n", alias_name="n_pairs"), Sum("prior_c", alias_name="prior_c")
@@ -2469,7 +2469,7 @@ def d07_priority_dedup(sf_dir: str):
         return batch[["doc_id", "text", "priority"]]
 
     both = ds.union(ds.map_batches(dup, batch_format="pyarrow"))
-    keyed = both.map_batches(with_prio, batch_format="pandas")
+    keyed = both.map_batches(with_prio, batch_format="pandas", batch_size=65536)
     out = keep_best_dedup(keyed, "doc_id", "text", "priority").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["priority"] = out["priority"].astype("int64")
@@ -2530,7 +2530,7 @@ def w02_user_gaps(sf_dir: str, n_buckets: int = 64):
         return out
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(gaps, batch_format="pandas")
     )
@@ -2747,7 +2747,7 @@ def w03_running_revenue(sf_dir: str, n_buckets: int = 64):
         return g[["o_custkey", "o_orderkey", "running_c"]]
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(running, batch_format="pandas")
     )
@@ -2799,7 +2799,7 @@ def q30_set_ops(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("o_custkey")
         .max(["in_a", "in_b"])
-        .map_batches(classify, batch_format="pandas")
+        .map_batches(classify, batch_format="pandas", batch_size=65536)
     )
 
 
@@ -2872,7 +2872,7 @@ def r03_pivot(sf_dir: str):
         return g.rename(columns={"size": "n"})
 
     fine = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(["source", "lang"])
         .sum("n")
         .to_pandas()
@@ -2957,7 +2957,7 @@ def e01_json_extract(sf_dir: str):
 
     out = (
         ds.map_batches(extract, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("event_type")
         .sum(["s", "n"])
         .to_pandas()
@@ -3145,7 +3145,7 @@ def w04_order_ntile(sf_dir: str, k: int = 4, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(ntile, batch_format="pandas")
     )
@@ -3195,7 +3195,7 @@ def w05_funnel(sf_dir: str, gap_us: int = 600_000_000, n_buckets: int = 64):
         return res
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(funnel, batch_format="pandas")
     )
@@ -3322,7 +3322,7 @@ def w06_retention_cohorts(sf_dir: str, n_buckets: int = 64):
         return p.rename(columns={"size": "n_users"}).astype("int64")
 
     partials = (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(cohort_partial, batch_format="pandas")
     )
@@ -3392,7 +3392,7 @@ def w07_activity_streaks(sf_dir: str, n_buckets: int = 64):
         return res.astype("int64")
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(streaks, batch_format="pandas")
     )
@@ -3460,7 +3460,7 @@ def i01_scd2_intervals(sf_dir: str, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(intervals, batch_format="pandas")
     )
@@ -3565,7 +3565,7 @@ def _copurchase_edges(sf_dir: str, n_buckets: int = 64):
         ).drop_duplicates()
 
     pairs = (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(order_pairs, batch_format="pandas")
     )
@@ -3637,7 +3637,7 @@ def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
+    oriented = edges.map_batches(orient, batch_format="pandas", batch_size=65536)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         df = g[["a", "b"]].sort_values(["a", "b"])
@@ -3674,7 +3674,7 @@ def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
         )
 
     tagged = wedge_ds.union(
-        oriented.map_batches(edge_tag, batch_format="pandas")
+        oriented.map_batches(edge_tag, batch_format="pandas", batch_size=65536)
     )
 
     def close_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3694,7 +3694,7 @@ def g02_triangle_count(sf_dir: str, n_buckets: int = 64):
         return pd.DataFrame({"t": [np.int64(hit.sum())]})
 
     parts = (
-        tagged.map_batches(close_bucketize, batch_format="pandas")
+        tagged.map_batches(close_bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(count_closed, batch_format="pandas")
         .to_pandas()
@@ -3784,7 +3784,7 @@ def t12_mad_outliers(sf_dir: str):
             }
         )
 
-    return ds.map_batches(flag, batch_format="pandas")
+    return ds.map_batches(flag, batch_format="pandas", batch_size=65536)
 
 
 T12_SQL = """
@@ -4112,6 +4112,249 @@ def d11_incremental_dedup(sf_dir: str):
 D11_SQL = D01_SQL
 
 
+def n02_group_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs discount-percent per
+    return flag) from EXACT integer moment partials: per-batch int64
+    (n, sx, sy, sxx, syy, sxy) combiners -> one tiny bucketed sum ->
+    a fixed IEEE expression tree on the driver, so the DOUBLE result
+    matches the SQL oracle bit-exactly (the n01 moment-shuffle pattern
+    extended to second cross-moments).  Small integer domains
+    (qty <= 50, pct <= 10) keep every moment in int64 at any SF."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(batch["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_returnflag"],
+        ["n", "sx", "sy", "sxx", "syy", "sxy"],
+    ).to_pandas()  # one row per flag
+
+    n = m["n"].to_numpy(np.int64)
+    mux = m["sx"].to_numpy(np.int64).astype(np.float64) / n
+    muy = m["sy"].to_numpy(np.int64).astype(np.float64) / n
+    cov = m["sxy"].to_numpy(np.int64).astype(np.float64) - n * mux * muy
+    varx = m["sxx"].to_numpy(np.int64).astype(np.float64) - n * mux * mux
+    vary = m["syy"].to_numpy(np.int64).astype(np.float64) - n * muy * muy
+    denom = np.sqrt(varx) * np.sqrt(vary)
+    corr = np.where(denom == 0, np.nan, cov / np.where(denom == 0, 1.0, denom))
+    out = pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"],
+            "n_rows": n,
+            "corr_qty_disc": corr,
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+    return out
+
+
+N02_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM b GROUP BY l_returnflag),
+e AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / n AS mux,
+         CAST(sy AS DOUBLE) / n AS muy,
+         CAST(sxx AS DOUBLE) AS sxx_d, CAST(syy AS DOUBLE) AS syy_d,
+         CAST(sxy AS DOUBLE) AS sxy_d
+  FROM m)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN sqrt(sxx_d - n * mux * mux) * sqrt(syy_d - n * muy * muy) = 0
+            THEN NULL
+            ELSE (sxy_d - n * mux * muy)
+                 / (sqrt(sxx_d - n * mux * mux) * sqrt(syy_d - n * muy * muy))
+       END AS corr_qty_disc
+FROM e
+"""
+
+
+def w08_dense_rank(sf_dir: str, n_buckets: int = 64):
+    """DENSE_RANK per customer over order totals (integer cents, ties
+    share a rank): custkey bucket-run + one vectorized change-mask
+    cumsum per bucket — no per-customer dispatch, no global sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(
+                batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
+            ).astype(np.int32)
+        )
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            value_c=np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+                np.int64
+            )
+        ).sort_values(["o_custkey", "value_c"], ascending=[True, False])
+        ck = g["o_custkey"].to_numpy(np.int64)
+        vc = g["value_c"].to_numpy(np.int64)
+        new_user = np.r_[True, ck[1:] != ck[:-1]]
+        chg = new_user | np.r_[True, vc[1:] != vc[:-1]]
+        r = np.cumsum(chg)
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.r_[starts, len(g)])
+        base = (r[starts] - 1).repeat(sizes)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": ck,
+                "value_c": vc,
+                "rnk": (r - base).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(rank_kernel, batch_format="pandas")
+    )
+
+
+W08_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS value_c,
+       DENSE_RANK() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC
+       ) AS rnk
+FROM orders
+"""
+
+
+def q33_full_outer_join(sf_dir: str, n_buckets: int = 64):
+    """FULL OUTER join: per-customer order counts vs the (c_custkey %
+    3 == 0)-filtered customer dimension — left-only, right-only and
+    matched rows all non-empty by construction.  Co-partition union
+    (typed-null padded sides, the asof/attach pattern) + one per-bucket
+    outer merge; counts surface as DOUBLE because the unmatched side is
+    NULL (matching DuckDB's NULL-able aggregate output dtype)."""
+    from ..stages.agg import bucketed_sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def order_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "order_cnt"})
+
+    counts = bucketed_sum(
+        orders.map_batches(order_partial, batch_format="pandas", batch_size=65536),
+        ["o_custkey"],
+        ["order_cnt"],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("order_cnt", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("__side", pa.int8()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch["o_custkey"].cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                key,
+                batch["order_cnt"].cast(pa.int64()),
+                pa.nulls(n, pa.string()),
+                pa.array(np.zeros(n, np.int8)),
+                pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            ],
+            schema=schema,
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].cast(pa.int64())
+        # c_custkey % 3 == 0 via integer divide (Arrow has no modulo)
+        keep = pc.equal(
+            pc.subtract(
+                key, pc.multiply(pc.divide(key, pa.scalar(3, pa.int64())), 3)
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        t = batch.filter(keep)
+        n = t.num_rows
+        key = t["c_custkey"].cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                key,
+                pa.nulls(n, pa.int64()),
+                t["c_mktsegment"].cast(pa.string()),
+                pa.array(np.ones(n, np.int8)),
+                pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(n_buckets - 1, pa.int64())),
+                    pa.int32(),
+                ),
+            ],
+            schema=schema,
+        )
+
+    tagged = counts.map_batches(tag_counts, batch_format="pyarrow").union(
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+    )
+
+    def outer_merge(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["__side"] == 0][["custkey", "order_cnt"]]
+        right = group[group["__side"] == 1][["custkey", "c_mktsegment"]]
+        m = left.merge(right, on="custkey", how="outer")
+        seg = m["c_mktsegment"].astype(object)
+        return pd.DataFrame(
+            {
+                "custkey": m["custkey"].astype("int64"),
+                "order_cnt": m["order_cnt"].astype("float64"),
+                # None (not float NaN) so the object column stringifies
+                # like DuckDB's NULL under the driver's compare
+                "c_mktsegment": seg.where(seg.notna(), None),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(outer_merge, batch_format="pandas")
+
+
+Q33_SQL = """
+WITH a AS (
+  SELECT o_custkey, COUNT(*) AS order_cnt FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+SELECT COALESCE(a.o_custkey, b.c_custkey) AS custkey,
+       CAST(a.order_cnt AS DOUBLE) AS order_cnt,
+       b.c_mktsegment
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.c_custkey
+"""
+
+
 def b01_bpe_merges(sf_dir: str, n_merges: int = 12):
     """Distributed BPE merge learning (stages/text.bpe_learn) over the
     documents corpus — tokenizer training as a pipeline stage.  The
@@ -4291,7 +4534,7 @@ def i02_cdc_merge(sf_dir: str, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(merge_apply, batch_format="pandas")
     )
@@ -4365,7 +4608,7 @@ def g03_link_prediction(sf_dir: str, k: int = 20, n_buckets: int = 64):
         )
 
     scored = bucketed_sum(
-        edges.map_batches(adjacency, batch_format="pandas")
+        edges.map_batches(adjacency, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(wedge_partials, batch_format="pandas"),
         ["u", "v"],
@@ -4403,7 +4646,7 @@ def g03_link_prediction(sf_dir: str, k: int = 20, n_buckets: int = 64):
         )
 
     survivors = (
-        tagged.map_batches(pair_bucketize, batch_format="pandas")
+        tagged.map_batches(pair_bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(local_topk, batch_format="pandas")
         .to_pandas()  # <= k x n_buckets rows
@@ -4560,6 +4803,9 @@ REGISTRY: dict[str, tuple] = {
     "w03_running_revenue": (w03_running_revenue, W03_SQL),
     "t10_rep_ngrams": (t10_rep_ngrams, T10_SQL),
     "q30_set_ops": (q30_set_ops, Q30_SQL),
+    "q33_full_outer_join": (q33_full_outer_join, Q33_SQL),
+    "n02_group_corr": (n02_group_corr, N02_SQL),
+    "w08_dense_rank": (w08_dense_rank, W08_SQL),
     "q32_grouped_hll": (q32_grouped_hll, Q32_SQL),
     "e01_json_extract": (e01_json_extract, E01_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),

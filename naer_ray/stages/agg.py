@@ -89,7 +89,7 @@ def bucketed_sum(
         return batch
 
     return (
-        round1.map_batches(rebucket, batch_format="pandas")
+        round1.map_batches(rebucket, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
@@ -208,7 +208,7 @@ def rollup_sum(ds, keys: list[str], value_col: str, count: bool = True):
     # merge partials: the finest level is small (distinct key combos),
     # so a single-group reduce is fine; shuffle carries partials only
     fine = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(keys)
         .sum(["s", "n"])
         .to_pandas()
@@ -254,7 +254,7 @@ def cube_sum(ds, keys: list[str], value_col: str, count: bool = True):
         return g
 
     fine = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(keys)
         .sum(["s", "n"])
         .to_pandas()

@@ -134,7 +134,7 @@ def name_pool_rows(names_ds, name_col: str = "name", aliases_col: str | None = N
         return batch
 
     return (
-        rows.map_batches(bucketize, batch_format="pandas")
+        rows.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(dedup, batch_format="pandas")
     )
@@ -182,7 +182,7 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
         return batch
 
     exact = (
-        pool_rows.map_batches(collapse_key, batch_format="pandas")
+        pool_rows.map_batches(collapse_key, batch_format="pandas", batch_size=65536)
         .groupby("ckey_bucket")
         .map_groups(exact_edges, batch_format="pandas")
     )
@@ -224,7 +224,7 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
     from .dedup import _grouped_runs
 
     fuzzy = _grouped_runs(
-        pool_rows.map_batches(blocked, batch_format="pandas"),
+        pool_rows.map_batches(blocked, batch_format="pandas", batch_size=65536),
         ["block"],
         fuzzy_edges,
     )
@@ -265,6 +265,8 @@ def canonical_labels(names_ds, name_col: str = "name", aliases_col: str | None =
 
     return (
         comp.union(singles)
+        # no batch_size here: the union mixes Arrow and pandas blocks,
+        # and Ray's batcher cannot combine the two into one batch
         .map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(min_label, batch_format="pandas")
@@ -287,4 +289,4 @@ def apply_canonical_labels(triples_ds, labels_ds, col: str = "subj"):
         batch[col] = batch[col].map(lambda v: m.get(v, v))
         return batch
 
-    return triples_ds.map_batches(relabel, batch_format="pandas")
+    return triples_ds.map_batches(relabel, batch_format="pandas", batch_size=65536)

@@ -241,7 +241,7 @@ def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
         return pd.concat(outs, ignore_index=True)
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(run, batch_format="pandas")
     )
@@ -341,7 +341,7 @@ def minhash_candidate_pairs(
         return batch
 
     cands = (
-        band_rows.map_batches(bucketize_bands, batch_format="pandas")
+        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
@@ -361,7 +361,7 @@ def minhash_candidate_pairs(
         return batch
 
     return (
-        cands.map_batches(pair_bucket, batch_format="pandas")
+        cands.map_batches(pair_bucket, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
@@ -440,7 +440,7 @@ def connected_components(
         return _bucketize(pd.DataFrame({"node": nodes, "label": nodes}), "node")
 
     labels = (
-        edges.map_batches(init_nodes, batch_format="pandas")
+        edges.map_batches(init_nodes, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(
             lambda g: g.drop_duplicates(subset=["node"]).assign(
@@ -455,7 +455,7 @@ def connected_components(
         rev = pd.DataFrame({"node": batch["id_b"], "other": batch["id_a"]})
         return _bucketize(pd.concat([fwd, rev], ignore_index=True), "node")
 
-    adjacency = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+    adjacency = edges.map_batches(edge_rows, batch_format="pandas", batch_size=65536).materialize()
 
     for _round in range(max_rounds):
         def send(group: pd.DataFrame) -> pd.DataFrame:
@@ -479,7 +479,7 @@ def connected_components(
                     if c not in batch.columns:
                         batch[c] = v
                 return batch
-            return ds.map_batches(fix, batch_format="pandas")
+            return ds.map_batches(fix, batch_format="pandas", batch_size=65536)
 
         tagged_labels = add_missing_cols(labels, {"other": None})
         tagged_adj = add_missing_cols(
@@ -681,7 +681,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
     band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=4096)
     cands = (
-        band_rows.map_batches(bucketize_bands, batch_format="pandas")
+        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
@@ -700,7 +700,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         return batch
 
     return (
-        cands.map_batches(bucketize, batch_format="pandas")
+        cands.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(dedup, batch_format="pandas")
     )
@@ -851,7 +851,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return with_b.map_batches(compute, batch_format="pandas")
+    return with_b.map_batches(compute, batch_format="pandas", batch_size=65536)
 
 
 def _empty_jaccard_pairs():
@@ -1033,7 +1033,7 @@ def embedding_neardup_pairs(
         )
 
     return (
-        raw.map_batches(pair_bucket, batch_format="pandas")
+        raw.map_batches(pair_bucket, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(dedupe, batch_format="pandas")
     )
@@ -1565,7 +1565,7 @@ def minhash_probe_index(
         ].max()
 
     return (
-        cands.map_batches(pair_bucket, batch_format="pandas")
+        cands.map_batches(pair_bucket, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(dedup_pairs, batch_format="pandas")
     )
@@ -1709,7 +1709,7 @@ def duplicated_span_pairs(
         return batch
 
     cand = (
-        gram_rows.map_batches(bucketize, batch_format="pandas")
+        gram_rows.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
@@ -1718,7 +1718,8 @@ def duplicated_span_pairs(
         .drop_columns(["n"])
         .materialize()  # candidate pairs are output-sized
     )
-    if distinct.count() == 0:
+    n_cand = distinct.count()
+    if n_cand == 0:
         # zero candidates: downstream all-empty blocks lose their
         # schema, so short-circuit with a typed empty (the
         # _empty_jaccard_pairs precedent)
@@ -1728,6 +1729,55 @@ def duplicated_span_pairs(
             pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
+        )
+    if n_cand <= 50_000:
+        # size-adaptive verify, the d05 planner rule: few candidates ->
+        # semi-join-filter the corpus to pair-referenced texts, broadcast
+        # that bounded map, verify per pair batch (saves the two full
+        # corpus co-partition passes)
+        import ray
+        import ray.data
+
+        pair_tbl = pa.concat_tables(
+            [t for r in distinct.to_arrow_refs() if (t := ray.get(r)).num_rows]
+        )
+        wanted = pc.unique(
+            pa.concat_arrays(
+                [pair_tbl["id_a"].combine_chunks(), pair_tbl["id_b"].combine_chunks()]
+            )
+        )
+        wanted_ref = ray.put(wanted)
+
+        def keep_wanted(batch: pa.Table) -> pa.Table:
+            ids = ray.get(wanted_ref)
+            sel = batch.filter(pc.is_in(batch[id_col].cast(pa.int64()), value_set=ids))
+            return pa.table(
+                {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
+            )
+
+        needed = texts_ds.map_batches(keep_wanted, batch_format="pyarrow")
+        text_map: dict = {}
+        for r in needed.to_arrow_refs():
+            t = ray.get(r)
+            text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+        map_ref = ray.put(text_map)
+
+        def verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(map_ref)
+            keep = [
+                _has_shared_span(lookup.get(a), lookup.get(b), k)
+                for a, b in zip(batch["id_a"], batch["id_b"])
+            ]
+            out = batch.loc[keep]
+            return pd.DataFrame(
+                {
+                    "id_a": out["id_a"].astype("int64"),
+                    "id_b": out["id_b"].astype("int64"),
+                }
+            )
+
+        return ray.data.from_arrow(pair_tbl).map_batches(
+            verify_bcast, batch_format="pandas", batch_size=65536
         )
 
     base = [("id_a", pa.int64()), ("id_b", pa.int64())]
@@ -1757,4 +1807,4 @@ def duplicated_span_pairs(
             {"id_a": out["id_a"].astype("int64"), "id_b": out["id_b"].astype("int64")}
         )
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pandas", batch_size=65536)

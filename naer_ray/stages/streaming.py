@@ -99,7 +99,7 @@ def streaming_sessionize(
         return state.finish()
 
     return (
-        events_ds.map_batches(bucketize, batch_format="pandas")
+        events_ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
         .groupby("bucket")
         .map_groups(replay_partition, batch_format="pandas")
     )
