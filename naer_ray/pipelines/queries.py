@@ -2787,19 +2787,30 @@ def q30_set_ops(sf_dir: str):
         )
         return df.groupby("o_custkey", as_index=False).max()
 
-    def classify(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["max(in_a)"].to_numpy() == 1
-        b = batch["max(in_b)"].to_numpy() == 1
-        op = np.where(a & b, "both", np.where(a, "only_a", "only_b"))
-        return pd.DataFrame(
-            {"o_custkey": batch["o_custkey"].astype("int64"), "set_op": op}
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            bucket=(
+                batch["o_custkey"].to_numpy().astype(np.int64) % 64
+            ).astype(np.int32)
         )
 
+    def classify(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.groupby("o_custkey", as_index=False)[["in_a", "in_b"]].max()
+        a = m["in_a"].to_numpy() == 1
+        b = m["in_b"].to_numpy() == 1
+        op = np.where(a & b, "both", np.where(a, "only_a", "only_b"))
+        return pd.DataFrame(
+            {"o_custkey": m["o_custkey"].astype("int64"), "set_op": op}
+        )
+
+    # bucket-run max-reduce: Ray's native groupby on the 15k-key custkey
+    # column dispatched per key (60s at sf0.1); one bucket groupby + a
+    # vectorized per-bucket pandas max is the CLAUDE.md bucket-run rule
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("o_custkey")
-        .max(["in_a", "in_b"])
-        .map_batches(classify, batch_format="pandas", batch_size=65536)
+        .map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
     )
 
 
@@ -4555,6 +4566,58 @@ FROM ranked WHERE rn = 1 AND value_c % 10 <> 0
 """
 
 
+def m05_audio_frames(sf_dir: str):
+    """Frame-level audio features: the m04 WAV payloads decoded for
+    real, then windowed into 64-sample frames with per-frame integer
+    energy (sum |s|) and peak — the frame-granular feature table a
+    speech pipeline feeds to a model.  The tail frame is partial
+    (no padding), exactly as the SQL oracle's j/64 grouping derives."""
+    from ..stages.multimodal import decode_wav, synth_wav_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def frames(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "n_samples": [], "sum_abs": [], "peak_abs": []}
+        for i in batch["doc_id"].to_pylist():
+            _rate, s = decode_wav(synth_wav_payload(i))
+            a = np.abs(s.astype(np.int64))
+            for f in range(0, len(a), 64):
+                w = a[f : f + 64]
+                out["media_id"].append(f"a{i:07d}")
+                out["frame_idx"].append(f // 64)
+                out["n_samples"].append(len(w))
+                out["sum_abs"].append(int(w.sum()))
+                out["peak_abs"].append(int(w.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "sum_abs": pa.array(out["sum_abs"], pa.int64()),
+                "peak_abs": pa.array(out["peak_abs"], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(frames, batch_format="pyarrow", batch_size=256)
+
+
+M05_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + (doc_id * 89) % 193 AS n FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(range(0, n)) AS j,
+         abs(((doc_id * 31 + unnest(range(0, n)) * 57) % 2048) - 1024) AS a
+  FROM dims)
+SELECT printf('a%07d', doc_id) AS media_id,
+       CAST(j // 64 AS INTEGER) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS INTEGER) AS peak_abs
+FROM s GROUP BY doc_id, j // 64
+"""
+
+
 def g03_link_prediction(sf_dir: str, k: int = 20, n_buckets: int = 64):
     """Common-neighbor link prediction over the co-purchase graph: for
     every NON-adjacent node pair, count shared neighbors and return the
@@ -4778,6 +4841,7 @@ REGISTRY: dict[str, tuple] = {
     "m02_resize_plan": (m02_resize_plan, M02_SQL),
     "m03_frame_sample_plan": (m03_frame_sample_plan, M03_SQL),
     "m04_audio_features": (m04_audio_features, M04_SQL),
+    "m05_audio_frames": (m05_audio_frames, M05_SQL),
     "kg_parity_eval": (kg_parity_eval, KG_PARITY_SQL),
     "s01_hash_sample": (s01_hash_sample, S01_SQL),
     "t04_token_quantiles": (t04_token_quantiles, T04_SQL),

@@ -1480,7 +1480,14 @@ def minhash_probe_index(
                 }
             )
         )
-    index_rows = ray.data.read_parquet(dirs, columns=cols)
+    from ..sources.transcripts import stripped_read_schema
+
+    # stripped schema: index files written via Ray carry pandas schema
+    # metadata whose dict makes hash(schema) raise inside Ray's
+    # per-bundle schema dedup (the BENCH_r02 tail-spam root cause)
+    index_rows = ray.data.read_parquet(
+        dirs, columns=cols, schema=stripped_read_schema(dirs[0], cols)
+    )
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -1503,45 +1510,95 @@ def minhash_probe_index(
         }
     )
 
-    def cross_pairs(sub: pd.DataFrame) -> pd.DataFrame:
-        if sub.empty:
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket of tagged band rows -> new-vs-old candidate
+        pairs, processed as FLAT ARRAYS: collision groups are
+        overwhelmingly (old, new) twins (every mutant collides with its
+        source in all bands), so a per-group Python loop pays 80k
+        DataFrame constructions per run — the `candidate_pairs`
+        size-2 fast path applied to the two-sided probe."""
+        if g.empty:
             return empty
-        new = sub[sub["side"] == 1]
-        old = sub[sub["side"] == 0]
-        if new.empty or old.empty:
-            return None
-        if len(new) > max_group or len(old) > max_group:
-            import warnings
+        g = (
+            g.sort_values(
+                ["band_id", "band_hash", "side", id_col], kind="mergesort"
+            ).reset_index(drop=True)
+        )
+        b0 = g["band_id"].to_numpy()
+        b1 = g["band_hash"].to_numpy()
+        change = np.flatnonzero((np.diff(b0) != 0) | (np.diff(b1) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        sizes = ends - starts
+        side = g["side"].to_numpy()
+        sigs = np.frombuffer(b"".join(g["signature"].tolist()), np.int64).reshape(
+            len(g), -1
+        )
+        ids = g[id_col].to_numpy()
+        out_n: list = []
+        out_o: list = []
+        out_e: list = []
+        two = np.flatnonzero(sizes == 2)
+        if two.size:
+            i0 = starts[two]
+            i1 = i0 + 1
+            mixed = (side[i0] == 0) & (side[i1] == 1)  # one old + one new
+            i0m, i1m = i0[mixed], i1[mixed]
+            if i0m.size:
+                est = (sigs[i0m] == sigs[i1m]).mean(axis=1)
+                keep = est >= min_est
+                out_o.extend(ids[i0m[keep]])
+                out_n.extend(ids[i1m[keep]])
+                out_e.extend(est[keep])
+        for gi in np.flatnonzero(sizes > 2):
+            s, e = starts[gi], ends[gi]
+            olds = np.arange(s, e)[side[s:e] == 0]
+            news = np.arange(s, e)[side[s:e] == 1]
+            if not olds.size or not news.size:
+                continue
+            if len(news) > max_group or len(olds) > max_group:
+                import warnings
 
-            warnings.warn(
-                f"minhash probe: degenerate band group capped at {max_group} "
-                f"rows per side ({len(new)}x{len(old)} candidates dropped beyond)",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            new = new.sort_values(id_col).head(max_group)
-            old = old.sort_values(id_col).head(max_group)
-        sig_n = np.frombuffer(b"".join(new["signature"].tolist()), np.int64).reshape(
-            len(new), -1
-        )
-        sig_o = np.frombuffer(b"".join(old["signature"].tolist()), np.int64).reshape(
-            len(old), -1
-        )
-        est = (sig_n[:, None, :] == sig_o[None, :, :]).mean(axis=2)
-        ii, jj = np.nonzero(est >= min_est)
-        if not ii.size:
-            return None
+                warnings.warn(
+                    f"minhash probe: degenerate band group capped at {max_group} "
+                    f"rows per side ({len(news)}x{len(olds)} candidates dropped "
+                    "beyond)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                olds = olds[:max_group]  # sides sorted by id within the run
+                news = news[:max_group]
+            est = (sigs[news][:, None, :] == sigs[olds][None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(est >= min_est)
+            if ii.size:
+                out_n.extend(ids[news[ii]])
+                out_o.extend(ids[olds[jj]])
+                out_e.extend(est[ii, jj])
+        if not out_n:
+            return empty
         return pd.DataFrame(
             {
-                "new_id": new[id_col].to_numpy()[ii].astype(np.int64),
-                "old_id": old[id_col].to_numpy()[jj].astype(np.int64),
-                "est_jaccard": est[ii, jj].astype(np.float64),
+                "new_id": np.asarray(out_n, np.int64),
+                "old_id": np.asarray(out_o, np.int64),
+                "est_jaccard": np.asarray(out_e, np.float64),
             }
         )
 
-    cands = _grouped_runs(
-        tagged, ["band_id", "band_hash"], cross_pairs, n_buckets=n_buckets,
-        min_group_size=2,
+    def band_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        with np.errstate(over="ignore"):
+            h = batch["band_id"].to_numpy().astype(np.uint64) * np.uint64(
+                0x9E3779B1
+            ) + batch["band_hash"].to_numpy().astype(np.uint64)
+        batch["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
+        return batch
+
+    cands = (
+        tagged.map_batches(band_bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
     )
 
     # collapse same-pair-from-multiple-bands: whole-bucket pandas groupby
@@ -1622,9 +1679,17 @@ def duplicated_span_pairs(
        a boilerplate gram shared by everything would otherwise emit
        O(n^2) pairs);
     3. one bucketed sum dedupes candidate pairs across grams;
-    4. exact verify: texts co-partition onto the (output-sized) pair
-       list via two `_attach_text` passes and the shared-span predicate
-       runs per pair — hash collisions can never reach the output.
+    4. exact verify: candidates <= 50k broadcast a semi-join-filtered
+       text map (the d05 planner rule); above that, texts co-partition
+       onto the pair list via two `_attach_text` passes.  Either way
+       the shared-span predicate runs per pair — hash collisions can
+       never reach the output.
+
+    Scale note: gram rows are ~1 per corpus character, so the shuffle
+    is O(corpus bytes) x 16 (one int64 hash + id per char).  At 100 TB
+    run this per partition-range, or winnow the gram stream first
+    (text.winnow_fingerprint) and accept sampling recall — the exact
+    variant is the oracle-checkable building block.
     """
     from .agg import bucketed_sum
 
