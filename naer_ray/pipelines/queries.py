@@ -4566,6 +4566,77 @@ FROM ranked WHERE rn = 1 AND value_c % 10 <> 0
 """
 
 
+def e02_adjacent_relations(sf_dir: str):
+    """KG relation extraction by adjacency pattern: (a, precedes, b)
+    triples with weights for every ADJACENT entity-dictionary bigram in
+    a document (the pattern-based relation-mining step between mention
+    detection and graph build).
+
+    Fully vectorized: one Arrow split per batch, doc boundaries from
+    list offsets (no cross-document bigrams), entities dictionary-coded
+    via searchsorted, pair counts from one bincount on a*K+b codes —
+    then a cardinality-sized bucketed sum (at most K^2 rows per
+    batch)."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ents = np.array(sorted(KG_ENTITIES))
+    k = len(ents)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        if len(flat) < 2:
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype="string"),
+                 "obj": pd.Series([], dtype="string"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        # searchsorted dictionary-coding: code k means "not an entity"
+        pos = np.searchsorted(ents, flat)
+        pos_c = np.minimum(pos, k - 1)
+        code = np.where(ents[pos_c] == flat, pos_c, k)
+        a, b = code[:-1], code[1:]
+        # a bigram is invalid where position i+1 starts a new document
+        boundary = np.zeros(len(flat), dtype=bool)
+        boundary[offs[1:-1]] = True
+        ok = (a < k) & (b < k) & ~boundary[1:]
+        counts = np.bincount(a[ok] * k + b[ok], minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "subj": pd.array(ents[nz // k], dtype="string"),
+                "obj": pd.array(ents[nz % k], dtype="string"),
+                "n": counts[nz].astype(np.int64),
+            }
+        )
+
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["subj", "obj"],
+        ["n"],
+    ).to_pandas()  # <= K^2 rows
+    agg.insert(1, "pred", "precedes")
+    agg["subj"] = agg["subj"].astype(object)
+    agg["obj"] = agg["obj"].astype(object)
+    return agg.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+E02_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT ws[CAST(j AS INT)] AS subj, ws[CAST(j AS INT) + 1] AS obj
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(j)),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)})
+SELECT subj, 'precedes' AS pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+FROM p
+WHERE subj IN (SELECT entity FROM d) AND obj IN (SELECT entity FROM d)
+GROUP BY subj, obj
+"""
+
+
 def m05_audio_frames(sf_dir: str):
     """Frame-level audio features: the m04 WAV payloads decoded for
     real, then windowed into 64-sample frames with per-frame integer
@@ -4872,6 +4943,7 @@ REGISTRY: dict[str, tuple] = {
     "w08_dense_rank": (w08_dense_rank, W08_SQL),
     "q32_grouped_hll": (q32_grouped_hll, Q32_SQL),
     "e01_json_extract": (e01_json_extract, E01_SQL),
+    "e02_adjacent_relations": (e02_adjacent_relations, E02_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
