@@ -4637,6 +4637,191 @@ GROUP BY subj, obj
 """
 
 
+def e03_entity_pmi(sf_dir: str):
+    """PMI association scores for entity pairs co-occurring in a
+    document (KG relation weighting: PMI(a,b) = ln(c_ab * N / (c_a *
+    c_b)) over document-level presence counts).
+
+    One corpus pass: each batch builds a docs x K 0/1 presence matrix
+    (searchsorted dictionary codes scattered by list offsets) and emits
+    the K x K integer Gram matrix ``X.T @ X`` — pair counts AND
+    per-entity doc counts (the diagonal) from one matmul.  Partials are
+    cardinality-sized (<= K^2 rows/batch); one bucketed sum merges
+    them; the PMI floats are computed once on the <= K(K-1)/2-row
+    result with ``math.log`` (libm, the t05 bit-exact-vs-DuckDB
+    precedent).  No shuffle of corpus-sized data, integer-exact counts."""
+    import math
+
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count, no scan
+    ents = np.array(sorted(KG_ENTITIES))
+    k = len(ents)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        n_rows = len(offs) - 1
+        empty = pd.DataFrame(
+            {"subj": pd.Series([], dtype="string"),
+             "obj": pd.Series([], dtype="string"),
+             "n": pd.Series([], dtype="int64")}
+        )
+        if n_rows == 0 or len(flat) == 0:
+            return empty
+        pos = np.searchsorted(ents, flat)
+        pos_c = np.minimum(pos, k - 1)
+        code = np.where(ents[pos_c] == flat, pos_c, k)
+        doc_idx = np.repeat(np.arange(n_rows), np.diff(offs))
+        hit = code < k
+        if not hit.any():
+            return empty
+        x = np.zeros((n_rows, k), dtype=np.int64)
+        x[doc_idx[hit], code[hit]] = 1
+        gram = x.T @ x  # co-occurrence counts; diag = doc counts
+        nz = np.flatnonzero(gram)
+        return pd.DataFrame(
+            {
+                "subj": pd.array(ents[nz // k], dtype="string"),
+                "obj": pd.array(ents[nz % k], dtype="string"),
+                "n": gram.reshape(-1)[nz],
+            }
+        )
+
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["subj", "obj"],
+        ["n"],
+    ).to_pandas()  # <= K^2 rows
+    diag = dict(
+        zip(
+            agg.loc[agg.subj == agg.obj, "subj"],
+            agg.loc[agg.subj == agg.obj, "n"],
+        )
+    )
+    pairs = agg[agg.subj < agg.obj].reset_index(drop=True)
+    ca = pairs["subj"].map(diag).astype("int64")
+    cb = pairs["obj"].map(diag).astype("int64")
+    cab = pairs["n"].astype("int64")
+    # fixed IEEE tree, identical to the SQL: (CAST(cab AS DOUBLE) * N)
+    # / (ca * cb) then libm ln
+    pmi = [
+        math.log((float(a_b) * n_docs) / (a * b))
+        for a_b, a, b in zip(cab, ca, cb)
+    ]
+    out = pd.DataFrame(
+        {
+            "subj": pairs["subj"].astype(object),
+            "obj": pairs["obj"].astype(object),
+            "cab": cab,
+            "ca": ca,
+            "cb": cb,
+            "pmi": pd.Series(pmi, dtype="float64"),
+        }
+    )
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+E03_SQL = f"""
+WITH d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+m AS (
+  SELECT DISTINCT doc_id, tok FROM tok
+  WHERE tok IN (SELECT entity FROM d)),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+p AS (
+  SELECT a.tok AS subj, b.tok AS obj, CAST(COUNT(*) AS BIGINT) AS cab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2)
+SELECT p.subj, p.obj, p.cab, ca.cnt AS ca, cb.cnt AS cb,
+       ln((CAST(p.cab AS DOUBLE) * n.n) / (ca.cnt * cb.cnt)) AS pmi
+FROM p
+JOIN c ca ON ca.tok = p.subj
+JOIN c cb ON cb.tok = p.obj
+CROSS JOIN n
+"""
+
+
+def u01_url_stats(sf_dir: str):
+    """Per-host URL stats after REAL URL normalization
+    (stages/url.parse_normalize_urls: RE2 component split, case-fold,
+    default-port strip, utm_* removal, canonical reassembly).
+
+    The corpus has no URL column, so each doc's raw URL is derived by
+    the same closed-form (source, lang, doc_id) arithmetic in Ray and
+    in the oracle (the m04 audio-payload precedent) — deliberately
+    messy-cased with a default port and a utm param so normalization
+    has real work to do.  The Ray side genuinely parses; the SQL side
+    re-derives the normalized parts from the construction arithmetic.
+
+    Per-batch groupby gives (host, path, url_norm, n) partials — one
+    row per DISTINCT url per batch, so distinct urls shuffle once
+    through the bucketed sum and page counts ride along; the final
+    per-host distinct counts run over the distinct-url result (each
+    distinct url lands in exactly one group row)."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.url import parse_normalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy()
+        m211 = pa.array((ids % 211).astype("U"), type=pa.string())
+        m13 = pa.array((ids % 13).astype("U"), type=pa.string())
+        raw = pc.binary_join_element_wise(
+            pa.scalar("HTTPS://"),
+            pc.utf8_upper(batch["source"].combine_chunks()),
+            pa.scalar(".Example.COM:443/"),
+            batch["lang"].combine_chunks(),
+            pa.scalar("/page-"),
+            m211,
+            pa.scalar("?utm_source=feed&id="),
+            m13,
+            "",
+        )
+        parsed = parse_normalize_urls(raw)
+        return (
+            parsed.select(["host", "path", "url_norm"])
+            .group_by(["host", "path", "url_norm"])
+            .aggregate([("url_norm", "count")])
+            .rename_columns(["host", "path", "url_norm", "n"])
+        )
+
+    dist = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["host", "path", "url_norm"],
+        ["n"],
+    ).to_pandas()  # one row per distinct normalized url (bounded here;
+    # at corpus scale keep it a Dataset and bucket the final groupby)
+    out = (
+        dist.groupby("host", as_index=False)
+        .agg(
+            n_pages=("n", "sum"),
+            n_paths=("path", "nunique"),
+            n_urls=("url_norm", "nunique"),
+        )
+        .astype({"n_pages": "int64", "n_paths": "int64", "n_urls": "int64"})
+    )
+    out["host"] = out["host"].astype(object)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+U01_SQL = """
+SELECT source || '.example.com' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT lang || '/' || CAST(doc_id % 211 AS VARCHAR))
+            AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT lang || '/' || CAST(doc_id % 211 AS VARCHAR)
+                  || '?' || CAST(doc_id % 13 AS VARCHAR))
+            AS BIGINT) AS n_urls
+FROM documents GROUP BY source
+"""
+
+
 def m05_audio_frames(sf_dir: str):
     """Frame-level audio features: the m04 WAV payloads decoded for
     real, then windowed into 64-sample frames with per-frame integer
@@ -4944,6 +5129,8 @@ REGISTRY: dict[str, tuple] = {
     "q32_grouped_hll": (q32_grouped_hll, Q32_SQL),
     "e01_json_extract": (e01_json_extract, E01_SQL),
     "e02_adjacent_relations": (e02_adjacent_relations, E02_SQL),
+    "e03_entity_pmi": (e03_entity_pmi, E03_SQL),
+    "u01_url_stats": (u01_url_stats, U01_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),

@@ -963,3 +963,47 @@ class TestIncrementalDedupIndex:
         assert set(out["new_id"]) == {50}
         assert set(out["old_id"]) == {1, 2}
         assert len(out) == 2
+
+
+class TestUrlNormalize:
+    def test_components_and_canonical_form(self):
+        from naer_ray.stages.url import parse_normalize_urls
+
+        t = parse_normalize_urls(
+            pa.array(
+                [
+                    "HTTPS://WWW.Example.COM:443/a/b?utm_source=x&id=3&utm_medium=y",
+                    "http://sub.host.org:8080/?q=1",
+                    "https://plain.net",
+                    "ftp://files.example.net:21/pub",
+                    "http://h.io:80/p?utm_only=1",
+                ]
+            )
+        ).to_pandas()
+        assert list(t["url_norm"]) == [
+            "https://www.example.com/a/b?id=3",  # casefold, :443 strip, utm strip
+            "http://sub.host.org:8080/?q=1",  # non-default port kept
+            "https://plain.net/",  # missing path -> /
+            "ftp://files.example.net:21/pub",  # unknown scheme: port kept
+            "http://h.io/p",  # :80 strip, all-utm query -> empty
+        ]
+        assert list(t["domain"]) == [
+            "example.com",
+            "host.org",
+            "plain.net",
+            "example.net",
+            "h.io",
+        ]
+
+    def test_malformed_yields_null(self):
+        from naer_ray.stages.url import parse_normalize_urls
+
+        t = parse_normalize_urls(pa.array(["not a url", "://nohost"]))
+        assert t["url_norm"].null_count == 2
+
+    def test_single_label_host_domain_is_host(self):
+        from naer_ray.stages.url import parse_normalize_urls
+
+        t = parse_normalize_urls(pa.array(["https://localhost:8443/x"]))
+        assert t["domain"][0].as_py() == "localhost"
+        assert t["url_norm"][0].as_py() == "https://localhost:8443/x"
