@@ -5004,6 +5004,98 @@ ORDER BY common_neighbors DESC, u, v LIMIT 20
 """
 
 
+def g04_bfs_levels(sf_dir: str, rounds: int = 3):
+    """Multi-source BFS levels (shortest hop distance, capped at 3)
+    over the shared co-purchase graph — the "how far is every entity
+    from a seed set" primitive (taxonomy roots, trusted-domain seeds).
+
+    Ray shape: the distinct edge list stays distributed; each round
+    broadcasts the CURRENT frontier (node-sized, the g01 documented
+    assumption) via ``ray.put``, batches emit ``dst`` partials for
+    edges leaving the frontier (vectorized ``np.isin`` over both
+    directions), and a bucketed distinct reduces them; the driver only
+    ever holds node-sized level sets.  Fixed round count keeps the SQL
+    oracle a closed-form 3-step expansion (the g01 precedent)."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir)
+    # node set + seeds (node-sized)
+    us = bucketed_sum(edges, ["u"], [], count_col="n").to_pandas()
+    vs = bucketed_sum(edges, ["v"], [], count_col="n").to_pandas()
+    nodes = np.union1d(
+        us["u"].to_numpy(np.int64), vs["v"].to_numpy(np.int64)
+    )
+    seeds = nodes[nodes % 70 == 0]
+    dist = {int(s): 0 for s in seeds}
+    frontier = seeds
+    for lvl in range(1, rounds + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(np.sort(frontier))
+
+        def reach(batch: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            u = batch["u"].to_numpy(np.int64)
+            v = batch["v"].to_numpy(np.int64)
+            out = np.unique(
+                np.concatenate([v[np.isin(u, f)], u[np.isin(v, f)]])
+            )
+            return pd.DataFrame({"id": out})
+
+        nxt = bucketed_sum(
+            edges.map_batches(reach, batch_format="pandas"),
+            ["id"],
+            [],
+            count_col="n",
+        ).to_pandas()
+        cand = nxt["id"].to_numpy(np.int64)
+        frontier = np.array(
+            [c for c in cand if int(c) not in dist], dtype=np.int64
+        )
+        for c in frontier:
+            dist[int(c)] = lvl
+    out = pd.DataFrame(
+        {
+            "node_id": np.fromiter(dist.keys(), np.int64, len(dist)),
+            "dist": np.fromiter(dist.values(), np.int64, len(dist)),
+        }
+    )
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+G04_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (SELECT u AS src, v AS dst FROM e0
+      UNION ALL SELECT v, u FROM e0),
+n AS (SELECT DISTINCT src AS id FROM e),
+l0 AS (SELECT id FROM n WHERE id % 70 = 0),
+l1 AS (
+  SELECT DISTINCT e.dst AS id FROM e JOIN l0 ON e.src = l0.id
+  WHERE e.dst NOT IN (SELECT id FROM l0)),
+l2 AS (
+  SELECT DISTINCT e.dst AS id FROM e JOIN l1 ON e.src = l1.id
+  WHERE e.dst NOT IN (SELECT id FROM l0)
+    AND e.dst NOT IN (SELECT id FROM l1)),
+l3 AS (
+  SELECT DISTINCT e.dst AS id FROM e JOIN l2 ON e.src = l2.id
+  WHERE e.dst NOT IN (SELECT id FROM l0)
+    AND e.dst NOT IN (SELECT id FROM l1)
+    AND e.dst NOT IN (SELECT id FROM l2))
+SELECT id AS node_id, CAST(0 AS BIGINT) AS dist FROM l0
+UNION ALL SELECT id, 1 FROM l1
+UNION ALL SELECT id, 2 FROM l2
+UNION ALL SELECT id, 3 FROM l3
+"""
+
+
 def m04_audio_features(sf_dir: str):
     """REAL multimodal audio decode: RIFF/WAVE mono-PCM payloads
     (deterministically generated from doc_id by closed-form arithmetic)
@@ -5131,6 +5223,7 @@ REGISTRY: dict[str, tuple] = {
     "e02_adjacent_relations": (e02_adjacent_relations, E02_SQL),
     "e03_entity_pmi": (e03_entity_pmi, E03_SQL),
     "u01_url_stats": (u01_url_stats, U01_SQL),
+    "g04_bfs_levels": (g04_bfs_levels, G04_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
