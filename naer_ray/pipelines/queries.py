@@ -4372,13 +4372,15 @@ def b01_bpe_merges(sf_dir: str, n_merges: int = 12):
     oracle gate (k01 pattern for non-SQL-expressible iterative ops):
     the distributed merge list must equal the single-process reference
     (same count/tie-break/apply rules) exactly, asserted as
-    literal-TRUE rows per merge rank."""
+    literal-TRUE rows per merge rank.  ``local_threshold=0`` forces
+    the DISTRIBUTED merge rounds here — the gate exists to prove that
+    path; production callers keep the size-adaptive default."""
     import pyarrow.parquet as pq
 
     from ..stages.text import bpe_learn, bpe_reference
 
     ds = _read(sf_dir, "documents", ["text"])
-    got = bpe_learn(ds, "text", n_merges=n_merges)
+    got = bpe_learn(ds, "text", n_merges=n_merges, local_threshold=0)
 
     ref_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
     counts: dict[str, int] = {}

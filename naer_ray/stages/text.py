@@ -1132,19 +1132,29 @@ def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[tuple[str,
 _BPE_SEP = "\x1f"  # unit separator: cannot occur inside whitespace-split words
 
 
-def bpe_learn(ds, text_col: str = "text", n_merges: int = 10, n_buckets: int = 64):
+def bpe_learn(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 10,
+    n_buckets: int = 64,
+    local_threshold: int = 500_000,
+):
     """Distributed BPE merge learning — the tokenizer-training primitive
     a training-data pipeline runs over its corpus before packing.
 
     Shape: ONE corpus-sized pass builds the word-frequency histogram
     (per-batch np.unique partials -> bucketed sum, the t05/t11 vocab
-    pattern); every merge round then runs over the VOCAB table (Heaps'
-    law: ~O(corpus^0.5) rows), never the corpus — a pair-count
-    partials pass + bucketed sum + a driver argmax on the pair table
-    (pair table is vocab-sized), then a broadcast merge-apply pass.
-    The vocab dataset is materialized per round so round k+1 does not
-    re-execute round k's DAG.  Tie-break matches
-    :func:`bpe_reference`: (count desc, left asc, right asc).
+    pattern); merges then depend ONLY on that vocab-sized histogram
+    (Heaps' law: ~O(corpus^0.5) rows), never the corpus again.
+
+    Size-adaptive rounds (the connected-components small-graph
+    precedent): when the histogram has <= ``local_threshold`` rows it
+    is pulled to the driver once and the merge loop runs locally
+    (:func:`bpe_reference`) — the sequential rounds are pure Ray-DAG
+    latency at that size.  Above the threshold each round re-applies
+    the merges-so-far and counts pairs in ONE fused pass over the
+    distributed vocab (pair table is vocab-sized; driver argmax only).
+    Tie-break in both paths: (count desc, left asc, right asc).
 
     Returns the ordered merge list [(left, right), ...].
     """
@@ -1176,21 +1186,37 @@ def bpe_learn(ds, text_col: str = "text", n_merges: int = 10, n_buckets: int = 6
             }
         )
 
-    vocab = (
-        bucketed_sum(
-            ds.map_batches(word_partial, batch_format="pyarrow"), ["word"], ["n"]
+    hist = bucketed_sum(
+        ds.map_batches(word_partial, batch_format="pyarrow"), ["word"], ["n"]
+    ).materialize()
+
+    if hist.count() <= local_threshold:
+        wdf = hist.to_pandas()  # vocab-sized, bounded by Heaps' law
+        return bpe_reference(
+            dict(zip(wdf["word"], wdf["n"].astype("int64"))), n_merges
         )
-        .map_batches(to_symbols, batch_format="pyarrow")
+
+    # compact the bucketed-sum output: its ~n_buckets blocks are tiny
+    # relative to the vocab, and every merge round would re-schedule a
+    # task per near-empty block (the round-2 block-shatter finding)
+    n_blocks = max(1, hist.count() // 65536)
+    vocab = (
+        hist.map_batches(to_symbols, batch_format="pyarrow")
+        .repartition(n_blocks)
         .materialize()
     )
 
     merges: list[tuple[str, str]] = []
     for _round in range(n_merges):
 
-        def pair_partial(batch: pa.Table) -> pa.Table:
+        def pair_partial(
+            batch: pa.Table, applied: tuple = tuple(merges)
+        ) -> pa.Table:
             counts: dict[tuple[str, str], int] = {}
             for s, c in zip(batch["sym"].to_pylist(), batch["n"].to_pylist()):
-                sym = s.split(_BPE_SEP)
+                sym = tuple(s.split(_BPE_SEP))
+                for left, right in applied:
+                    sym = _bpe_apply_merge(sym, left, right)
                 for i in range(len(sym) - 1):
                     p = (sym[i], sym[i + 1])
                     counts[p] = counts.get(p, 0) + c
@@ -1223,13 +1249,7 @@ def bpe_learn(ds, text_col: str = "text", n_merges: int = 10, n_buckets: int = 6
         cand = pair_df[pair_df["c"] == best_c].sort_values(["left", "right"])
         left, right = str(cand.iloc[0]["left"]), str(cand.iloc[0]["right"])
         merges.append((left, right))
-
-        def apply(batch: pa.Table, left=left, right=right) -> pa.Table:
-            out = []
-            for s in batch["sym"].to_pylist():
-                sym = _bpe_apply_merge(tuple(s.split(_BPE_SEP)), left, right)
-                out.append(_BPE_SEP.join(sym))
-            return pa.table({"sym": pa.array(out, pa.string()), "n": batch["n"]})
-
-        vocab = vocab.map_batches(apply, batch_format="pyarrow").materialize()
+        # no separate apply pass: the next round's pair_partial closure
+        # re-applies merges-so-far in the same fused DAG (re-application
+        # over the vocab table is cheap next to a per-round shuffle)
     return merges

@@ -180,12 +180,16 @@ class TestBpeLearn:
             "mat rat log dog cat the the",
         ] * 7
         ds = ray.data.from_items([{"text": t} for t in texts])
-        got = bpe_learn(ds, "text", n_merges=8, n_buckets=8)
+        # local_threshold=0 forces the distributed merge rounds — the
+        # default size-adaptive path would answer from the driver here
+        got = bpe_learn(ds, "text", n_merges=8, n_buckets=8, local_threshold=0)
         counts: dict = {}
         for t in texts:
             for w in t.split():
                 counts[w] = counts.get(w, 0) + 1
         assert got == bpe_reference(counts, 8)
+        # size-adaptive local path: identical merges
+        assert bpe_learn(ds, "text", n_merges=8, n_buckets=8) == got
 
     def test_exhausts_pairs_early(self, ray_session):
         import ray.data
@@ -194,4 +198,8 @@ class TestBpeLearn:
 
         # single two-char word: only 1 merge possible even if 5 asked
         ds = ray.data.from_items([{"text": "ab ab ab"}])
-        assert bpe_learn(ds, "text", n_merges=5, n_buckets=4) == [("a", "b")]
+        for thresh in (0, 500_000):  # distributed and local paths
+            got = bpe_learn(
+                ds, "text", n_merges=5, n_buckets=4, local_threshold=thresh
+            )
+            assert got == [("a", "b")]
