@@ -1163,7 +1163,7 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
     centroids / id-keyed sample), so recall_ok is a stable value the
     SQL oracle can assert as literal TRUE per query — a driver-checked
     recall@k >= 0.8 bound rather than a rows-only smoke check."""
-    from ..stages.ann import brute_force_topk, ivf_topk, lsh_topk
+    from ..stages.ann import brute_force_topk, ivf_topk, lsh_topk, quantized_topk
 
     q = _query_vectors(sf_dir)
 
@@ -1185,7 +1185,7 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
         )
         return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(planted)
 
-    ann_fn = {"lsh": lsh_topk, "ivf": ivf_topk}[method]
+    ann_fn = {"lsh": lsh_topk, "ivf": ivf_topk, "quant": quantized_topk}[method]
     approx = ann_fn(with_planted(), q, k=k)
     exact = brute_force_topk(with_planted(), q, k=k)
     hits = approx.merge(exact[["query_id", "vec_id"]], on=["query_id", "vec_id"])
@@ -1218,6 +1218,14 @@ ANN_RECALL_SQL = """
 SELECT CAST(q.query_id AS BIGINT) AS query_id, TRUE AS recall_ok
 FROM (VALUES (0), (1), (2)) AS q(query_id)
 """
+
+
+def a05_quantized_topk(sf_dir: str):
+    """int8-quantized ANN (stages/ann.quantized_topk): recall@5 vs the
+    exact float path (>=4/5 on the planted near-colinear neighbors),
+    driver-oracle-checked against literal TRUE rows — the a01/a02 gate
+    over the 4x-smaller-scan quantization scale path."""
+    return _ann_recall_vs_exact(sf_dir, "quant")
 
 
 def a03_brute_topk_multi(sf_dir: str):
@@ -4402,6 +4410,68 @@ FROM range(12)
 """
 
 
+def b02_bpe_encode(sf_dir: str, n_merges: int = 12):
+    """Corpus-wide BPE tokenization (stages/text.bpe_encode_counts):
+    learn merges, then apply them to every document and count tokens —
+    the pass whose output feeds the p01 packing budget at real scale.
+
+    Gate (b01/k01 pattern for non-SQL-expressible ops): the
+    distributed per-doc token counts must equal a single-process
+    reference encode of the same parquet, asserted per doc_id — a bug
+    in the dictionary-encode, the reduceat doc mapping, or the merge
+    application order breaks specific rows, not just an aggregate."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import _bpe_apply_merge, bpe_learn, bpe_encode_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(ds, "text", n_merges=n_merges)
+    got = (
+        bpe_encode_counts(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ref_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cache: dict[str, int] = {}
+
+    def ref_tokens(t: str) -> int:
+        n = 0
+        for w in t.split():
+            if w not in cache:
+                sym = tuple(w)
+                for left, right in merges:
+                    sym = _bpe_apply_merge(sym, left, right)
+                cache[w] = len(sym)
+            n += cache[w]
+        return n
+
+    ref = pd.DataFrame(
+        {
+            "doc_id": ref_tbl["doc_id"].to_numpy(),
+            "want_tokens": [ref_tokens(t) for t in ref_tbl["text"].to_pylist()],
+            "want_words": [len(t.split()) for t in ref_tbl["text"].to_pylist()],
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+    ok = (
+        (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy())
+        & (got["n_tokens"].to_numpy() == ref["want_tokens"].to_numpy())
+        & (got["n_words"].to_numpy() == ref["want_words"].to_numpy())
+    )
+    out = pd.DataFrame(
+        {"doc_id": got["doc_id"].astype("int64"), "encode_match": ok}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+B02_SQL = """
+SELECT doc_id, TRUE AS encode_match FROM documents
+"""
+
+
 def d12_duplicated_spans(sf_dir: str):
     """Exact duplicated-span dedup signal (Lee et al. 2021 substring
     dedup): every doc pair sharing an IDENTICAL 40-character span —
@@ -5226,6 +5296,8 @@ REGISTRY: dict[str, tuple] = {
     "e03_entity_pmi": (e03_entity_pmi, E03_SQL),
     "u01_url_stats": (u01_url_stats, U01_SQL),
     "g04_bfs_levels": (g04_bfs_levels, G04_SQL),
+    "b02_bpe_encode": (b02_bpe_encode, B02_SQL),
+    "a05_quantized_topk": (a05_quantized_topk, ANN_RECALL_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),

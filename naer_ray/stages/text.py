@@ -1253,3 +1253,56 @@ def bpe_learn(
         # re-applies merges-so-far in the same fused DAG (re-application
         # over the vocab table is cheap next to a per-round shuffle)
     return merges
+
+
+def bpe_encode_counts(ds, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a learned BPE merge list corpus-wide and count tokens per
+    document — THE tokenization pass a training pipeline runs before
+    packing (p01's budget input at real scale).
+
+    Merge list broadcasts in the task closure (tokenizer-sized, KB);
+    each batch encodes only its UNIQUE words (np.unique
+    dictionary-encode — the simhash64_batch trick: per-batch word
+    vocabulary is tiny next to the word stream) and maps per-word
+    token counts back to documents with one ``np.add.reduceat`` over
+    the doc offsets.  Output is (id, n_tokens, n_words) per document.
+    """
+    merges = tuple((str(left), str(right)) for left, right in merges)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        txt = _string_array(batch[text_col])
+        split = pc.split_pattern_regex(txt, _RE2_SPACE_CLASS)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        keep = flat != ""  # split artifacts around runs of whitespace
+        per_doc_words = np.diff(offs)
+        if keep.size:
+            per_doc_words = np.add.reduceat(
+                keep.astype(np.int64), np.minimum(offs[:-1], keep.size - 1)
+            ) * (np.diff(offs) > 0)
+        words = flat[keep]
+        uniq, inv = np.unique(words, return_inverse=True)
+        tok_per_uniq = np.empty(len(uniq), dtype=np.int64)
+        for i, w in enumerate(uniq):
+            sym = tuple(w)
+            for left, right in merges:
+                sym = _bpe_apply_merge(sym, left, right)
+            tok_per_uniq[i] = len(sym)
+        tok_per_word = np.zeros(len(flat), dtype=np.int64)
+        tok_per_word[keep] = tok_per_uniq[inv]
+        n_tok = np.zeros(len(offs) - 1, dtype=np.int64)
+        nonempty = np.diff(offs) > 0
+        if flat.size:
+            sums = np.add.reduceat(
+                tok_per_word, np.minimum(offs[:-1], len(flat) - 1)
+            )
+            n_tok[nonempty] = sums[nonempty]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_words": pa.array(per_doc_words.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=8192)

@@ -203,3 +203,46 @@ class TestBpeLearn:
                 ds, "text", n_merges=5, n_buckets=4, local_threshold=thresh
             )
             assert got == [("a", "b")]
+
+
+class TestBpeEncode:
+    def test_counts_match_reference_walk(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.text import _bpe_apply_merge, bpe_encode_counts
+
+        merges = [("t", "h"), ("th", "e"), ("a", "t")]
+        texts = ["the cat  sat", "", "   ", "at the theatre", "zzz"]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        got = (
+            bpe_encode_counts(ds, merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        def ref(t):
+            n = 0
+            for w in t.split():
+                sym = tuple(w)
+                for left, right in merges:
+                    sym = _bpe_apply_merge(sym, left, right)
+                n += len(sym)
+            return n
+
+        assert list(got["n_tokens"]) == [ref(t) for t in texts]
+        assert list(got["n_words"]) == [len(t.split()) for t in texts]
+        # empty / whitespace-only docs encode to zero tokens
+        assert got.loc[1, "n_tokens"] == 0 and got.loc[2, "n_tokens"] == 0
+
+    def test_empty_merge_list_counts_chars(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.text import bpe_encode_counts
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "ab cde"}])
+        got = bpe_encode_counts(ds, []).to_pandas()
+        assert got.loc[0, "n_tokens"] == 5  # chars, no merges applied
+        assert got.loc[0, "n_words"] == 2

@@ -115,6 +115,28 @@ class TestAnn:
         assert a.equals(b)
 
 
+    def test_quantized_topk_matches_int_reference(self, emb_ds, queries):
+        import pyarrow.parquet as pq
+
+        from naer_ray.stages.ann import quantized_topk
+
+        got = quantized_topk(emb_ds, queries, k=5)
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = t["vec_id"].to_numpy()
+        m8 = np.clip(
+            np.rint(mat / np.linalg.norm(mat, axis=1, keepdims=True) * 127.0),
+            -127, 127,
+        ).astype(np.int32)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        q8 = np.clip(np.rint(qn * 127.0), -127, 127).astype(np.int32)
+        sims = m8 @ q8.T
+        for qi in range(3):
+            expect = ids[np.lexsort((ids, -sims[:, qi]))[:5]].tolist()
+            have = got[got["query_id"] == qi]["vec_id"].tolist()
+            assert have == expect  # int scores: exact under any layout
+
+
 class TestMultimodal:
     def test_decode_features_fake(self, ray_session):
         import ray.data
