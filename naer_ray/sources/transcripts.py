@@ -118,6 +118,47 @@ def read_transcripts(
     )
 
 
+def read_transcripts_jsonl(
+    path: str,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """JSONL ingest for the canonical transcript schema — the landing
+    format most transcript producers emit before the corpus is
+    compacted to Parquet.
+
+    ``ray.data.read_json`` infers shapes per block; this normalizes
+    every batch to :data:`naer_ray.schema.TRANSCRIPTS` (int32 turn_idx,
+    us-precision ts from ISO-8601 strings or epoch micros, missing
+    optional columns typed-null) so downstream stages see exactly the
+    Parquet reader's schema.  Column pruning happens right after the
+    parse — JSON cannot prune at the read the way Parquet does, which
+    is why the 100 TB path converts to Parquet first (documented
+    trade-off, not a silent one).
+    """
+    from ..schema import TRANSCRIPTS
+
+    cols = columns or list(CORE_COLUMNS)
+    out_schema = pa.schema([TRANSCRIPTS.field(c) for c in cols])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for field in out_schema:
+            if field.name not in batch.column_names:
+                arrays.append(pa.nulls(len(batch), field.type))
+                continue
+            col = batch[field.name]
+            if pa.types.is_timestamp(field.type) and pa.types.is_string(
+                col.type
+            ):
+                col = pc.strptime(col, "%Y-%m-%dT%H:%M:%S", "us")
+            arrays.append(pc.cast(col, field.type))
+        return pa.table(dict(zip(out_schema.names, arrays)))
+
+    return ray.data.read_json(path).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+
+
 def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     """Boolean mask: trimmed text non-empty and ends in [.!?] (reference :76-100)."""
     trimmed = pc.utf8_trim_whitespace(batch["text"])

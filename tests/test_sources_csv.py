@@ -76,3 +76,49 @@ def test_auto_num_blocks_scales_with_input(tmp_path):
     size = os.path.getsize(big)
     n = auto_num_blocks(big)
     assert 1 < n <= max(1, size // (256 * 1024))
+
+
+class TestJsonlTranscripts:
+    def test_jsonl_matches_parquet_reader_schema(self, ray_session, tmp_path):
+        import json
+
+        from naer_ray.sources.transcripts import (
+            read_transcripts,
+            read_transcripts_jsonl,
+        )
+
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "text": "The API calls the DB.",
+             "role": "user", "tool": "", "ts": "2026-01-02T03:04:05"},
+            {"conv_id": "c1", "turn_idx": 1, "text": "It uses a cache!",
+             "role": "agent", "tool": "search", "ts": "2026-01-02T03:04:06"},
+            {"conv_id": "c2", "turn_idx": 0, "text": "Hello?",
+             "role": "user", "tool": "", "ts": "2026-01-02T03:05:00"},
+        ]
+        p = tmp_path / "t.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        ds = read_transcripts_jsonl(str(p))
+        tbl = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+        assert [r["conv_id"] for r in tbl] == ["c1", "c1", "c2"]
+        sch = ds.schema()
+        # exactly the Parquet reader's core schema
+        assert sch.names == ["conv_id", "turn_idx", "text"]
+        assert str(sch.types[1]) == "int32"
+
+    def test_jsonl_full_columns_and_missing_tool(self, ray_session, tmp_path):
+        import json
+
+        from naer_ray.sources.transcripts import read_transcripts_jsonl
+
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "text": "Hi.",
+             "role": "user", "ts": "2026-01-02T03:04:05"},
+        ]
+        p = tmp_path / "t.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        ds = read_transcripts_jsonl(
+            str(p), columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        row = ds.take_all()[0]
+        assert row["tool"] is None  # missing column -> typed null
+        assert str(row["ts"]).startswith("2026-01-02 03:04:05")
