@@ -5168,6 +5168,43 @@ UNION ALL SELECT id, 3 FROM l3
 """
 
 
+def m06_image_dedup(sf_dir: str):
+    """Exact decoded-image dedup (stages/multimodal.image_dedup_groups):
+    payloads are generated from ``doc_id % 97`` so docs sharing the
+    residue carry byte-identical IMAGES; the stage really decodes every
+    payload, keys groups by sha1 of (dims + pixel buffer) and keeps the
+    min doc_id per group.  The residues are closed-form, so the SQL
+    oracle is a plain GROUP BY doc_id % 97 — distinct residues are
+    provably distinct images (channel-0 pixel 0 differs for any two
+    residues < 97), so a decoder or grouping bug changes rows."""
+    from ..stages.multimodal import image_dedup_groups, synth_ppm_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(
+                    [synth_ppm_payload(i % 97) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    out = image_dedup_groups(media).to_pandas()
+    out = out.astype({"keep_id": "int64", "n_dupes": "int64"})
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+M06_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY doc_id % 97
+"""
+
+
 def m04_audio_features(sf_dir: str):
     """REAL multimodal audio decode: RIFF/WAVE mono-PCM payloads
     (deterministically generated from doc_id by closed-form arithmetic)
@@ -5298,6 +5335,7 @@ REGISTRY: dict[str, tuple] = {
     "g04_bfs_levels": (g04_bfs_levels, G04_SQL),
     "b02_bpe_encode": (b02_bpe_encode, B02_SQL),
     "a05_quantized_topk": (a05_quantized_topk, ANN_RECALL_SQL),
+    "m06_image_dedup": (m06_image_dedup, M06_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),

@@ -367,3 +367,50 @@ def decode_wav_features(ds, concurrency=(1, 4), batch_size: int = 64):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def image_dedup_groups(media_ds, id_col: str = "doc_id",
+                       payload_col: str = "payload", n_buckets: int = 64):
+    """Exact DECODED-content image dedup: group media rows whose images
+    decode to identical (width, height, pixel bytes), keep the min id
+    per group — the multimodal analogue of ``dedup.exact_dedup``.
+
+    Hashing the decoded pixels (not the raw payload bytes) is the
+    point: P6 permits header comments/whitespace variants, so the same
+    image can arrive as different byte strings.  Per batch each payload
+    is REALLY decoded (``decode_ppm``) and keyed by sha1 of dims +
+    pixel buffer; per-batch partials carry (key, min_id, n), one
+    key-hash bucket shuffle merges them (bucket-run, never a per-key
+    groupby).  Returns (keep_id, n_dupes) per distinct decoded image.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_pylist()
+        keys = []
+        for payload in batch[payload_col].to_pylist():
+            w, h, pix = decode_ppm(payload)
+            digest = hashlib.sha1(
+                f"{w}x{h}:".encode() + pix.tobytes()
+            ).hexdigest()
+            keys.append(digest)
+        df = pd.DataFrame({"img_key": keys, id_col: ids})
+        g = df.groupby("img_key", as_index=False).agg(
+            min_id=(id_col, "min"), n=(id_col, "size")
+        )
+        g["bucket"] = (g["img_key"].map(hash_u32) % n_buckets).astype("int32")
+        return g
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("img_key", as_index=False).agg(
+            keep_id=("min_id", "min"), n_dupes=("n", "sum")
+        )
+        return out[["keep_id", "n_dupes"]].astype("int64")
+
+    return (
+        media_ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -304,6 +304,37 @@ class TestPpmDecode:
             decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
 
 
+class TestImageDedup:
+    def test_header_variants_same_group(self, ray_session):
+        """Same pixels under different P6 header whitespace must land in
+        ONE group — raw-byte hashing would split them (the reason the
+        stage hashes DECODED content)."""
+        import ray.data
+
+        from naer_ray.stages.multimodal import image_dedup_groups
+
+        pix = bytes(range(4 * 1 * 3))
+        a = b"P6\n4 1\n255\n" + pix
+        b = b"P6 4 1 255\n" + pix
+        other = b"P6\n4 1\n255\n" + bytes(reversed(pix))
+        assert a != b
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 10, "payload": a},
+                {"doc_id": 3, "payload": b},
+                {"doc_id": 7, "payload": other},
+            ]
+        )
+        out = (
+            image_dedup_groups(ds)
+            .to_pandas()
+            .sort_values("keep_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["keep_id"]) == [3, 7]
+        assert list(out["n_dupes"]) == [2, 1]
+
+
 class TestWavDecode:
     def test_roundtrip_matches_generator(self):
         import numpy as np
