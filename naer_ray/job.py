@@ -23,7 +23,7 @@ import sys
 #: surface, PromptDeserializer.java:30-55, re-expressed as job kwargs)
 _CONFIG_KEYS = {
     "transcripts", "dictionary", "out", "extractor", "answers", "buckets",
-    "resume", "canonicalize", "annotations", "expected",
+    "resume", "canonicalize", "annotations", "expected", "input_format",
 }
 
 
@@ -108,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="naer_ray KG-construction job")
     parser.add_argument("--config", default=None,
                         help="JSON config file (S6); CLI flags override its values")
-    parser.add_argument("--transcripts", default=None, help="transcripts parquet file/dir")
+    parser.add_argument("--transcripts", default=None, help="transcripts file/dir")
+    parser.add_argument("--input-format", default=None, choices=["parquet", "jsonl"],
+                        help="transcripts format (default parquet; jsonl = landing format)")
     parser.add_argument("--dictionary", default=None, help="entity_dictionary.parquet")
     parser.add_argument("--out", default=None, help="output root (checkpointed)")
     # extractor/buckets/canonicalize default to None so an EXPLICITLY
@@ -145,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cli = {
         "transcripts": args.transcripts,
+        "input_format": args.input_format,
         "dictionary": args.dictionary,
         "out": args.out,
         "extractor": args.extractor,
@@ -173,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             canonicalize=cfg.get("canonicalize", False),
             annotations_path=cfg.get("annotations"),
             expected_path=cfg.get("expected"),
+            input_format=cfg.get("input_format", "parquet"),
         )
         all_counters.append(counters)
     print(json.dumps(all_counters[0] if len(all_counters) == 1 else all_counters))

@@ -343,6 +343,7 @@ def run_kg_job(
     canonicalize: bool = False,
     annotations_path: str | None = None,
     expected_path: str | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Checkpointed KG job: triples + nodes + dead-letter, resumable per bucket.
 
@@ -378,9 +379,19 @@ def run_kg_job(
             "extractor": extractor,
             "answers": answers_path,
             "answer_format": answer_format,
+            "input_format": input_format,
         },
         resume=resume,
     )
+    if input_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown input_format: {input_format!r}")
+
+    def _read_src():
+        if input_format == "jsonl":
+            from ..sources.transcripts import read_transcripts_jsonl
+
+            return read_transcripts_jsonl(transcripts_path)
+        return read_transcripts(transcripts_path)
     sweep_orphan_tmpdirs(out_root)
     done = manifest.done_buckets("triples") if resume else set()
     todo = [b for b in range(n_buckets) if b not in done]
@@ -395,10 +406,10 @@ def run_kg_job(
         if extractor in ("gazetteer", "llm") and not manifest.stage_complete(
             "quarantine", 1
         ):
-            from ..sources.transcripts import invalid_transcripts, read_transcripts
+            from ..sources.transcripts import invalid_transcripts
 
             rows = write_stage_dataset_atomic(
-                invalid_transcripts(read_transcripts(transcripts_path)),
+                invalid_transcripts(_read_src()),
                 out_root,
                 "quarantine",
                 0,
@@ -412,13 +423,11 @@ def run_kg_job(
         # buckets, honoring the "filtered out BEFORE extraction" contract.
         # The answers path keeps the post-extraction filter only (its
         # extraction is a cheap parse and it reads its own inputs).
-        src_ds = None
+        src_ds = _read_src() if input_format != "parquet" else None
         if done and extractor in ("gazetteer", "llm"):
-            from ..sources.transcripts import read_transcripts
-
             done_list = list(done)
             src_ds = (
-                add_bucket(read_transcripts(transcripts_path), n_buckets)
+                add_bucket(_read_src(), n_buckets)
                 .map_batches(
                     lambda t: t.filter(
                         pc.invert(

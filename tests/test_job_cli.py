@@ -156,3 +156,50 @@ def test_job_config_rejects_unknown_keys(tmp_path):
         json.dump({"transcripts": "x", "banana": 1}, f)
     with pytest.raises(ValueError, match="banana"):
         load_config(cfg_path)
+
+
+def test_job_jsonl_input_matches_parquet(ray_session, ref_corpus, tmp_path, capsys):
+    """--input-format jsonl: the same corpus landed as JSONL yields the
+    exact same triple set as the Parquet path."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from naer_ray.job import main
+
+    # land the parquet transcripts as JSONL
+    tdf = pads.dataset(os.path.join(ref_corpus, "transcripts")).to_table().to_pandas()
+    jsonl = tmp_path / "transcripts.jsonl"
+    tdf[["conv_id", "turn_idx", "text"]].to_json(
+        jsonl, orient="records", lines=True
+    )
+
+    outs = {}
+    for fmt, src in [
+        ("parquet", os.path.join(ref_corpus, "transcripts")),
+        ("jsonl", str(jsonl)),
+    ]:
+        out = str(tmp_path / f"kg_{fmt}")
+        rc = main(
+            [
+                "--transcripts", src,
+                "--input-format", fmt,
+                "--dictionary", os.path.join(ref_corpus, "entity_dictionary.parquet"),
+                "--out", out,
+                "--buckets", "2",
+            ]
+        )
+        assert rc == 0
+        counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert counters["triples_rows"] > 0
+        t = (
+            pads.dataset(os.path.join(out, "triples"))
+            .to_table()
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        outs[fmt] = t
+    pd.testing.assert_frame_equal(
+        outs["parquet"][["conv_id", "turn_idx", "subj", "pred", "obj"]],
+        outs["jsonl"][["conv_id", "turn_idx", "subj", "pred", "obj"]],
+    )
