@@ -4818,6 +4818,103 @@ CROSS JOIN n
 """
 
 
+def e04_triple_spans(sf_dir: str):
+    """Temporal scoping of KG mentions: per (entity, conversation) the
+    first / last mentioning turn and the mention-turn count — the
+    validity-interval annotation a temporal KG attaches to its
+    (entity, mentionedIn, conv) triples.
+
+    Vectorized detect (the e02 searchsorted dictionary-coding over one
+    Arrow split) + per-batch (conv, entity) min/max/count partials +
+    one key-hash bucket-run merge (min of mins / max of maxes / sum of
+    counts are all associative — no corpus-sized shuffle)."""
+    from ..testdata import hash_u32
+
+    ds = _derive_transcripts(sf_dir)
+    ents = np.array(sorted(KG_ENTITIES))
+    k = len(ents)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        empty = pd.DataFrame(
+            {
+                "subj": pd.Series([], dtype="string"),
+                "conv_id": pd.Series([], dtype="string"),
+                "first_turn": pd.Series([], dtype="int32"),
+                "last_turn": pd.Series([], dtype="int32"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32"),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        pos = np.searchsorted(ents, flat)
+        pos_c = np.minimum(pos, k - 1)
+        code = np.where(ents[pos_c] == flat, pos_c, k)
+        row_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        hit = code < k
+        if not hit.any():
+            return empty
+        # one row per (turn row, entity) present
+        pair = np.unique(row_idx[hit] * k + code[hit])
+        rows, codes = pair // k, pair % k
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        turn = batch["turn_idx"].combine_chunks().to_numpy()
+        df = pd.DataFrame(
+            {
+                "subj": ents[codes],
+                "conv_id": conv[rows],
+                "t": turn[rows],
+            }
+        )
+        g = df.groupby(["subj", "conv_id"], as_index=False).agg(
+            first_turn=("t", "min"), last_turn=("t", "max"), n_turns=("t", "size")
+        )
+        comb = g["subj"].astype(str) + "|" + g["conv_id"].astype(str)
+        g["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
+        g["subj"] = g["subj"].astype("string")
+        g["conv_id"] = g["conv_id"].astype("string")
+        return g.astype(
+            {"first_turn": "int32", "last_turn": "int32", "n_turns": "int64"}
+        )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["subj", "conv_id"], as_index=False).agg(
+            first_turn=("first_turn", "min"),
+            last_turn=("last_turn", "max"),
+            n_turns=("n_turns", "sum"),
+        )
+        return out.astype(
+            {"first_turn": "int32", "last_turn": "int32", "n_turns": "int64"}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["subj"] = out["subj"].astype(object)
+    out["conv_id"] = out["conv_id"].astype(object)
+    return out.sort_values(["subj", "conv_id"]).reset_index(drop=True)
+
+
+E04_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+m AS (
+  SELECT d.entity AS subj, t.conv_id, t.turn_idx
+  FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity))
+SELECT subj, conv_id,
+       CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
+       CAST(MAX(turn_idx) AS INTEGER) AS last_turn,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM m GROUP BY subj, conv_id
+"""
+
+
 def u01_url_stats(sf_dir: str):
     """Per-host URL stats after REAL URL normalization
     (stages/url.parse_normalize_urls: RE2 component split, case-fold,
@@ -5336,6 +5433,7 @@ REGISTRY: dict[str, tuple] = {
     "b02_bpe_encode": (b02_bpe_encode, B02_SQL),
     "a05_quantized_topk": (a05_quantized_topk, ANN_RECALL_SQL),
     "m06_image_dedup": (m06_image_dedup, M06_SQL),
+    "e04_triple_spans": (e04_triple_spans, E04_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
