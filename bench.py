@@ -133,12 +133,30 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     }
 
     if include_queries:
+        import gc
+
+        from ray.data import DataContext
+
+        # scope the push-based sort shuffle to the HEADLINE: it wins on
+        # the KG pipeline's conv-bucket sort, but a same-window A/B over
+        # the full 105-query suite measured 164.4 s with the flag vs
+        # 144.4 s without — the native hash join is the big loser
+        # (q18: 22.1 s -> 5.3 s)
+        DataContext.get_current().use_push_based_shuffle = False
+
         for name, (fn, _sql) in REGISTRY.items():
             t0 = time.perf_counter()
             res = fn(sf_dir)
             if hasattr(res, "count"):  # Dataset: consume it
                 res.count()
             result["queries"][name] = round(time.perf_counter() - t0, 3)
+            # drop the result + collect so materialized Datasets release
+            # their object-store references before the next query — a
+            # 100-query session otherwise accumulates pinned blocks and
+            # late queries pay spill (q18 measured 8 s solo vs 32 s at
+            # suite position ~30)
+            del res
+            gc.collect()
 
     return result
 
