@@ -4915,6 +4915,71 @@ FROM m GROUP BY subj, conv_id
 """
 
 
+def p03_curation_pipeline(sf_dir: str):
+    """END-TO-END curation composition — the actual pre-training data
+    path, chained as one streaming Dataset: canonical normalization
+    (t06 stage) → word-count quality filter on the normalized text →
+    corpus-wide exact keep-first dedup of the normalized content.
+
+    Each stage streams into the next (no materialize between); the
+    only shuffle is the dedup's single content-hash bucket pass.
+    Output: surviving (doc_id, n_words).  The SQL oracle composes the
+    same three relational steps, so a drift in ANY stage (regex
+    semantics, filter bound, dedup tie-break) breaks the hash."""
+    from ..stages.text import normalize_text
+    from ..testdata import hash_u32
+
+    ds = normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def filt(batch: pa.Table) -> pd.DataFrame:
+        split = pc.split_pattern(batch["norm_text"].combine_chunks(), " ")
+        n = pc.list_value_length(split).to_numpy()
+        keep = (n >= 20) & (n <= 80)
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "norm_text": batch["norm_text"].to_pandas(),
+                "n_words": n.astype(np.int64),
+            }
+        )[keep]
+        df["bucket"] = (
+            df["norm_text"].map(hash_u32) % 64
+        ).astype("int32")
+        return df
+
+    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values("doc_id")
+            .groupby("norm_text", as_index=False)
+            .first()
+        )
+        return out[["doc_id", "n_words"]].astype("int64")
+
+    out = (
+        ds.map_batches(filt, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(first_per_text, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+P03_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents),
+f AS (
+  SELECT doc_id, nt, len(string_split(nt, ' ')) AS n_words
+  FROM n WHERE len(string_split(nt, ' ')) BETWEEN 20 AND 80),
+d AS (
+  SELECT doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+  FROM f)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words FROM d WHERE rn = 1
+"""
+
+
 def u01_url_stats(sf_dir: str):
     """Per-host URL stats after REAL URL normalization
     (stages/url.parse_normalize_urls: RE2 component split, case-fold,
@@ -5434,6 +5499,7 @@ REGISTRY: dict[str, tuple] = {
     "a05_quantized_topk": (a05_quantized_topk, ANN_RECALL_SQL),
     "m06_image_dedup": (m06_image_dedup, M06_SQL),
     "e04_triple_spans": (e04_triple_spans, E04_SQL),
+    "p03_curation_pipeline": (p03_curation_pipeline, P03_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),
