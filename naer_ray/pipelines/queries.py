@@ -1220,6 +1220,88 @@ FROM (VALUES (0), (1), (2)) AS q(query_id)
 """
 
 
+def a06_mmr_select(sf_dir: str, k: int = 10, n_cand: int = 50):
+    """Diversified retrieval: MMR re-ranking (stages/ann.mmr_greedy)
+    of the distributed top-C relevance candidates — the
+    retrieve-then-diversify selection a curation pipeline uses to pick
+    varied exemplars instead of k near-duplicates.
+
+    Stage 1 streams the corpus once: per-batch integer dots (a04's
+    quantized _cents trick — exact, no float tie hazard) against one
+    broadcast query vector, local top-C per batch, bounded C x blocks
+    merge.  Stage 2 is the C-row greedy loop on the driver.  Gate
+    (k01/b01 pattern): the result must equal a single-process
+    reference over the raw parquet — a bug in the candidate merge,
+    quantization, or tie-breaks changes specific ranks."""
+    import ray
+
+    from ..stages.ann import _as_matrix, mmr_greedy
+
+    qtbl = _point_read_embeddings(sf_dir, [0])
+    qv = np.floor(
+        np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)[0] * 1000
+        + 0.5
+    ).astype(np.int64)
+    q_ref = ray.put(qv)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topc(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        m = np.floor(_as_matrix(batch["embedding"]) * 1000 + 0.5).astype(
+            np.int64
+        )
+        ids = np.asarray(batch["vec_id"]).astype(np.int64)
+        rel = m @ q
+        o = np.lexsort((ids, -rel))[:n_cand]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[o],
+                "rel": rel[o],
+                "vec": [row.tolist() for row in m[o]],
+            }
+        )
+
+    parts = ds.map_batches(
+        local_topc, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()  # C x blocks rows — bounded, never corpus-sized
+    top = parts.sort_values(
+        ["rel", "vec_id"], ascending=[False, True]
+    ).head(n_cand)
+    got = mmr_greedy(
+        top["vec_id"].to_numpy(np.int64),
+        np.array(top["vec"].tolist(), dtype=np.int64),
+        top["rel"].to_numpy(np.int64),
+        k,
+    )
+
+    # single-process reference over the raw parquet (same rules)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rids = t["vec_id"].to_numpy().astype(np.int64)
+    rmat = np.floor(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    rrel = rmat @ qv
+    o = np.lexsort((rids, -rrel))[:n_cand]
+    want = mmr_greedy(rids[o], rmat[o], rrel[o], k)
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(want) + 1, dtype=np.int64),
+            "mmr_match": [int(a) == int(b) for a, b in zip(got, want)],
+        }
+    )
+
+
+A06_SQL = """
+SELECT CAST(range + 1 AS BIGINT) AS rank, TRUE AS mmr_match FROM range(10)
+"""
+
+
 def a05_quantized_topk(sf_dir: str):
     """int8-quantized ANN (stages/ann.quantized_topk): recall@5 vs the
     exact float path (>=4/5 on the planted near-colinear neighbors),
@@ -5500,6 +5582,7 @@ REGISTRY: dict[str, tuple] = {
     "m06_image_dedup": (m06_image_dedup, M06_SQL),
     "e04_triple_spans": (e04_triple_spans, E04_SQL),
     "p03_curation_pipeline": (p03_curation_pipeline, P03_SQL),
+    "a06_mmr_select": (a06_mmr_select, A06_SQL),
     "g01_pagerank": (g01_pagerank, G01_SQL),
     "r03_pivot": (r03_pivot, R03_SQL),
     "s04_global_shuffle": (s04_global_shuffle, S04_SQL),

@@ -128,6 +128,35 @@ def quantized_topk(ds, queries: np.ndarray, k: int = 10,
     return _topk_merge(parts, k)
 
 
+def mmr_greedy(ids: np.ndarray, mat: np.ndarray, rel: np.ndarray,
+               k: int) -> list[int]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over a candidate set: greedily pick the item maximizing
+    ``2*rel - max_sim_to_selected`` (λ=2/3 with the fraction cleared —
+    all-integer so ordering is exact; ties break on ascending id).
+
+    Runs on the driver over the C-row candidate table produced by a
+    distributed top-C relevance pass — the standard retrieve-then-
+    diversify shape; C is a constant, never corpus-sized."""
+    n = len(ids)
+    chosen = np.zeros(n, dtype=bool)
+    max_sim = None  # true max over selected (can be negative)
+    out: list[int] = []
+    for step in range(min(k, n)):
+        score = 2 * rel if max_sim is None else 2 * rel - max_sim
+        # negate BEFORE masking: -int64.min overflows back to int64.min
+        # and would sort (and be picked) first — the a04 lexsort trap
+        nscore = -score
+        nscore[chosen] = np.iinfo(np.int64).max
+        # argmax with id-ascending tie-break
+        best = np.lexsort((ids, nscore))[0]
+        chosen[best] = True
+        out.append(int(ids[best]))
+        sims = mat @ mat[best]
+        max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+    return out
+
+
 def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (mat @ planes > 0).astype(np.uint32)
     return (bits << np.arange(planes.shape[1], dtype=np.uint32)[None, :]).sum(axis=1)

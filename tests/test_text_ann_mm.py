@@ -304,6 +304,37 @@ class TestPpmDecode:
             decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
 
 
+class TestMmrGreedy:
+    def test_diversifies_over_near_duplicate(self):
+        from naer_ray.stages.ann import mmr_greedy
+
+        # a and b are near-identical high-norm vectors; c is diverse with
+        # slightly lower relevance.  Plain top-2 = [1, 2]; MMR must pick
+        # the diverse c (id 3) second.  Also regression-guards the
+        # -int64.min lexsort overflow that re-picked the chosen item.
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        mat = np.array([[100, 1000], [100, 1000], [90, -50]], dtype=np.int64)
+        rel = mat @ np.array([100, 0], dtype=np.int64)
+        assert mmr_greedy(ids, mat, rel, 2) == [1, 3]
+
+    def test_negative_similarity_rewards_selection(self):
+        from naer_ray.stages.ann import mmr_greedy
+
+        # anti-correlated second item: max_sim < 0 must INCREASE its
+        # score (zero-initialized max_sim would clamp it)
+        ids = np.array([5, 6], dtype=np.int64)
+        mat = np.array([[10, 0], [-10, 0]], dtype=np.int64)
+        rel = np.array([100, 90], dtype=np.int64)
+        assert mmr_greedy(ids, mat, rel, 2) == [5, 6]
+
+    def test_k_larger_than_candidates(self):
+        from naer_ray.stages.ann import mmr_greedy
+
+        ids = np.array([7], dtype=np.int64)
+        mat = np.array([[1, 1]], dtype=np.int64)
+        assert mmr_greedy(ids, mat, np.array([1], np.int64), 10) == [7]
+
+
 class TestImageDedup:
     def test_header_variants_same_group(self, ray_session):
         """Same pixels under different P6 header whitespace must land in
