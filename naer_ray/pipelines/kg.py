@@ -79,9 +79,27 @@ def build_triples(
     if extractor == "answers":
         if answers_path is None:
             raise ValueError("answers_path required for extractor='answers'")
-        tds = read_transcripts(
-            transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
-        )
+        # honor a caller-supplied source Dataset (e.g. run_kg_job with
+        # input_format="jsonl") — the parquet reader would crash on a
+        # JSONL path with a misleading error (ADVICE r3)
+        if transcripts_ds is not None:
+
+            def _with_role(t: pa.Table) -> pa.Table:
+                cols = {
+                    "conv_id": t["conv_id"],
+                    "turn_idx": t["turn_idx"],
+                    "role": t["role"]
+                    if "role" in t.column_names
+                    else pa.nulls(t.num_rows, pa.string()),
+                    "text": t["text"],
+                }
+                return pa.table(cols)
+
+            tds = transcripts_ds.map_batches(_with_role, batch_format="pyarrow")
+        else:
+            tds = read_transcripts(
+                transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+            )
         ds = add_bucket(tds.union(answers_as_rows(answers_path)), n_buckets)
         return ds.groupby("bucket").map_groups(
             parse_answer_group, batch_format="pyarrow"

@@ -4752,9 +4752,14 @@ def e02_adjacent_relations(sf_dir: str):
         pos_c = np.minimum(pos, k - 1)
         code = np.where(ents[pos_c] == flat, pos_c, k)
         a, b = code[:-1], code[1:]
-        # a bigram is invalid where position i+1 starts a new document
+        # a bigram is invalid where position i+1 starts a new document.
+        # Clip interior offsets: a trailing null/empty text row yields an
+        # offset equal to len(flat), which would index out of bounds
+        # (ADVICE r3); clipping is harmless since such a scatter target
+        # only marks an already-past-the-end boundary.
         boundary = np.zeros(len(flat), dtype=bool)
-        boundary[offs[1:-1]] = True
+        inner = offs[1:-1]
+        boundary[inner[inner < len(flat)]] = True
         ok = (a < k) & (b < k) & ~boundary[1:]
         counts = np.bincount(a[ok] * k + b[ok], minlength=k * k)
         nz = np.flatnonzero(counts)

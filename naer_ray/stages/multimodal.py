@@ -354,7 +354,11 @@ class WavAudioDecoder:
             out["n_samples"].append(len(samples))
             out["sum_abs"].append(int(a.sum()))
             out["peak_abs"].append(int(a.max()) if len(a) else 0)
-            out["mean_abs"].append(int(a.sum()) / len(samples))
+            # a structurally valid WAV may carry a size-0 data chunk;
+            # mirror the peak_abs guard so the actor batch survives it
+            out["mean_abs"].append(
+                int(a.sum()) / len(samples) if len(samples) else 0.0
+            )
         return pa.table(out, schema=WAV_FEATURE_SCHEMA)
 
 

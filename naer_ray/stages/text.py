@@ -1275,11 +1275,12 @@ def bpe_encode_counts(ds, merges, text_col: str = "text", id_col: str = "doc_id"
         flat = split.flatten().to_numpy(zero_copy_only=False)
         offs = split.offsets.to_numpy()
         keep = flat != ""  # split artifacts around runs of whitespace
-        per_doc_words = np.diff(offs)
-        if keep.size:
-            per_doc_words = np.add.reduceat(
-                keep.astype(np.int64), np.minimum(offs[:-1], keep.size - 1)
-            ) * (np.diff(offs) > 0)
+        # segment sums via cumsum differences: exact for empty segments
+        # (a trailing null/empty doc gives equal offsets; the previous
+        # reduceat-with-clamped-indices kernel silently shifted the prior
+        # doc's boundary in that case — ADVICE r3)
+        keep_cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        per_doc_words = keep_cs[offs[1:]] - keep_cs[offs[:-1]]
         words = flat[keep]
         uniq, inv = np.unique(words, return_inverse=True)
         tok_per_uniq = np.empty(len(uniq), dtype=np.int64)
@@ -1290,13 +1291,8 @@ def bpe_encode_counts(ds, merges, text_col: str = "text", id_col: str = "doc_id"
             tok_per_uniq[i] = len(sym)
         tok_per_word = np.zeros(len(flat), dtype=np.int64)
         tok_per_word[keep] = tok_per_uniq[inv]
-        n_tok = np.zeros(len(offs) - 1, dtype=np.int64)
-        nonempty = np.diff(offs) > 0
-        if flat.size:
-            sums = np.add.reduceat(
-                tok_per_word, np.minimum(offs[:-1], len(flat) - 1)
-            )
-            n_tok[nonempty] = sums[nonempty]
+        tok_cs = np.concatenate([[0], np.cumsum(tok_per_word)])
+        n_tok = tok_cs[offs[1:]] - tok_cs[offs[:-1]]
         return pa.table(
             {
                 id_col: batch[id_col],

@@ -1,0 +1,152 @@
+"""Regression tests for the round-3 ADVICE findings."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+class TestBpeEncodeTrailingEmpty:
+    def test_trailing_null_text_does_not_shift_prev_doc(self, ray_session):
+        """ADVICE r3 (low): a null/empty LAST doc in a batch used to clamp
+        the reduceat boundary and silently drop the previous doc's last
+        word from its token count."""
+        import ray.data
+
+        from naer_ray.stages.text import _bpe_apply_merge, bpe_encode_counts
+
+        merges = [("t", "h"), ("th", "e")]
+        # single batch, last entries empty/null
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["the cat theory", "", None], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        got = (
+            bpe_encode_counts(ds, merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        def ref(t):
+            n = 0
+            for w in t.split():
+                sym = tuple(w)
+                for left, right in merges:
+                    sym = _bpe_apply_merge(sym, left, right)
+                n += len(sym)
+            return n
+
+        assert got.loc[0, "n_tokens"] == ref("the cat theory")
+        assert got.loc[0, "n_words"] == 3
+        assert list(got["n_tokens"])[1:] == [0, 0]
+        assert list(got["n_words"])[1:] == [0, 0]
+
+
+class TestWavEmptyDataChunk:
+    def test_zero_length_data_chunk_survives(self, ray_session):
+        """ADVICE r3 (low): a structurally valid WAV with a size-0 data
+        chunk used to crash WavAudioDecoder on mean_abs division."""
+        import ray.data
+
+        from naer_ray.stages.multimodal import WavAudioDecoder, decode_wav
+
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        data = b"data" + (0).to_bytes(4, "little")
+        body = fmt + data
+        payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+        rate, samples = decode_wav(payload)
+        assert rate == 8000 and len(samples) == 0
+
+        ds = ray.data.from_arrow(
+            pa.table({"media_id": pa.array(["m0"], pa.string()),
+                      "payload": pa.array([payload], pa.binary())})
+        )
+        out = ds.map_batches(
+            WavAudioDecoder, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+        assert out.loc[0, "n_samples"] == 0
+        assert out.loc[0, "mean_abs"] == 0.0
+        assert out.loc[0, "peak_abs"] == 0
+
+
+class TestE02NullText:
+    def test_trailing_null_text_row(self, ray_session, tmp_path):
+        """ADVICE r3 (low): a trailing null text row yields a list offset
+        equal to len(flat); the boundary scatter used to IndexError."""
+        from naer_ray.pipelines.queries import KG_ENTITIES, e02_adjacent_relations
+
+        ents = sorted(KG_ENTITIES)[:2]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [f"{ents[0]} {ents[1]} filler", "", None], pa.string()
+                ),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = e02_adjacent_relations(str(tmp_path))
+        row = got[(got["subj"] == ents[0]) & (got["obj"] == ents[1])]
+        assert len(row) == 1 and int(row.iloc[0]["n"]) == 1
+
+
+class TestJsonlAnswersPath:
+    def test_build_triples_answers_honors_transcripts_ds(self, ray_session, tmp_path):
+        """ADVICE r3 (medium): extractor='answers' ignored the caller's
+        transcripts_ds, so input_format='jsonl' crashed in the parquet
+        reader.  Now a supplied Dataset is used directly."""
+        import json as _json
+
+        import ray.data
+
+        from naer_ray.pipelines.kg import build_triples
+
+        # transcripts as JSONL (the non-parquet source format)
+        rows = [
+            {"conv_id": "c1", "turn_idx": 1, "role": "user",
+             "text": "The storage service is big.", "tool": "",
+             "ts": "2026-01-01T00:00:00"},
+        ]
+        jsonl = tmp_path / "transcripts.jsonl"
+        with open(jsonl, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+        # one recorded structured-text answer for c1
+        answers = pa.table(
+            {
+                "conv_id": pa.array(["c1"], pa.string()),
+                "answer": pa.array(
+                    [
+                        "COMPONENT entities recognized:\n"
+                        "storage service, 'The storage service is big.'"
+                    ],
+                    pa.string(),
+                ),
+                "format": pa.array(["structured-text"], pa.string()),
+            }
+        )
+        ans_path = tmp_path / "answers.parquet"
+        pq.write_table(answers, str(ans_path))
+
+        from naer_ray.sources.transcripts import read_transcripts_jsonl
+
+        src = read_transcripts_jsonl(str(jsonl))
+        triples = build_triples(
+            str(jsonl),  # NOT a parquet path — must not be read
+            None,
+            extractor="answers",
+            answers_path=str(ans_path),
+            transcripts_ds=src,
+        ).to_pandas()
+        assert len(triples) > 0
+        assert (triples["conv_id"] == "c1").all()
