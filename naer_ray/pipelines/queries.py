@@ -164,32 +164,97 @@ LIMIT 10
 """
 
 
-def q03_orders_by_segment(sf_dir: str):
-    """orders ⋈ customer broadcast join (small side shipped once via ray.put)."""
+def q03_orders_by_segment(sf_dir: str, broadcast_threshold_bytes: int = 128 * 2**20):
+    """orders ⋈ customer, SIZE-GATED (VERDICT r3): customer is
+    fact-proportional, so unconditionally broadcasting it is a driver
+    materialization at 100 TB.  Below the gate (on-disk parquet bytes)
+    the small side ships once as sorted key/code arrays via ``ray.put``
+    and every batch joins with one searchsorted; above it the query
+    uses the native partitioned hash join (the q18 machinery) — no
+    full-table ``to_pandas`` on the driver."""
+    import os as _os
+
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust_bytes = _os.path.getsize(f"{sf_dir}/customer.parquet")
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if cust_bytes <= broadcast_threshold_bytes:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        keys = cust["c_custkey"].to_numpy(np.int64)
+        order_idx = np.argsort(keys, kind="stable")
+        seg_names, seg_codes = np.unique(
+            cust["c_mktsegment"].to_numpy(object), return_inverse=True
+        )
+        seg_ref = ray.put(
+            (keys[order_idx], seg_codes[order_idx].astype(np.int32),
+             [str(s) for s in seg_names])
+        )
 
-    class Joiner:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+        class Joiner:
+            def __init__(self):
+                self.keys, self.codes, self.names = ray.get(seg_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.assign(
-                c_mktsegment=batch["o_custkey"].map(self.seg),
-                price_c=_cents(batch["o_totalprice"].to_numpy()),
-                n=1,
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ck = batch["o_custkey"].to_numpy()
+                pos = np.minimum(
+                    np.searchsorted(self.keys, ck), len(self.keys) - 1
+                )
+                valid = self.keys[pos] == ck  # inner-join semantics
+                code = self.codes[pos][valid]
+                price_c = _cents(batch["o_totalprice"].to_numpy())[valid]
+                k = len(self.names)
+                sums = np.zeros(k, np.int64)
+                np.add.at(sums, code, price_c)
+                counts = np.bincount(code, minlength=k)
+                nz = counts > 0
+                return pa.table(
+                    {
+                        "c_mktsegment": pa.array(
+                            [self.names[i] for i in np.flatnonzero(nz)],
+                            pa.string(),
+                        ),
+                        "price_c": pa.array(sums[nz], pa.int64()),
+                        "n": pa.array(counts[nz], pa.int64()),
+                    }
+                )
+
+        partials = orders.map_batches(
+            Joiner, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4)
+        )
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            tbl = pa.table(
+                {
+                    "c_mktsegment": batch["c_mktsegment"],
+                    "price_c": pa.array(
+                        _cents(batch["o_totalprice"].to_numpy()), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
             )
-            return batch.groupby("c_mktsegment", as_index=False)[["price_c", "n"]].sum()
+            g = tbl.group_by("c_mktsegment").aggregate(
+                [("price_c", "sum"), ("n", "sum")]
+            )
+            return g.rename_columns(["c_mktsegment", "price_c", "n"])
 
-    agg = (
-        ds.map_batches(Joiner, batch_format="pandas", batch_size=65536, concurrency=(1, 4))
-        .groupby("c_mktsegment")
-        .aggregate(Sum("price_c", alias_name="price_c"), Sum("n", alias_name="n_orders"))
+        partials = joined.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        )
+
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("price_c", alias_name="price_c"), Sum("n", alias_name="n_orders")
     )
     df = agg.to_pandas()
     df["total_price"] = df.pop("price_c") / 100.0
@@ -564,23 +629,58 @@ LIMIT 10
 # ------------------------------------------------------------------ KG over documents
 
 
+def _entity_presence(texts, ents_sorted: np.ndarray):
+    """(row_idx, code) pairs where the sorted-entity ``code`` occurs as a
+    TOKEN of the row's space-split text — one Arrow split + searchsorted
+    dictionary-code per batch (the e02/e03 vectorized pattern; replaced
+    the per-row ``set(text.split())`` loops of q15/q16/v01, VERDICT r3)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern(texts, " ")
+    flat = split.flatten().to_numpy(zero_copy_only=False)
+    offs = split.offsets.to_numpy()
+    row_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    k = len(ents_sorted)
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.minimum(np.searchsorted(ents_sorted, flat), k - 1)
+    hit = ents_sorted[pos] == flat
+    key = row_of[hit].astype(np.int64) * k + pos[hit]
+    uk = np.unique(key)
+    return uk // k, uk % k
+
+
 def _derive_transcripts(sf_dir: str):
-    """documents -> transcripts-shaped rows: 10-word chunks as turns."""
+    """documents -> transcripts-shaped rows: 10-word chunks as turns.
+
+    Fully vectorized (VERDICT r3): one Arrow split per batch, chunk
+    boundaries computed as a new ListArray offset vector over the SAME
+    flat word values (zero-copy), texts rebuilt with one binary_join."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def derive(batch: pa.Table) -> pa.Table:
-        conv, turn, text = [], [], []
-        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            words = t.split(" ")
-            for k in range(0, len(words), _CHUNK):
-                conv.append(str(doc_id))
-                turn.append(k // _CHUNK + 1)
-                text.append(" ".join(words[k : k + _CHUNK]))
+        split = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        offs = split.offsets.to_numpy()
+        n_words = np.diff(offs)
+        n_chunks = -(-n_words // _CHUNK)  # ceil; 1 word min per non-null doc
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(n_chunks)), n_chunks)
+        chunk_start0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_pos = np.arange(total) - np.repeat(chunk_start0, n_chunks)
+        starts = offs[:-1][doc_idx] + chunk_pos * _CHUNK
+        chunk_offs = np.append(starts, offs[-1]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(chunk_offs, pa.int32()), split.values
+        )
+        conv = pc.cast(
+            batch["doc_id"].combine_chunks().take(pa.array(doc_idx)),
+            pa.string(),
+        )
         return pa.table(
             {
-                "conv_id": pa.array(conv, pa.string()),
-                "turn_idx": pa.array(turn, pa.int32()),
-                "text": pa.array(text, pa.string()),
+                "conv_id": conv,
+                "turn_idx": pa.array((chunk_pos + 1).astype(np.int32), pa.int32()),
+                "text": pc.binary_join(lists, " "),
             }
         )
 
@@ -610,30 +710,22 @@ def q15_kg_occurs_triples(sf_dir: str):
     """occursIn triples over the derived transcripts for an inline dictionary
     (token-exact matching — the oracle-checked slice of KG semantics)."""
     ds = _derive_transcripts(sf_dir)
-    entities = KG_ENTITIES
+    ents_sorted = np.array(sorted(KG_ENTITIES))
 
     def triples(batch: pa.Table) -> pa.Table:
-        out = {"subj": [], "pred": [], "obj": [], "conv_id": [], "turn_idx": []}
-        for conv_id, turn_idx, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            toks = set(text.split(" "))
-            for e in entities:
-                if e in toks:
-                    out["subj"].append(e)
-                    out["pred"].append("occursIn")
-                    out["obj"].append(f"{conv_id}#{turn_idx}")
-                    out["conv_id"].append(conv_id)
-                    out["turn_idx"].append(turn_idx)
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        idx = pa.array(r)
+        conv = batch["conv_id"].combine_chunks().take(idx)
+        turn = batch["turn_idx"].combine_chunks().take(idx)
         return pa.table(
             {
-                "subj": pa.array(out["subj"], pa.string()),
-                "pred": pa.array(out["pred"], pa.string()),
-                "obj": pa.array(out["obj"], pa.string()),
-                "conv_id": pa.array(out["conv_id"], pa.string()),
-                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+                "subj": pa.array(ents_sorted[c], pa.string()),
+                "pred": pa.array(["occursIn"] * len(r), pa.string()),
+                "obj": pc.binary_join_element_wise(
+                    conv, pc.cast(turn, pa.string()), "#"
+                ),
+                "conv_id": conv,
+                "turn_idx": turn,
             }
         )
 
@@ -655,28 +747,31 @@ def q16_kg_cooccurrence(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    entities = KG_ENTITIES
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+    k = len(ents_sorted)
 
     def pairs(batch: pa.Table) -> pd.DataFrame:
-        rows = []
-        for text in batch["text"].to_pylist():
-            toks = set(text.split(" "))
-            present = [e for e in entities if e in toks]
-            for i, a in enumerate(present):
-                for b in present[i + 1 :]:
-                    rows.append((a, b) if a < b else (b, a))
-        if not rows:
-            # typed empty: zero-row object columns trip Ray's size estimator
-            return pd.DataFrame(
-                {
-                    "subj": pd.Series([], dtype="string"),
-                    "obj": pd.Series([], dtype="string"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
-        df = pd.DataFrame(rows, columns=["subj", "obj"])
-        df["n"] = 1
-        return df.groupby(["subj", "obj"], as_index=False)[["n"]].sum()
+        # presence bitmask per row, then one vectorized count per entity
+        # pair (K^2/2 combos, K=7) — no Python row loop (VERDICT r3)
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        mask = np.zeros(batch.num_rows, np.int64)
+        np.bitwise_or.at(mask, r, np.int64(1) << c)
+        subj, obj, n = [], [], []
+        for i in range(k):
+            bi = (mask >> i) & 1
+            for j in range(i + 1, k):
+                cnt = int(np.count_nonzero(bi & ((mask >> j) & 1)))
+                if cnt:
+                    subj.append(str(ents_sorted[i]))
+                    obj.append(str(ents_sorted[j]))
+                    n.append(cnt)
+        return pd.DataFrame(
+            {
+                "subj": pd.array(subj, dtype="string"),
+                "obj": pd.array(obj, dtype="string"),
+                "n": pd.array(n, dtype="int64"),
+            }
+        )
 
     agg = (
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
@@ -4611,28 +4706,22 @@ def v01_constraint_violations(sf_dir: str):
         )
         return t.filter(bad)
 
+    ents_sorted = np.array(sorted(entities))
+
     def range_violations(batch: pa.Table) -> pa.Table:
-        out = {"subj": [], "pred": [], "obj": [], "violation": []}
-        for conv_id, turn_idx, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            if turn_idx <= 20:
-                continue
-            toks = set(text.split(" "))
-            for e in entities:
-                if e in toks:
-                    out["subj"].append(e)
-                    out["pred"].append("occursIn")
-                    out["obj"].append(f"{conv_id}#{turn_idx}")
-                    out["violation"].append("range")
+        late = batch.filter(pc.greater(batch["turn_idx"], 20))
+        r, c = _entity_presence(late["text"], ents_sorted)
+        idx = pa.array(r)
+        conv = late["conv_id"].combine_chunks().take(idx)
+        turn = late["turn_idx"].combine_chunks().take(idx)
         return pa.table(
             {
-                "subj": pa.array(out["subj"], pa.string()),
-                "pred": pa.array(out["pred"], pa.string()),
-                "obj": pa.array(out["obj"], pa.string()),
-                "violation": pa.array(out["violation"], pa.string()),
+                "subj": pa.array(ents_sorted[c], pa.string()),
+                "pred": pa.array(["occursIn"] * len(r), pa.string()),
+                "obj": pc.binary_join_element_wise(
+                    conv, pc.cast(turn, pa.string()), "#"
+                ),
+                "violation": pa.array(["range"] * len(r), pa.string()),
             }
         )
 
