@@ -150,3 +150,26 @@ class TestJsonlAnswersPath:
         ).to_pandas()
         assert len(triples) > 0
         assert (triples["conv_id"] == "c1").all()
+
+
+class TestQ03SizeGate:
+    def test_native_join_path_matches_broadcast(self, ray_session):
+        """VERDICT r3: q03 must not broadcast a fact-proportional table
+        unconditionally.  Force the join path (gate=0) and check it
+        matches the broadcast path exactly."""
+        import pandas as pd
+
+        from naer_ray.pipelines.queries import q03_orders_by_segment
+
+        sf = "/root/testdata/sf0.001"
+        bc = (
+            q03_orders_by_segment(sf)
+            .sort_values("c_mktsegment")
+            .reset_index(drop=True)
+        )
+        nj = (
+            q03_orders_by_segment(sf, broadcast_threshold_bytes=0)
+            .sort_values("c_mktsegment")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bc, nj)
