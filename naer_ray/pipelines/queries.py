@@ -75,23 +75,29 @@ def q01_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            qty=batch["l_quantity"].to_numpy().astype(np.int64),
-            base_c=_cents(batch["l_extendedprice"].to_numpy()),
-            disc_c=_cents(
-                batch["l_extendedprice"].to_numpy() * (1 - batch["l_discount"].to_numpy())
-            ),
-            n=1,
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        tbl = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(
+                    batch["l_quantity"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "base_c": pa.array(_cents(ep), pa.int64()),
+                "disc_c": pa.array(_cents(ep * (1 - disc)), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
         )
-        g = (
-            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
-                ["qty", "base_c", "disc_c", "n"]
-            ].sum()
+        g = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ("n", "sum")]
         )
-        return g
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "base_c", "disc_c", "n"]
+        )
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty", alias_name="sum_qty"),
         Sum("base_c", alias_name="base_c"),
@@ -126,18 +132,21 @@ def q02_top_revenue_orders(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def with_rev(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def with_rev(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
-                "rev_c": _cents(
-                    batch["l_extendedprice"].to_numpy()
-                    * (1 - batch["l_discount"].to_numpy())
+                "rev_c": pa.array(
+                    _cents(
+                        batch["l_extendedprice"].to_numpy()
+                        * (1 - batch["l_discount"].to_numpy())
+                    ),
+                    pa.int64(),
                 ),
             }
         )
 
-    revs = ds.map_batches(with_rev, batch_format="pandas", batch_size=65536)
+    revs = ds.map_batches(with_rev, batch_format="pyarrow", batch_size=65536)
     agg = bucketed_sum(revs, ["l_orderkey"], ["rev_c"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -380,33 +389,42 @@ def q07_sessionize(sf_dir: str, n_buckets: int = 64):
     per user) and a fully vectorized per-bucket kernel."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(batch["user_id"].to_numpy().astype(np.int64) % n_buckets).astype(
-                np.int32
-            )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy().astype(np.int64) % n_buckets).astype(
+            np.int32
         )
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"])
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending")])
         uid = g["user_id"].to_numpy().astype(np.int64)
         # microsecond precision: casting to [s] truncates, so a 1800.5s gap
         # would NOT open a session here while SQL's `> INTERVAL 30 MINUTE` would
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts_us = (
+            g["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy()
+            .astype(np.int64)
+        )
         same_user = np.r_[False, uid[1:] == uid[:-1]]
         gap_open = same_user & (np.r_[0, np.diff(ts_us)] > 1800 * 1_000_000)
-        df = pd.DataFrame({"user_id": uid, "new_sess": gap_open.astype(np.int64)})
-        out = df.groupby("user_id", as_index=False).agg(
-            n_sessions=("new_sess", "sum"), n_events=("new_sess", "size")
+        # per-user run reduction on the sorted array: first-index bounds +
+        # one cumsum, no hash groupby
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(uid))
+        cs = np.concatenate([[0], np.cumsum(gap_open.astype(np.int64))])
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_sessions": pa.array(
+                    cs[bounds[1:]] - cs[bounds[:-1]] + 1, pa.int64()
+                ),
+                "n_events": pa.array(np.diff(bounds), pa.int64()),
+            }
         )
-        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -5590,6 +5608,51 @@ FROM s GROUP BY doc_id, n, rate
 """
 
 
+def m07_png_features(sf_dir: str):
+    """REAL PNG decode (VERDICT r3 item 7): deterministic RGB PNGs
+    (zlib-compressed, per-row None/Sub/Up filters) flow through the
+    pure-Python chunk-walk + inflate + unfilter decoder; the SQL oracle
+    re-derives width/height/mean_luma from the generator arithmetic, so
+    a decode bug (CRC, filter reconstruction, channel order) breaks the
+    hash match."""
+    from ..stages.multimodal import decode_png_features, synth_png_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"p{i:07d}" for i in ids], pa.string()),
+                "payload": pa.array([synth_png_payload(i) for i in ids], pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+    return decode_png_features(media)
+
+
+M07_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 139) % 29 AS width,
+         4 + (doc_id * 199) % 31 AS height
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, unnest(range(0, width * height)) AS j
+  FROM dims)
+SELECT printf('p%07d', doc_id) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_pix,
+       CAST(SUM((doc_id * 5 + j * 19) % 256
+              + (doc_id * 17 + j * 29) % 256
+              + (doc_id * 23 + j * 31) % 256) AS DOUBLE)
+         / (3.0 * width * height) AS mean_luma
+FROM px GROUP BY doc_id, width, height
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -5698,4 +5761,5 @@ REGISTRY: dict[str, tuple] = {
     "d10_semantic_dedup": (d10_semantic_dedup, D10_SQL),
     "d11_incremental_dedup": (d11_incremental_dedup, D11_SQL),
     "d12_duplicated_spans": (d12_duplicated_spans, D12_SQL),
+    "m07_png_features": (m07_png_features, M07_SQL),
 }

@@ -173,3 +173,93 @@ class TestQ03SizeGate:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(bc, nj)
+
+
+class TestPngDecode:
+    def test_roundtrip_matches_generator(self):
+        from naer_ray.stages.multimodal import decode_png, synth_png_payload
+
+        for i in (0, 1, 7, 55, 123, 4999):
+            w, h, pix = decode_png(synth_png_payload(i))
+            assert (w, h) == (4 + (i * 139) % 29, 4 + (i * 199) % 31)
+            j = np.arange(w * h, dtype=np.int64)
+            exp = np.stack(
+                [(i * 5 + j * 19) % 256, (i * 17 + j * 29) % 256,
+                 (i * 23 + j * 31) % 256], axis=1,
+            )
+            assert (pix.astype(np.int64) == exp).all()
+
+    def _encode_with_filters(self, rgb, ftypes):
+        """Reference encoder applying arbitrary per-row filters
+        (incl. Average/Paeth, which synth_png_payload never emits)."""
+        import struct
+        import zlib
+
+        from naer_ray.stages.multimodal import PNG_SIG, _paeth
+
+        h, stride = rgb.shape
+        w = stride // 3
+        raw = bytearray()
+        prior = np.zeros(stride, dtype=np.int32)
+        for r in range(h):
+            line = rgb[r].astype(np.int32)
+            f = ftypes[r]
+            raw.append(f)
+            for i in range(stride):
+                left = int(line[i - 3]) if i >= 3 else 0
+                up = int(prior[i])
+                ul = int(prior[i - 3]) if i >= 3 else 0
+                x = int(line[i])
+                if f == 0:
+                    v = x
+                elif f == 1:
+                    v = x - left
+                elif f == 2:
+                    v = x - up
+                elif f == 3:
+                    v = x - (left + up) // 2
+                else:
+                    v = x - _paeth(left, up, ul)
+                raw.append(v % 256)
+            prior = line
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_average_and_paeth_filters(self):
+        from naer_ray.stages.multimodal import decode_png
+
+        rng = np.random.RandomState(11)
+        rgb = rng.randint(0, 256, (6, 5 * 3)).astype(np.uint8)
+        for ftypes in ([3] * 6, [4] * 6, [0, 1, 2, 3, 4, 3]):
+            payload = self._encode_with_filters(rgb, ftypes)
+            w, h, pix = decode_png(payload)
+            assert (w, h) == (5, 6)
+            assert (pix.reshape(6, 15) == rgb).all()
+
+    def test_crc_and_format_rejection(self):
+        from naer_ray.stages.multimodal import decode_png, synth_png_payload
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"GIF89a....")
+        p = bytearray(synth_png_payload(3))
+        p[20] ^= 0xFF  # corrupt an IHDR byte: CRC must catch it
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(p))
+        # grayscale (color type 0) is out of scope and must say so
+        import struct
+        import zlib
+
+        from naer_ray.stages.multimodal import PNG_SIG
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        with pytest.raises(ValueError, match="only 8-bit RGB"):
+            decode_png(PNG_SIG + chunk)
