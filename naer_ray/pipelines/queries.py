@@ -5653,6 +5653,108 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def j01_asof_join(sf_dir: str, n_buckets: int = 64):
+    """ROW-LEVEL as-of join, Arrow/numpy kernel: for every event, the
+    latest order of the same customer with ``o_orderdate <= ts`` (ties
+    broken by max orderkey; events with no qualifying order drop out —
+    inner as-of).
+
+    Complements q23 (stages/joins.asof_join): q23 merges via pandas
+    ``merge_asof`` per bucket and returns an aggregated summary; this
+    one emits the per-event match itself and never leaves Arrow/numpy —
+    the scale path when the joined rows (not a rollup) are the output.
+
+    Ray shape: tag both sides into one narrow (key, ts, id, side)
+    relation, ONE key-hash bucket shuffle co-partitions them, and each
+    bucket-run kernel does a lexsort + segmented cumulative-max pass —
+    orders sort before events at equal (key, ts) so the ``<=`` bound is
+    inclusive, and a per-run floor index kills cross-key carryover.
+    O(n log n) per bucket, no per-key dispatch, no composite-int
+    encoding (keys and timestamps stay full-width int64)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["user_id"],
+                "ts_us": pc.cast(
+                    pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "id": batch["event_id"],
+                "side": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["o_custkey"],
+                "ts_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "id": batch["o_orderkey"],
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (batch["key"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
+
+    def asof_kernel(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy().astype(np.int64)
+        ts = g["ts_us"].to_numpy().astype(np.int64)
+        side = g["side"].to_numpy().astype(np.int8)
+        ident = g["id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ident, side, ts, key))
+        key, ts, side, ident = key[order], ts[order], side[order], ident[order]
+        n = len(key)
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "o_orderkey": pa.array([], pa.int64())}
+            )
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_first = np.repeat(starts, np.diff(np.append(starts, n)))
+        w = np.where(side == 0, np.arange(n), -1)
+        cm = np.maximum.accumulate(w)
+        is_event = side == 1
+        matched = is_event & (cm >= run_first)
+        return pa.table(
+            {
+                "event_id": pa.array(ident[matched], pa.int64()),
+                "o_orderkey": pa.array(ident[cm[matched]], pa.int64()),
+            }
+        )
+
+    return (
+        both.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(asof_kernel, batch_format="pyarrow")
+    )
+
+
+J01_SQL = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, o_orderkey FROM j WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -5762,4 +5864,5 @@ REGISTRY: dict[str, tuple] = {
     "d11_incremental_dedup": (d11_incremental_dedup, D11_SQL),
     "d12_duplicated_spans": (d12_duplicated_spans, D12_SQL),
     "m07_png_features": (m07_png_features, M07_SQL),
+    "j01_asof_join": (j01_asof_join, J01_SQL),
 }

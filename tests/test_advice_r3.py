@@ -263,3 +263,40 @@ class TestPngDecode:
                  + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
         with pytest.raises(ValueError, match="only 8-bit RGB"):
             decode_png(PNG_SIG + chunk)
+
+
+class TestJ01AsofRowLevel:
+    def test_invariant_to_bucket_count_and_matches_reference(self, ray_session):
+        """Row-level as-of join: bucket count must not change the match
+        set, and a small slice must equal a brute-force reference."""
+        import pandas as pd
+        import pyarrow.parquet as pq_
+
+        from naer_ray.pipelines.queries import j01_asof_join
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            j01_asof_join(sf, n_buckets=4).to_pandas()
+            .sort_values(["event_id"]).reset_index(drop=True)
+        )
+        b = (
+            j01_asof_join(sf, n_buckets=64).to_pandas()
+            .sort_values(["event_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+        ev = pq_.read_table(f"{sf}/events.parquet",
+                            columns=["event_id", "user_id", "ts"]).to_pandas()
+        od = pq_.read_table(f"{sf}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+        got = dict(zip(a["event_id"], a["o_orderkey"]))
+        for row in ev.head(50).itertuples():
+            cand = od[(od["o_custkey"] == row.user_id)
+                      & (od["o_orderdate"] <= row.ts)]
+            if cand.empty:
+                assert row.event_id not in got
+            else:
+                best = cand.sort_values(
+                    ["o_orderdate", "o_orderkey"], ascending=False
+                ).iloc[0]
+                assert got[row.event_id] == best["o_orderkey"]
