@@ -24,11 +24,42 @@ import shutil
 import sys
 import time
 
+# Before ANY numpy import (ours or Ray's): this host's THP
+# defrag=madvise turns numpy's MADV_HUGEPAGE into synchronous direct
+# compaction on fresh large buffers (measured 0.01-0.07 GB/s first-touch
+# in fragmented host windows vs 1.5-1.9 GB/s with it off; see
+# naer_ray/__init__._disable_numpy_hugepage_madvise and BASELINE.md).
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 
 def _quiet_worker_logs() -> None:
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def host_fresh_alloc_gbps(trials: int = 3, mb: int = 16) -> dict:
+    """Host-health canary: bandwidth of first-touching FRESHLY allocated
+    memory.  This sandbox's hypervisor has windows where populating new
+    anonymous pages runs ~500 us/page (measured 0.01 GB/s vs the normal
+    ~5 GB/s — a 500x swing with /proc/stat idle and zero steal), which
+    inflates every allocation-heavy stage (shuffles, join aggregators,
+    fresh actors) by 3-8x.  Reporting min/max across trials alongside
+    the timings lets a reader normalize any recorded number for the
+    window it was taken in."""
+    import numpy as np
+
+    rates = []
+    for _ in range(max(1, trials)):
+        t0 = time.perf_counter()
+        x = np.empty(mb << 20, dtype=np.uint8)
+        x.fill(1)  # stream-write the fresh buffer (faults every page)
+        rates.append((mb / 1024.0) / (time.perf_counter() - t0))
+        del x
+    return {
+        "host_fresh_alloc_gbps_min": round(min(rates), 3),
+        "host_fresh_alloc_gbps_max": round(max(rates), 3),
+    }
 
 
 def sf_name(sf_dir: str) -> str:
@@ -48,7 +79,10 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
             logging_level="ERROR",
             # quiet the benign per-worker "Failed to hash the schemas"
             # warning (pandas block schemas are unhashable) in the bench log
-            runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
+            runtime_env={
+                "worker_process_setup_hook": _quiet_worker_logs,
+                "env_vars": {"NUMPY_MADVISE_HUGEPAGE": "0"},
+            },
         )
     from ray.data import DataContext
 
@@ -83,6 +117,8 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     import pyarrow.parquet as pq
 
     pq.read_table(os.path.join(corpus, "transcripts"))
+
+    canary = host_fresh_alloc_gbps()
 
     # warm the Ray worker pool: spawn + import once per worker process so
     # the timed region measures steady-state throughput (the design point
@@ -137,6 +173,7 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
         "turns_per_sec": round(turns / headline, 1),
         "warmup_sec": warmup_sec,
         "headline_runs_sec": [round(r, 3) for r in runs],
+        **canary,
         "queries": {},
     }
 
@@ -155,7 +192,10 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
-            runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
+            runtime_env={
+                "worker_process_setup_hook": _quiet_worker_logs,
+                "env_vars": {"NUMPY_MADVISE_HUGEPAGE": "0"},
+            },
         )
         from ray.data import DataContext
 
