@@ -57,6 +57,32 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100 + 0.5).astype(np.int64)
 
 
+def _media_rows(sf_dir: str, prefix: str, synth, pool_blocks: int = 32):
+    """doc_id -> synthetic (media_id, payload) rows, split into enough
+    blocks to keep a decode actor pool busy.
+
+    The pruned doc_id read of a small-SF table yields 1-2 blocks, and an
+    actor-pool ``map_batches`` dispatches one TASK per block — so a
+    fused synth->decode pool was capped at 2 concurrent tasks no matter
+    its size (measured: m08 8.3s at 2 blocks vs 3.0s at 32, same pool).
+    The repartition here moves only an int64 column; at real corpus
+    scale the media table arrives from storage already in many blocks
+    and this becomes a no-op-sized safety net.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id"]).repartition(pool_blocks)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"{prefix}{i:07d}" for i in ids], pa.string()),
+                "payload": pa.array([synth(i) for i in ids], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
+
+
 # ------------------------------------------------------------------ TPC-H-ish
 
 
@@ -2035,19 +2061,7 @@ def m01_multimodal_features(sf_dir: str):
     breaks the hash match."""
     from ..stages.multimodal import decode_ppm_features, synth_ppm_payload
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "media_id": pa.array([f"m{i:07d}" for i in ids], pa.string()),
-                "payload": pa.array([synth_ppm_payload(i) for i in ids], pa.binary()),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
-    return decode_ppm_features(media)
+    return decode_ppm_features(_media_rows(sf_dir, "m", synth_ppm_payload))
 
 
 M01_SQL = """
@@ -5573,19 +5587,7 @@ def m04_audio_features(sf_dir: str):
     operator; no reference analogue)."""
     from ..stages.multimodal import decode_wav_features, synth_wav_payload
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "media_id": pa.array([f"a{i:07d}" for i in ids], pa.string()),
-                "payload": pa.array([synth_wav_payload(i) for i in ids], pa.binary()),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
-    return decode_wav_features(media)
+    return decode_wav_features(_media_rows(sf_dir, "a", synth_wav_payload))
 
 
 M04_SQL = """
@@ -5617,19 +5619,7 @@ def m07_png_features(sf_dir: str):
     hash match."""
     from ..stages.multimodal import decode_png_features, synth_png_payload
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "media_id": pa.array([f"p{i:07d}" for i in ids], pa.string()),
-                "payload": pa.array([synth_png_payload(i) for i in ids], pa.binary()),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
-    return decode_png_features(media)
+    return decode_png_features(_media_rows(sf_dir, "p", synth_png_payload))
 
 
 M07_SQL = """
@@ -5767,21 +5757,7 @@ def m08_jpeg_features(sf_dir: str):
     convert) breaks the hash match."""
     from ..stages.multimodal import decode_jpeg_features, synth_jpeg_payload
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table(
-            {
-                "media_id": pa.array([f"j{i:07d}" for i in ids], pa.string()),
-                "payload": pa.array(
-                    [synth_jpeg_payload(i) for i in ids], pa.binary()
-                ),
-            }
-        )
-
-    media = ds.map_batches(to_media, batch_format="pyarrow", batch_size=256)
-    return decode_jpeg_features(media)
+    return decode_jpeg_features(_media_rows(sf_dir, "j", synth_jpeg_payload))
 
 
 M08_SQL = """

@@ -194,7 +194,7 @@ class PpmImageDecoder:
         return pa.table(out, schema=PPM_FEATURE_SCHEMA)
 
 
-def decode_ppm_features(ds, concurrency=(1, 4), batch_size: int = 64):
+def decode_ppm_features(ds, concurrency=8, batch_size: int = 64):
     """media rows (P6 payloads) -> real decoded feature rows."""
     return ds.map_batches(
         PpmImageDecoder,
@@ -366,7 +366,7 @@ class WavAudioDecoder:
         return pa.table(out, schema=WAV_FEATURE_SCHEMA)
 
 
-def decode_wav_features(ds, concurrency=(1, 4), batch_size: int = 64):
+def decode_wav_features(ds, concurrency=8, batch_size: int = 64):
     """media rows (RIFF/WAVE payloads) -> real decoded feature rows."""
     return ds.map_batches(
         WavAudioDecoder,
@@ -600,7 +600,7 @@ class PngImageDecoder:
         return pa.table(out, schema=PNG_FEATURE_SCHEMA)
 
 
-def decode_png_features(ds, concurrency=(1, 4), batch_size: int = 64):
+def decode_png_features(ds, concurrency=8, batch_size: int = 64):
     """media rows (PNG payloads) -> real decoded feature rows."""
     return ds.map_batches(
         PngImageDecoder,
@@ -1154,7 +1154,7 @@ class JpegImageDecoder:
         return pa.table(out, schema=JPEG_FEATURE_SCHEMA)
 
 
-def decode_jpeg_features(ds, concurrency=(1, 8), batch_size: int = 64):
+def decode_jpeg_features(ds, concurrency=8, batch_size: int = 64):
     """media rows (JPEG payloads) -> real decoded feature rows."""
     return ds.map_batches(
         JpegImageDecoder,
