@@ -390,17 +390,22 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 
 
 def q06_distinct_flags(sf_dir: str):
-    """Exact distinct on a composite key (D-class: hash-partition + first)."""
+    """Exact distinct on a LOW-cardinality composite key: per-batch
+    partial dedup shrinks each block to O(keys) rows, then one tiny
+    task combines the partials — Ray's sort-shuffle groupby costs a
+    fixed ~1.5s to move 246 six-row partials, 75% of the query
+    (measured via ds.stats()).  High-cardinality distinct stays on the
+    hash-partitioned path (q21 / stages/dedup.exact_dedup)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    dedup = (
-        ds.map_batches(
-            lambda t: t.group_by(["l_returnflag", "l_linestatus"]).aggregate([]),
-            batch_format="pyarrow",
-        )  # partial dedup per batch
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    partial = ds.map_batches(
+        lambda t: t.group_by(["l_returnflag", "l_linestatus"]).aggregate([]),
+        batch_format="pyarrow",
     )
-    return dedup
+    return partial.repartition(1).map_batches(
+        lambda t: t.group_by(["l_returnflag", "l_linestatus"]).aggregate([]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 Q06_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
