@@ -1202,10 +1202,17 @@ def bpe_learn(
             dict(zip(wdf["word"], wdf["n"].astype("int64"))), n_merges
         )
 
-    # compact the bucketed-sum output: its ~n_buckets blocks are tiny
-    # relative to the vocab, and every merge round would re-schedule a
-    # task per near-empty block (the round-2 block-shatter finding)
-    n_blocks = max(1, hist.count() // 65536)
+    # re-block the vocab so every merge round's pair count runs wide:
+    # the old count//65536 sizing left ONE block at 100k-word vocabs,
+    # serializing all rounds' Python apply+count into a single task.
+    # Floor at the cluster CPU count, cap block bloat for huge vocabs.
+    try:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_blocks = max(ncpu, hist.count() // 65536)
     vocab = (
         hist.map_batches(to_symbols, batch_format="pyarrow")
         .repartition(n_blocks)
@@ -1243,17 +1250,37 @@ def bpe_learn(
                 }
             )
 
-        pair_df = bucketed_sum(
-            vocab.map_batches(pair_partial, batch_format="pyarrow"),
-            ["left", "right"],
-            ["c"],
-            n_buckets=n_buckets,
-        ).to_pandas()  # vocab-sized pair table, not corpus-sized
+        def combine_argmax(t: pa.Table) -> pa.Table:
+            # per-block partials -> summed pair table -> THE best pair
+            # (count desc, left asc, right asc — bpe_reference's
+            # tie-break).  One row leaves the task: a full shuffle per
+            # round just to argmax a vocab-sized table on the driver
+            # was the dominant per-round cost.
+            if t.num_rows == 0:
+                return t
+            summed = t.group_by(["left", "right"]).aggregate([("c", "sum")])
+            c = summed["c_sum"].to_numpy()
+            best = int(c.max())
+            idx = np.flatnonzero(c == best)
+            sub = summed.take(idx)
+            lft, rgt = min(zip(sub["left"].to_pylist(), sub["right"].to_pylist()))
+            return pa.table(
+                {
+                    "left": pa.array([lft], pa.string()),
+                    "right": pa.array([rgt], pa.string()),
+                    "c": pa.array([best], pa.int64()),
+                }
+            )
+
+        pair_df = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine_argmax, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
         if pair_df.empty:
             break
-        best_c = pair_df["c"].max()
-        cand = pair_df[pair_df["c"] == best_c].sort_values(["left", "right"])
-        left, right = str(cand.iloc[0]["left"]), str(cand.iloc[0]["right"])
+        left, right = str(pair_df.iloc[0]["left"]), str(pair_df.iloc[0]["right"])
         merges.append((left, right))
         # no separate apply pass: the next round's pair_partial closure
         # re-applies merges-so-far in the same fused DAG (re-application
