@@ -57,6 +57,24 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100 + 0.5).astype(np.int64)
 
 
+def _read_wide(sf_dir: str, table: str, columns=None, blocks_per_cpu: int = 4):
+    """Column-pruned read re-blocked for COMPUTE-heavy per-row kernels.
+
+    ``_read``'s byte-sized block count is right for cheap kernels (a
+    task on <256 KB is pure scheduling overhead), but it hands a small
+    table 1-2 blocks — and Ray dispatches one task per block, so an
+    expensive stage (minhash shingling ~0.7ms/doc, span gram-hashing,
+    edit-distance candidates) downstream of that read runs nearly
+    serial (measured: d01's fused explode = ONE 3.6s task at sf0.1).
+    The repartition moves only the pruned columns; at corpus scale the
+    byte term dominates and this converges to _read's plan.
+    """
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return _read(sf_dir, table, columns).repartition(blocks_per_cpu * ncpu)
+
+
 def _media_rows(sf_dir: str, prefix: str, synth, pool_blocks: int = 32):
     """doc_id -> synthetic (media_id, payload) rows, split into enough
     blocks to keep a decode actor pool busy.
@@ -904,7 +922,7 @@ def _docs_with_mutants(sf_dir: str):
     union-find) end to end."""
     import ray.data
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
 
     def mutate(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -4065,7 +4083,7 @@ def d09_edit_distance_pairs(sf_dir: str):
     from ..stages.dedup import edit_distance_pairs
     from ..stages.text import _RE2_SPACE_CLASS, _flat_nonempty, _string_array
 
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read_wide(sf_dir, "documents", ["text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         txt = _string_array(batch["text"])
@@ -4314,7 +4332,7 @@ def d11_incremental_dedup(sf_dir: str):
 
     path = f"/tmp/naer_minhash_index/{_os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(path, ignore_errors=True)
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read_wide(sf_dir, "documents", ["doc_id", "text"])
     save_minhash_index(docs, path)
 
     def mutate(batch: pa.Table) -> pa.Table:
@@ -4325,7 +4343,7 @@ def d11_incremental_dedup(sf_dir: str):
             }
         )
 
-    delta = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    delta = _read_wide(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         mutate, batch_format="pyarrow"
     )
     pairs = minhash_probe_index(delta, path, min_est=0.95)
@@ -4694,7 +4712,7 @@ def d12_duplicated_spans(sf_dir: str):
     the same grams with substr + self-join."""
     from ..stages.dedup import duplicated_span_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
     return duplicated_span_pairs(ds, k=40)
 
 
