@@ -188,7 +188,14 @@ def minhash_bands(
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+    # batch_size doubles as Ray's task-bundling unit, and a fused map
+    # chain bundles by its LARGEST batch_size — a downstream 65536
+    # packed this whole stage into ONE task on small corpora (measured:
+    # d01's fused explode = one 2.4s task).  1024 docs/task won the
+    # same-window sweep over 256 (task overhead) and 4096 (too few
+    # tasks); the signature kernel chunks at 12.5k shingles internally
+    # either way, and at corpus scale blocks exceed this anyway.
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=1024)
 
 
 def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
@@ -341,7 +348,11 @@ def minhash_candidate_pairs(
         return batch
 
     cands = (
-        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=65536)
+        # small batch_size: this fuses with the heavy upstream kernel,
+        # and a fused map chain bundles tasks by its LARGEST batch_size
+        # (65536 here serialized the whole DAG into one task on small
+        # corpora)
+        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=4096)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
@@ -679,9 +690,13 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
         return batch
 
-    band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=4096)
+    band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=512)
     cands = (
-        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=65536)
+        # small batch_size: this fuses with the heavy upstream kernel,
+        # and a fused map chain bundles tasks by its LARGEST batch_size
+        # (65536 here serialized the whole DAG into one task on small
+        # corpora)
+        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=4096)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
