@@ -194,13 +194,34 @@ class PpmImageDecoder:
         return pa.table(out, schema=PPM_FEATURE_SCHEMA)
 
 
-def decode_ppm_features(ds, concurrency=8, batch_size: int = 64):
+def _pool_size(requested: int = 8) -> int:
+    """Decode-pool actor count, capped by the cluster's CPUs.
+
+    A fixed pool that owns EVERY cluster CPU deadlocks the pipeline —
+    the upstream read/repartition tasks that feed the pool can never
+    schedule (hit by the 4-CPU test session when the default became a
+    fixed 8, and again at min(8, cpus)=4).  An autoscaling (1, N) pool
+    never ramps up within a short job (measured on m08).  A fixed pool
+    capped at half the cluster keeps both: actors decode while the
+    other half runs the feeding tasks."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", requested * 2))
+            return max(1, min(requested, cpus // 2))
+    except Exception:
+        pass
+    return requested
+
+
+def decode_ppm_features(ds, concurrency=None, batch_size: int = 64):
     """media rows (P6 payloads) -> real decoded feature rows."""
     return ds.map_batches(
         PpmImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size() if concurrency is None else concurrency,
         num_cpus=1,
     )
 
@@ -366,13 +387,13 @@ class WavAudioDecoder:
         return pa.table(out, schema=WAV_FEATURE_SCHEMA)
 
 
-def decode_wav_features(ds, concurrency=8, batch_size: int = 64):
+def decode_wav_features(ds, concurrency=None, batch_size: int = 64):
     """media rows (RIFF/WAVE payloads) -> real decoded feature rows."""
     return ds.map_batches(
         WavAudioDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size() if concurrency is None else concurrency,
         num_cpus=1,
     )
 
@@ -600,13 +621,13 @@ class PngImageDecoder:
         return pa.table(out, schema=PNG_FEATURE_SCHEMA)
 
 
-def decode_png_features(ds, concurrency=8, batch_size: int = 64):
+def decode_png_features(ds, concurrency=None, batch_size: int = 64):
     """media rows (PNG payloads) -> real decoded feature rows."""
     return ds.map_batches(
         PngImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size() if concurrency is None else concurrency,
         num_cpus=1,
     )
 
@@ -1154,12 +1175,12 @@ class JpegImageDecoder:
         return pa.table(out, schema=JPEG_FEATURE_SCHEMA)
 
 
-def decode_jpeg_features(ds, concurrency=8, batch_size: int = 64):
+def decode_jpeg_features(ds, concurrency=None, batch_size: int = 64):
     """media rows (JPEG payloads) -> real decoded feature rows."""
     return ds.map_batches(
         JpegImageDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size() if concurrency is None else concurrency,
         num_cpus=1,
     )
