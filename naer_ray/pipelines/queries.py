@@ -936,7 +936,12 @@ def _docs_with_mutants(sf_dir: str):
             }
         )
 
-    return ds.map_batches(mutate, batch_format="pyarrow", batch_size=8192)
+    # batch_size=None: per-block batches, so this cheap kernel never
+    # raises the fused chain's task-bundling unit above the heavy
+    # minhash explode downstream (batch_size is the bundling unit of a
+    # fused map chain — an 8192 here serialized d01's explode into one
+    # 4.9s task at sf0.1, nullifying _read_wide's repartition)
+    return ds.map_batches(mutate, batch_format="pyarrow", batch_size=None)
 
 
 def _planted_only(pairs_ds):

@@ -117,6 +117,29 @@ def minhash_signatures_batch(
     return out
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """(n_rows, num_perm) int64 signature matrix from an Arrow binary
+    column WITHOUT per-row boxing: signatures are fixed-width
+    (num_perm x 8 bytes), so the column's flat data buffer viewed as
+    int64 IS the matrix.  The pandas route (`.tolist()` + b"".join)
+    boxed every signature into a Python bytes object at each kernel
+    boundary — measured as the dominant cost of the LSH bucket kernels
+    on wide band tables."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.int64)
+    offs = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    if flat.__array_interface__["data"][0] % 8:
+        flat = flat.copy()  # realign for the int64 view (sliced buffer)
+    return flat.view(np.int64).reshape(n, -1)
+
+
 def exact_dedup(ds, id_col: str, content_col: str, n_buckets: int = 64):
     """Keep the min-id row per distinct content value (hash-partitioned)."""
 
@@ -189,13 +212,16 @@ def minhash_bands(
         )
 
     # batch_size doubles as Ray's task-bundling unit, and a fused map
-    # chain bundles by its LARGEST batch_size — a downstream 65536
-    # packed this whole stage into ONE task on small corpora (measured:
-    # d01's fused explode = one 2.4s task).  1024 docs/task won the
-    # same-window sweep over 256 (task overhead) and 4096 (too few
-    # tasks); the signature kernel chunks at 12.5k shingles internally
-    # either way, and at corpus scale blocks exceed this anyway.
-    return ds.map_batches(explode, batch_format="pyarrow", batch_size=1024)
+    # chain bundles by its LARGEST batch_size — so every kernel fused
+    # around this stage must keep batch_size <= this one or the whole
+    # chain serializes on small corpora (measured round 4: a fused
+    # mutate@8192 upstream re-packed the explode into ONE 4.9s task at
+    # sf0.1 despite the 128-block _read_wide repartition).  256
+    # docs/task keeps ~20 concurrent tasks on a 5k-doc table while the
+    # signature kernel still sees ~75k shingles per call (chunked at
+    # 12.5k internally); at corpus scale read blocks exceed any of
+    # these values and bundling is per-block regardless.
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=256)
 
 
 def _grouped_runs(ds, keys: list[str], kernel, n_buckets: int = 64,
@@ -268,42 +294,50 @@ def minhash_candidate_pairs(
 
     keys = ["band_id", "band_hash"]
 
-    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_bucket(group: pa.Table) -> pa.Table:
         """One hash bucket of LSH-band rows -> candidate pairs.
 
         Collision groups are pervasive on similar corpora (observed:
         ALL 160k band rows in 51k collision groups at sf0.1), so
-        per-group function dispatch dominates.  Here the bucket is
-        processed as flat arrays: the signature matrix is built once,
-        group boundaries come from one factorize+diff, size-2 groups
-        (the median case) are paired in one vectorized comparison, and
-        only size>2 groups loop.
-        """
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        if group.empty:
-            return empty
-        g = (
-            group.drop_duplicates(subset=[*keys, id_col])
-            .sort_values([*keys, id_col], kind="mergesort")
-            .reset_index(drop=True)
+        per-group function dispatch dominates.  The bucket is processed
+        as flat arrays — Arrow in, numpy lexsort, zero-copy signature
+        matrix (:func:`_sig_matrix`; the former pandas kernel boxed
+        every 512-byte signature into Python bytes at the block
+        boundary), boundaries from one diff, size-2 groups (the median
+        case) paired in one vectorized comparison; only size>2 groups
+        loop."""
+        id_type = group.schema.field(id_col).type
+        empty = pa.table(
+            {
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
         )
-        if len(g) < 2:
+        if group.num_rows < 2:
             return empty
-        blob = b"".join(g["signature"].tolist())
-        sigs = np.frombuffer(blob, dtype=np.int64).reshape(len(g), -1)
-        # sorted input: group boundaries are where either key changes
-        # (direct diffs — the old string-concat factorize built two
-        # python strings per row)
-        b0 = g[keys[0]].to_numpy()
-        b1 = g[keys[1]].to_numpy()
-        change = np.flatnonzero((np.diff(b0) != 0) | (np.diff(b1) != 0)) + 1
+        b0 = group[keys[0]].to_numpy(zero_copy_only=False)
+        b1 = group[keys[1]].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sigs = _sig_matrix(group["signature"])
+        order = np.lexsort((ids, b1, b0))
+        b0, b1, ids, sigs = b0[order], b1[order], ids[order], sigs[order]
+        same_key = (np.diff(b0) == 0) & (np.diff(b1) == 0)
+        dup = np.zeros(len(b0), bool)
+        dup[1:] = same_key & (ids[1:] == ids[:-1])  # (band, band_hash, id) dups
+        if dup.any():
+            keep_m = ~dup
+            b0, b1, ids, sigs = b0[keep_m], b1[keep_m], ids[keep_m], sigs[keep_m]
+            same_key = (np.diff(b0) == 0) & (np.diff(b1) == 0)
+        if len(b0) < 2:
+            return empty
+        change = np.flatnonzero(~same_key) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(g)]))
+        ends = np.concatenate((change, [len(b0)]))
         sizes = ends - starts
-        ids = g[id_col].to_numpy()
 
-        out_a: list = []
-        out_b: list = []
+        idx_a: list = []
+        idx_b: list = []
         out_e: list = []
         two = np.flatnonzero(sizes == 2)
         if two.size:
@@ -311,9 +345,9 @@ def minhash_candidate_pairs(
             i1 = i0 + 1
             est = (sigs[i0] == sigs[i1]).mean(axis=1)
             keep = est >= min_est
-            out_a.extend(ids[i0[keep]])
-            out_b.extend(ids[i1[keep]])
-            out_e.extend(est[keep])
+            idx_a.append(i0[keep])
+            idx_b.append(i1[keep])
+            out_e.append(est[keep])
         capped_rows = int(np.maximum(sizes - max_bucket, 0).sum())
         if capped_rows:
             import warnings
@@ -327,34 +361,51 @@ def minhash_candidate_pairs(
         for gi in np.flatnonzero(sizes > 2):
             s = starts[gi]
             e = min(ends[gi], s + max_bucket)  # cap degenerate buckets
-            sub, sids = sigs[s:e], ids[s:e]
-            for i in range(len(sids) - 1):
+            sub = sigs[s:e]
+            for i in range(e - s - 1):
                 eq = (sub[i + 1 :] == sub[i]).mean(axis=1)
                 keep = np.flatnonzero(eq >= min_est)
                 if keep.size:
-                    out_a.extend([sids[i]] * keep.size)
-                    out_b.extend(sids[i + 1 + keep])
-                    out_e.extend(eq[keep])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "est_jaccard": np.asarray(out_e, dtype=float)}
+                    idx_a.append(np.full(keep.size, s + i))
+                    idx_b.append(s + i + 1 + keep)
+                    out_e.append(eq[keep])
+        if not idx_a:
+            return empty
+        ia = np.concatenate(idx_a)
+        ib = np.concatenate(idx_b)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia]).cast(id_type),
+                "id_b": pa.array(ids[ib]).cast(id_type),
+                "est_jaccard": pa.array(
+                    np.concatenate(out_e).astype(np.float64), pa.float64()
+                ),
+            }
         )
 
-    def bucketize_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty:
-            batch["bucket"] = pd.Series([], dtype="int32")
-            return batch
-        comb = batch[keys[0]].astype(str) + "|" + batch[keys[1]].astype(str)
-        batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
-        return batch
+    def bucketize_bands(batch: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = batch[keys[0]].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            ) * np.uint64(0x9E3779B1) + batch[keys[1]].to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int32), pa.int32())
+        )
 
     cands = (
-        # small batch_size: this fuses with the heavy upstream kernel,
-        # and a fused map chain bundles tasks by its LARGEST batch_size
-        # (65536 here serialized the whole DAG into one task on small
-        # corpora)
-        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=4096)
+        # batch_size=None: per-incoming-batch, so this cheap kernel
+        # never raises the fused chain's task-bundling unit above the
+        # heavy explode upstream (the bundler counts the fused chain's
+        # INPUT rows against its largest batch_size — a 4096 here
+        # bundled 4096 docs per task and re-serialized d01 at sf0.1)
+        band_rows.map_batches(bucketize_bands, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
-        .map_groups(pairs_bucket, batch_format="pandas")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
     )
 
     # distinct pairs (same pair surfaces from multiple bands)
@@ -366,6 +417,15 @@ def minhash_candidate_pairs(
     def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
             batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        if all(
+            pd.api.types.is_integer_dtype(batch[c]) for c in ("id_a", "id_b")
+        ):
+            with np.errstate(over="ignore"):
+                h = batch["id_a"].to_numpy().astype(np.uint64) * np.uint64(
+                    0x9E3779B1
+                ) + batch["id_b"].to_numpy().astype(np.uint64)
+            batch["bucket"] = (h % np.uint64(64)).astype("int32")
             return batch
         comb = batch["id_a"].astype(str) + "|" + batch["id_b"].astype(str)
         batch["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
@@ -692,11 +752,12 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
     band_rows = ds.map_batches(sh, batch_format="pyarrow", batch_size=512)
     cands = (
-        # small batch_size: this fuses with the heavy upstream kernel,
-        # and a fused map chain bundles tasks by its LARGEST batch_size
-        # (65536 here serialized the whole DAG into one task on small
-        # corpora)
-        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=4096)
+        # batch_size=None: per-incoming-batch, so this cheap kernel
+        # never raises the fused chain's task-bundling unit above the
+        # heavy explode upstream (the bundler counts the fused chain's
+        # INPUT rows against its largest batch_size — a 4096 here
+        # bundled 4096 docs per task and re-serialized d01 at sf0.1)
+        band_rows.map_batches(bucketize_bands, batch_format="pandas", batch_size=None)
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
@@ -930,8 +991,16 @@ def _ngram_jaccard_pairs_broadcast(texts_ds, pairs_ds, id_col, text_col, n):
 
     import ray.data
 
-    return ray.data.from_arrow(pair_tbl).map_batches(
-        compute, batch_format="pandas"
+    # from_arrow yields ONE block -> one task; the per-pair exact-gram
+    # kernel is the expensive part of this path (~0.5 ms/pair), so
+    # split the (tiny, <= broadcast_max_pairs) pair list across the
+    # cluster before verifying (measured: d05 verify 2.6s serial ->
+    # 0.2s at 32 CPUs on 5k pairs)
+    n_out = max(1, min(128, pair_tbl.num_rows // 64))
+    return (
+        ray.data.from_arrow(pair_tbl)
+        .repartition(n_out)
+        .map_batches(compute, batch_format="pandas")
     )
 
 
@@ -1433,27 +1502,33 @@ def minhash_probe_index(
     near-dup candidates ``(new_id, old_id, est_jaccard)`` against the
     indexed corpus.
 
-    The delta is the small side by contract (a day's intake vs the
-    full corpus), so its band rows are materialized once: first to
-    collect the distinct shard ids it touches (the index read then
-    opens ONLY those hive dirs), then as the probe side of one
-    bucketed co-partition on ``(band_id, band_hash)``.  Nothing about
-    the INDEX side is ever loaded beyond the touched shards, and the
-    pair kernel compares signatures new-vs-old only (never old-vs-old
-    — the corpus was already deduped when it was indexed).
+    The index is ALREADY hash-partitioned on disk (hive dirs
+    ``shard=<band_hash & mask>``), so the probe co-partitions by
+    CONSTRUCTION instead of shuffling the index through Ray: only the
+    delta's band rows (small by contract — a day's intake vs the full
+    corpus) go through one ``groupby(shard)`` exchange, and each shard
+    group's kernel reads its matching index shard straight from
+    storage inside the task (partition pruning by path: shards no
+    probe row touches are never opened).  The earlier design
+    union+shuffled BOTH sides' signature-laden band rows; the index
+    side's bytes dominated the sort (measured at sf0.1: 175 MB
+    shuffled -> 88 MB, probe 8.5s -> see BASELINE.md).  The pair
+    kernel compares signatures new-vs-old only (never old-vs-old —
+    the corpus was already deduped when it was indexed).
 
     Same-pair-via-multiple-bands duplicates collapse through one more
     bucketed max-reduce, mirroring :func:`minhash_candidate_pairs`.
     """
+    import glob as _glob
     import json
     import os
-
-    import ray.data
 
     with open(os.path.join(path, "index_meta.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
     n_shards = meta["n_shards"]
+    cols = ["band_id", "band_hash", id_col, "signature"]
+    data_root = os.path.join(path, "data")
 
     probe_rows = minhash_bands(
         new_ds,
@@ -1462,94 +1537,75 @@ def minhash_probe_index(
         meta["num_perm"],
         meta["bands"],
         meta["shingle_k"],
-    ).materialize()  # delta side: small by contract (documented above)
-
-    shards = set()
-    for batch in probe_rows.select_columns(["band_hash"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        shards.update(
-            np.unique(
-                np.bitwise_and(
-                    batch["band_hash"].to_numpy(zero_copy_only=False), n_shards - 1
-                )
-            ).tolist()
-        )
-    import glob as _glob
-
-    dirs = [
-        f
-        for s in sorted(shards)
-        for f in sorted(
-            _glob.glob(os.path.join(path, "data", f"shard={s}", "*.parquet"))
-        )
-    ]
-    cols = ["band_id", "band_hash", id_col, "signature"]
-    if not dirs:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "new_id": pa.array([], pa.int64()),
-                    "old_id": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    from ..sources.transcripts import stripped_read_schema
-
-    # stripped schema: index files written via Ray carry pandas schema
-    # metadata whose dict makes hash(schema) raise inside Ray's
-    # per-bundle schema dedup (the BENCH_r02 tail-spam root cause)
-    index_rows = ray.data.read_parquet(
-        dirs, columns=cols, schema=stripped_read_schema(dirs[0], cols)
     )
 
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            t = batch.select(cols)
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
-            )
+    def shardize(batch: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.bit_wise_and(batch["band_hash"], pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("shard", s)
 
-        return f
-
-    tagged = index_rows.map_batches(tag(0), batch_format="pyarrow").union(
-        probe_rows.map_batches(tag(1), batch_format="pyarrow")
-    )
-
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "new_id": pd.Series([], dtype="int64"),
-            "old_id": pd.Series([], dtype="int64"),
-            "est_jaccard": pd.Series([], dtype="float64"),
+            "new_id": pa.array([], pa.int64()),
+            "old_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
         }
     )
 
-    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """One hash bucket of tagged band rows -> new-vs-old candidate
-        pairs, processed as FLAT ARRAYS: collision groups are
-        overwhelmingly (old, new) twins (every mutant collides with its
-        source in all bands), so a per-group Python loop pays 80k
-        DataFrame constructions per run — the `candidate_pairs`
-        size-2 fast path applied to the two-sided probe."""
-        if g.empty:
+    def probe_shard(g: pa.Table) -> pa.Table:
+        """One index shard's probe rows vs that shard's persisted band
+        rows — flat arrays end to end (numpy lexsort + zero-copy
+        signature matrices; no pandas boxing).  Collision groups are
+        overwhelmingly (old, new) twins, handled by one vectorized
+        size-2 pass; only size>2 groups loop."""
+        import pyarrow.parquet as pq
+
+        if g.num_rows == 0:
             return empty
-        g = (
-            g.sort_values(
-                ["band_id", "band_hash", "side", id_col], kind="mergesort"
-            ).reset_index(drop=True)
+        shard = g["shard"][0].as_py()
+        files = sorted(
+            _glob.glob(os.path.join(data_root, f"shard={shard}", "*.parquet"))
         )
-        b0 = g["band_id"].to_numpy()
-        b1 = g["band_hash"].to_numpy()
+        if not files:
+            return empty
+        old = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+        if old.num_rows == 0:
+            return empty
+        n_old, n_new = old.num_rows, g.num_rows
+        b0 = np.concatenate(
+            [
+                old["band_id"].to_numpy(zero_copy_only=False),
+                g["band_id"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        b1 = np.concatenate(
+            [
+                old["band_hash"].to_numpy(zero_copy_only=False),
+                g["band_hash"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        side = np.concatenate(
+            [np.zeros(n_old, np.int8), np.ones(n_new, np.int8)]
+        )
+        ids = np.concatenate(
+            [
+                old[id_col].to_numpy(zero_copy_only=False),
+                g[id_col].to_numpy(zero_copy_only=False),
+            ]
+        )
+        sigs = np.concatenate(
+            [_sig_matrix(old["signature"]), _sig_matrix(g["signature"])]
+        )
+        order = np.lexsort((ids, side, b1, b0))
+        b0, b1, side, ids, sigs = (
+            b0[order], b1[order], side[order], ids[order], sigs[order]
+        )
         change = np.flatnonzero((np.diff(b0) != 0) | (np.diff(b1) != 0)) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(g)]))
+        ends = np.concatenate((change, [len(b0)]))
         sizes = ends - starts
-        side = g["side"].to_numpy()
-        sigs = np.frombuffer(b"".join(g["signature"].tolist()), np.int64).reshape(
-            len(g), -1
-        )
-        ids = g[id_col].to_numpy()
         out_n: list = []
         out_o: list = []
         out_e: list = []
@@ -1591,29 +1647,22 @@ def minhash_probe_index(
                 out_e.extend(est[ii, jj])
         if not out_n:
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
-                "new_id": np.asarray(out_n, np.int64),
-                "old_id": np.asarray(out_o, np.int64),
-                "est_jaccard": np.asarray(out_e, np.float64),
+                "new_id": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+                "old_id": pa.array(np.asarray(out_o, np.int64), pa.int64()),
+                "est_jaccard": pa.array(
+                    np.asarray(out_e, np.float64), pa.float64()
+                ),
             }
         )
 
-    def band_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        if batch.empty:
-            batch["bucket"] = pd.Series([], dtype="int32")
-            return batch
-        with np.errstate(over="ignore"):
-            h = batch["band_id"].to_numpy().astype(np.uint64) * np.uint64(
-                0x9E3779B1
-            ) + batch["band_hash"].to_numpy().astype(np.uint64)
-        batch["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
-        return batch
-
     cands = (
-        tagged.map_batches(band_bucketize, batch_format="pandas", batch_size=65536)
-        .groupby("bucket")
-        .map_groups(probe_bucket, batch_format="pandas")
+        # only the (small) delta side is exchanged; the index side is
+        # read in-task from its hive shard, pruned by path
+        probe_rows.map_batches(shardize, batch_format="pyarrow", batch_size=None)
+        .groupby("shard")
+        .map_groups(probe_shard, batch_format="pyarrow")
     )
 
     # collapse same-pair-from-multiple-bands: whole-bucket pandas groupby
@@ -1631,7 +1680,7 @@ def minhash_probe_index(
 
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
-            return empty
+            return empty.to_pandas()
         return group.groupby(["new_id", "old_id"], as_index=False)[
             "est_jaccard"
         ].max()
