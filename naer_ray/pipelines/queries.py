@@ -4744,6 +4744,46 @@ FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
 """
 
 
+def d13_winnowed_span_pairs(sf_dir: str):
+    """Winnowed substring-dedup signal (Schleimer et al. 2003 MOSS
+    winnowing — stages/dedup.winnowed_span_pairs): the d12 gram
+    stream thinned to per-window minima BEFORE the exchange, so the
+    shuffle moves ~1/8 the rows at the same scan cost — the 100-TB
+    configuration of substring dedup.
+
+    Planted ground truth: each mutant (doc_id + 1M) is the original
+    text plus a short per-doc suffix, so every planted pair shares the
+    full original text (>= 44 bytes >= k + window - 1 = 39) and
+    winnowing's guarantee makes its detection DETERMINISTIC; the exact
+    shared-span verify keeps precision 1.0, and the planted projection
+    removes the corpus's genuine duplicated-span pairs that a
+    closed-form oracle cannot enumerate (d12 brute-forces those)."""
+    from ..stages.dedup import winnowed_span_pairs
+
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        # suffix is per-doc unique and < k bytes, so no 32-byte window
+        # can be shared between two different docs' suffix regions
+        out_texts = texts + [
+            t + f" #{i}#dup" for i, t in zip(ids.tolist(), texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.r_[ids, ids + 1_000_000], pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    both = ds.map_batches(mutate, batch_format="pyarrow", batch_size=None)
+    return _planted_only(winnowed_span_pairs(both, k=32, window=8))
+
+
+D13_SQL = D01_SQL
+
+
 def v01_constraint_violations(sf_dir: str):
     """KG ontology/constraint validation (SHACL-lite): check emitted
     triples against per-predicate rules and emit the VIOLATING rows —
@@ -5946,4 +5986,5 @@ REGISTRY: dict[str, tuple] = {
     "m07_png_features": (m07_png_features, M07_SQL),
     "j01_asof_join": (j01_asof_join, J01_SQL),
     "m08_jpeg_features": (m08_jpeg_features, M08_SQL),
+    "d13_winnowed_spans": (d13_winnowed_span_pairs, D13_SQL),
 }

@@ -1695,10 +1695,10 @@ def minhash_probe_index(
 # ------------------------------------------------- exact duplicated spans
 
 
-def _span_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct u64 FNV-1a hashes of every k-byte window of ``text``
-    (the corpus is ASCII, so byte windows == character windows and the
-    SQL ``substr`` oracle sees identical grams).  Vectorized as k
+def _span_hash_seq(text: str, k: int) -> np.ndarray:
+    """u64 FNV-1a hash of every k-byte window of ``text``, in position
+    order (one hash per window — callers that only need the SET apply
+    np.unique; winnowing needs the sequence).  Vectorized as k
     column-folds over a sliding-window view — the `_stable_shingles`
     technique at 64-bit width so 1.5M-gram corpora stay collision-free
     in practice (and an exact verify pass guarantees it regardless)."""
@@ -1711,7 +1711,14 @@ def _span_hashes(text: str, k: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         for c in range(k):
             h = (h ^ windows[:, c]) * np.uint64(1099511628211)
-    return np.unique(h)
+    return h
+
+
+def _span_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct u64 gram hashes of ``text`` (the corpus is ASCII, so
+    byte windows == character windows and the SQL ``substr`` oracle
+    sees identical grams)."""
+    return np.unique(_span_hash_seq(text, k))
 
 
 def _has_shared_span(a: str, b: str, k: int) -> bool:
@@ -1729,6 +1736,7 @@ def duplicated_span_pairs(
     k: int = 40,
     n_buckets: int = 64,
     max_group: int = 2048,
+    winnow_window: int = 0,
 ):
     """Exact duplicated-span detection (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499 —
@@ -1751,9 +1759,9 @@ def duplicated_span_pairs(
 
     Scale note: gram rows are ~1 per corpus character, so the shuffle
     is O(corpus bytes) x 16 (one int64 hash + id per char).  At 100 TB
-    run this per partition-range, or winnow the gram stream first
-    (text.winnow_fingerprint) and accept sampling recall — the exact
-    variant is the oracle-checkable building block.
+    run this per partition-range, or set ``winnow_window`` (see
+    :func:`winnowed_span_pairs`) to thin the gram stream to per-window
+    minima before the exchange.
     """
     from .agg import bucketed_sum
 
@@ -1762,7 +1770,17 @@ def duplicated_span_pairs(
         texts = batch[text_col].to_pylist()
         hs, out_ids = [], []
         for i, t in zip(ids, texts):
-            h = _span_hashes(t or "", k)
+            h = _span_hash_seq(t or "", k)
+            if winnow_window > 1 and len(h) > winnow_window:
+                # winnowing: keep each window's minimum gram hash.  Two
+                # docs sharing a >= k+window-1 byte region see at least
+                # one identical full window and therefore select the
+                # same minimum VALUE — value-based matching needs no
+                # position bookkeeping.
+                h = np.lib.stride_tricks.sliding_window_view(
+                    h, winnow_window
+                ).min(axis=1)
+            h = np.unique(h)
             if len(h):
                 hs.append(h.view(np.int64))
                 out_ids.append(np.full(len(h), i, dtype=np.int64))
@@ -1937,3 +1955,36 @@ def duplicated_span_pairs(
         )
 
     return with_b.map_batches(verify, batch_format="pandas", batch_size=65536)
+
+
+def winnowed_span_pairs(
+    texts_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    window: int = 8,
+    n_buckets: int = 64,
+    max_group: int = 2048,
+):
+    """Winnowed substring dedup (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS scheme): :func:`duplicated_span_pairs`' gram stream thinned
+    to each ``window``'s minimum gram hash BEFORE the exchange, so the
+    shuffle moves ~1/window the rows at the same O(corpus bytes) scan
+    cost.  Winnowing's guarantee carries over: any pair of documents
+    sharing an identical span of >= k + window - 1 bytes selects at
+    least one common fingerprint and is therefore ALWAYS proposed
+    (shorter shared spans may be missed — that is the sampling
+    trade the 100-TB configuration buys); the exact shared-k-span
+    verify stage is unchanged, so precision stays 1.0.
+    (No reference analogue; builder-brief scale operator — the
+    production-shape counterpart of the exact d12 signal.)"""
+    return duplicated_span_pairs(
+        texts_ds,
+        id_col,
+        text_col,
+        k=k,
+        n_buckets=n_buckets,
+        max_group=max_group,
+        winnow_window=window,
+    )

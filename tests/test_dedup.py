@@ -240,3 +240,51 @@ class TestDuplicatedSpanPairs:
         assert _has_shared_span("xx ABCDEFGHIJKLMNOP yy", "ABCDEFGHIJKLMNOP", 16)
         assert not _has_shared_span("ABCDEFGHIJKLMNO", "ABCDEFGHIJKLMNO", 16)
         assert not _has_shared_span(None, "whatever text this is", 4)
+
+
+class TestWinnowedSpanPairs:
+    def _run(self, docs, k, window):
+        import ray.data
+
+        from naer_ray.stages.dedup import winnowed_span_pairs
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        )
+        out = winnowed_span_pairs(ds, k=k, window=window, n_buckets=8)
+        if out.count() == 0:
+            return set()
+        df = out.to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    def test_guarantee_span_at_least_k_plus_w_minus_1(self, ray_session):
+        # shared span of exactly k + window - 1 = 23 bytes MUST be found
+        span = "ABCDEFGHIJKLMNOPQRSTUVW"  # 23 chars
+        docs = [
+            (1, f"left padding here {span} one tail"),
+            (2, f"other start text {span} two tail"),
+            (3, "nothing in common with the others at all in this one"),
+        ]
+        assert self._run(docs, k=16, window=8) == {(1, 2)}
+
+    def test_sub_k_spans_never_pair(self, ray_session):
+        # 15-char shared run < k=16: exact verify must reject even if a
+        # thinned gram collides
+        docs = [
+            (1, "abcdefghijklmnoXXXXXXXXXXXXXXXXXXXXXXXX"),
+            (2, "abcdefghijklmnoYYYYYYYYYYYYYYYYYYYYYYYY"),
+        ]
+        assert self._run(docs, k=16, window=4) == set()
+
+    def test_thinning_factor(self):
+        # winnowing keeps ~1/window of the gram stream
+        from naer_ray.stages.dedup import _span_hash_seq
+
+        rng = np.random.RandomState(3)
+        text = "".join(chr(97 + c) for c in rng.randint(0, 26, 4000))
+        seq = _span_hash_seq(text, 16)
+        w = 8
+        thinned = np.unique(
+            np.lib.stride_tricks.sliding_window_view(seq, w).min(axis=1)
+        )
+        assert len(thinned) < len(np.unique(seq)) / (w / 2)
