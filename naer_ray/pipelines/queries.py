@@ -4784,6 +4784,50 @@ def d13_winnowed_span_pairs(sf_dir: str):
 D13_SQL = D01_SQL
 
 
+def d14_bloom_decontaminate(sf_dir: str):
+    """Bloom-prefiltered test-set decontamination
+    (stages/dedup.bloom_decontaminate): the d06 scan with the broadcast
+    side shrunk from the full test gram set to a ~1.5-byte/gram Bloom
+    filter — the production configuration for multi-GB eval suites.
+    Bloom filters have no false negatives, so the exact candidate-sized
+    confirm join makes the output bit-identical to d06; same planted
+    contamination (each 2%-split test doc's text re-enters training
+    under doc_id+10M), same oracle."""
+    from ..stages.dedup import bloom_decontaminate
+    from ..stages.sample import KNUTH_K
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table, want_test: bool) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_test = ((ids.astype(np.uint64) * np.uint64(KNUTH_K))
+                   & np.uint64(0xFFFFFFFF)) % np.uint64(100) < 2
+        return batch.filter(pa.array(is_test if want_test else ~is_test))
+
+    test_ds = ds.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+
+    def leak(batch: pa.Table) -> pa.Table:
+        b = split(batch, True)
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], 10_000_000),
+                "text": b["text"],
+            }
+        )
+
+    train_ds = ds.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    ).union(ds.map_batches(leak, batch_format="pyarrow"))
+    return bloom_decontaminate(train_ds, test_ds, n=8)
+
+
+# d14's oracle is D06_SQL (identical planted contamination and output
+# contract); the REGISTRY entry at the bottom of the module references
+# it directly since it is defined later in the file.
+
+
 def v01_constraint_violations(sf_dir: str):
     """KG ontology/constraint validation (SHACL-lite): check emitted
     triples against per-predicate rules and emit the VIOLATING rows —
@@ -5987,4 +6031,5 @@ REGISTRY: dict[str, tuple] = {
     "j01_asof_join": (j01_asof_join, J01_SQL),
     "m08_jpeg_features": (m08_jpeg_features, M08_SQL),
     "d13_winnowed_spans": (d13_winnowed_span_pairs, D13_SQL),
+    "d14_bloom_decontaminate": (d14_bloom_decontaminate, D06_SQL),
 }

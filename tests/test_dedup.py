@@ -288,3 +288,50 @@ class TestWinnowedSpanPairs:
             np.lib.stride_tricks.sliding_window_view(seq, w).min(axis=1)
         )
         assert len(thinned) < len(np.unique(seq)) / (w / 2)
+
+
+class TestBloomDecontaminate:
+    def _flags(self, ray_session, **kw):
+        import ray.data
+
+        from naer_ray.stages.dedup import bloom_decontaminate
+
+        test = ray.data.from_items(
+            [{"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta"}]
+        )
+        train = ray.data.from_items(
+            [
+                # contains the test 4-gram "beta gamma delta epsilon"
+                {"doc_id": 1, "text": "x beta gamma delta epsilon y z w"},
+                {"doc_id": 2, "text": "totally clean text with nothing shared at all"},
+                {"doc_id": 3, "text": "alpha beta gamma nope delta epsilon zeta"},
+            ]
+        )
+        out = bloom_decontaminate(train, test, n=4, **kw).to_pandas()
+        return dict(zip(out["doc_id"], out["contaminated"]))
+
+    def test_exact_semantics(self, ray_session):
+        flags = self._flags(ray_session)
+        assert flags == {1: True, 2: False, 3: False}
+
+    def test_fp_saturated_bloom_still_exact(self, ray_session):
+        # 1 bit/gram + 1 probe saturates the filter with false
+        # positives; the exact confirm join must still kill them all
+        flags = self._flags(ray_session, bits_per_gram=1, n_probes=1)
+        assert flags == {1: True, 2: False, 3: False}
+
+    def test_fnv64_arr_matches_scalar(self):
+        import pyarrow as pa
+
+        from naer_ray.stages.dedup import _fnv64_arr
+
+        def fnv64(s: str) -> int:
+            h = 14695981039346656037
+            for b in s.encode():
+                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        vals = ["", "a", "alpha beta", "x" * 200, "gamma"]
+        arr = pa.array(vals, pa.string())
+        got = _fnv64_arr(arr)
+        assert [int(v) for v in got] == [fnv64(s) for s in vals]
