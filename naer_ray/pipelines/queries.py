@@ -5768,6 +5768,39 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def m09_bmp_features(sf_dir: str):
+    """REAL BMP decode: deterministic 24-bit BMPs (BGR byte order,
+    bottom-up rows, 4-byte row padding — the format's actual traps)
+    flow through the header-parse + de-pad + reorder decoder actor
+    pool; the SQL oracle re-derives width/height/mean_luma from the
+    generator arithmetic in logical top-down RGB space, so any
+    row-order/channel-order/padding mistake breaks the hash match."""
+    from ..stages.multimodal import decode_bmp_features, synth_bmp_payload
+
+    return decode_bmp_features(_media_rows(sf_dir, "b", synth_bmp_payload))
+
+
+M09_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 149) % 27 AS width,
+         4 + (doc_id * 181) % 23 AS height
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, unnest(range(0, width * height)) AS j
+  FROM dims)
+SELECT printf('b%07d', doc_id) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_pix,
+       CAST(SUM((doc_id * 7 + j * 13) % 256
+              + (doc_id * 11 + j * 17) % 256
+              + (doc_id * 13 + j * 23) % 256) AS DOUBLE)
+         / (3.0 * width * height) AS mean_luma
+FROM px GROUP BY doc_id, width, height
+"""
+
+
 def j01_asof_join(sf_dir: str, n_buckets: int = 64):
     """ROW-LEVEL as-of join, Arrow/numpy kernel: for every event, the
     latest order of the same customer with ``o_orderdate <= ts`` (ties
@@ -6032,4 +6065,5 @@ REGISTRY: dict[str, tuple] = {
     "m08_jpeg_features": (m08_jpeg_features, M08_SQL),
     "d13_winnowed_spans": (d13_winnowed_span_pairs, D13_SQL),
     "d14_bloom_decontaminate": (d14_bloom_decontaminate, D06_SQL),
+    "m09_bmp_features": (m09_bmp_features, M09_SQL),
 }

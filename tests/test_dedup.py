@@ -315,9 +315,14 @@ class TestBloomDecontaminate:
         assert flags == {1: True, 2: False, 3: False}
 
     def test_fp_saturated_bloom_still_exact(self, ray_session):
-        # 1 bit/gram + 1 probe saturates the filter with false
-        # positives; the exact confirm join must still kill them all
-        flags = self._flags(ray_session, bits_per_gram=1, n_probes=1)
+        # an all-ones prefilter makes EVERY gram a Bloom positive
+        # (deterministically); the exact confirm join must still kill
+        # every false positive
+        from naer_ray.stages.bloom import BloomFilter
+
+        sat = BloomFilter(64, 1)
+        sat.words[:] = ~np.uint64(0)
+        flags = self._flags(ray_session, prefilter=sat)
         assert flags == {1: True, 2: False, 3: False}
 
     def test_fnv64_arr_matches_scalar(self):

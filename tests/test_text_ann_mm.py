@@ -413,3 +413,34 @@ class TestWavDecode:
         stereo[22] = 2  # channels=2 in the fmt chunk
         with _pytest.raises(ValueError):
             decode_wav(bytes(stereo))
+
+
+class TestBmpDecode:
+    def test_roundtrip_matches_generator(self):
+        import numpy as np
+
+        from naer_ray.stages.multimodal import decode_bmp, synth_bmp_payload
+
+        for d in (0, 3, 41, 512, 12345):
+            w, h, pix = decode_bmp(synth_bmp_payload(d))
+            j = np.arange(w * h, dtype=np.int64)
+            exp = np.stack(
+                [(d * 7 + j * 13) % 256, (d * 11 + j * 17) % 256,
+                 (d * 13 + j * 23) % 256], axis=1,
+            )
+            assert (pix == exp).all()
+
+    def test_honest_scope(self):
+        import struct
+
+        import pytest
+
+        from naer_ray.stages.multimodal import decode_bmp, synth_bmp_payload
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"NOTBMP" + b"\x00" * 64)
+        # 8-bit palette BMP raises NotImplementedError, not garbage
+        p = bytearray(synth_bmp_payload(7))
+        struct.pack_into("<H", p, 28, 8)  # biBitCount = 8
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(p))
