@@ -1330,7 +1330,13 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
     centroids / id-keyed sample), so recall_ok is a stable value the
     SQL oracle can assert as literal TRUE per query — a driver-checked
     recall@k >= 0.8 bound rather than a rows-only smoke check."""
-    from ..stages.ann import brute_force_topk, ivf_topk, lsh_topk, quantized_topk
+    from ..stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+        quantized_topk,
+    )
 
     q = _query_vectors(sf_dir)
 
@@ -1352,7 +1358,12 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
         )
         return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(planted)
 
-    ann_fn = {"lsh": lsh_topk, "ivf": ivf_topk, "quant": quantized_topk}[method]
+    ann_fn = {
+        "lsh": lsh_topk,
+        "ivf": ivf_topk,
+        "quant": quantized_topk,
+        "pq": pq_topk,
+    }[method]
     approx = ann_fn(with_planted(), q, k=k)
     exact = brute_force_topk(with_planted(), q, k=k)
     hits = approx.merge(exact[["query_id", "vec_id"]], on=["query_id", "vec_id"])
@@ -1385,6 +1396,15 @@ ANN_RECALL_SQL = """
 SELECT CAST(q.query_id AS BIGINT) AS query_id, TRUE AS recall_ok
 FROM (VALUES (0), (1), (2)) AS q(query_id)
 """
+
+
+def a07_pq_topk(sf_dir: str):
+    """Product-quantization ANN (stages/ann.pq_topk — Jégou et al.
+    2011): m-byte PQ codes + asymmetric-distance scan, recall@5 vs
+    exact top-5 per query (>= 4/5) on the planted near-colinear
+    companions, driver-oracle-checked against literal TRUE rows (the
+    a01/a02 gate)."""
+    return _ann_recall_vs_exact(sf_dir, "pq")
 
 
 def a06_mmr_select(sf_dir: str, k: int = 10, n_cand: int = 50):
@@ -6066,4 +6086,5 @@ REGISTRY: dict[str, tuple] = {
     "d13_winnowed_spans": (d13_winnowed_span_pairs, D13_SQL),
     "d14_bloom_decontaminate": (d14_bloom_decontaminate, D06_SQL),
     "m09_bmp_features": (m09_bmp_features, M09_SQL),
+    "a07_pq_topk": (a07_pq_topk, ANN_RECALL_SQL),
 }

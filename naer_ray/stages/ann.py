@@ -411,3 +411,86 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         batch_format="pyarrow",
     )
     return brute_force_topk(candidates, q, k, id_col, vec_col)
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
+            n_codes: int = 16, seed: int = 13, sample_size: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011 — public
+    algorithm): the memory-scale path beyond int8 quantization.  Each
+    L2-normalized vector is represented by ``m`` sub-space codebook
+    ids (m bytes/vector — 32x smaller than float32 at dim 64) and the
+    scan scores via asymmetric distance computation: one
+    (m x n_codes) query distance table per batch, then a table lookup
+    per sub-space instead of a dot product.
+
+    Determinism (the recall gate's requirement): codebooks train on
+    the id-keyed sample with seeded Lloyd iterations (the _ivf_index
+    pattern), every row's ADC score is a float64 sum over the same
+    per-query table regardless of partitioning, and ties break (sim
+    desc, id asc).  Cosine ranking is preserved by quantizing
+    normalized vectors and scoring -||q - c||^2 (rank-equivalent on
+    unit vectors)."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dim = qn.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # ---- train sub-space codebooks on the deterministic id-keyed sample
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], pa.scalar(sample_size))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub), np.float64)
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
+        for _ in range(5):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s, : len(cents)] = cents
+        if len(cents) < n_codes:  # tiny sample: repeat last centroid
+            books[s, len(cents):] = cents[-1]
+    books_ref = ray.put(books)
+
+    # per-query ADC tables: T[qi, s, c] = ||q_s - book[s, c]||^2
+    tables = ((qn.reshape(len(qn), 1, m, sub).transpose(0, 2, 1, 3)
+               - books[None, :, :, :]) ** 2).sum(axis=3)
+    tables_ref = ray.put(tables)
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        bk = ray.get(books_ref)
+        tb = ray.get(tables_ref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        n = len(x)
+        codes = np.empty((n, m), np.int64)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            d = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        ids = np.asarray(batch[id_col])
+        frames = []
+        for qi in range(tb.shape[0]):
+            sims = -tb[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            order = np.lexsort((ids, -sims))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[order], "sim": sims[order]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return _topk_merge(parts, k)

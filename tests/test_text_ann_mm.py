@@ -90,6 +90,19 @@ class TestAnn:
                 1.0, abs=1e-9
             )
 
+    def test_pq_finds_self_and_is_partition_invariant(self, emb_ds, queries):
+        """PQ codes of a query row ADC-score best against themselves,
+        and the result is identical under a different block layout."""
+        from naer_ray.stages.ann import pq_topk
+
+        got = pq_topk(emb_ds, queries, k=3)
+        for qi in range(3):
+            # the query row encodes to its own codes -> minimal ADC
+            # distance; its id must appear in the top-3
+            assert qi in got[got["query_id"] == qi]["vec_id"].tolist()
+        reparted = pq_topk(emb_ds.repartition(7), queries, k=3)
+        assert got.values.tolist() == reparted.values.tolist()
+
     def test_persisted_index_matches_rebuild(self, emb_ds, queries, tmp_path):
         """save_lsh_index + lsh_topk_indexed == per-call lsh_topk."""
         from naer_ray.stages.ann import lsh_topk, lsh_topk_indexed, save_lsh_index
