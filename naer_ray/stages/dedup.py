@@ -2111,7 +2111,8 @@ def bloom_decontaminate(
     any superset filter — even all-ones — keeps the output exact.
 
     Returns (id_col, contaminated: bool), one row per training doc —
-    bit-identical to :func:`decontaminate`.
+    bit-identical to :func:`decontaminate`.  Training ids must be
+    non-negative (-1 is the confirm join's test-side sentinel).
     """
     import ray
 
