@@ -104,3 +104,38 @@ def test_range_join_invariant_to_bucket_count(ray_session):
         frames.append(out.sort_values(list(out.columns)).reset_index(drop=True))
     assert len(frames[0]) > 0
     pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
+
+
+def test_winnowed_span_pairs_invariant_to_buckets_and_blocks(ray_session):
+    import ray.data
+
+    from naer_ray.stages.dedup import winnowed_span_pairs
+
+    frames = []
+    for n_buckets, n_blocks in ((8, 3), (64, 17)):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(n_blocks)
+        out = winnowed_span_pairs(ds, k=32, window=8, n_buckets=n_buckets)
+        df = out.to_pandas() if out.count() else pd.DataFrame(
+            {"id_a": [], "id_b": []}
+        )
+        frames.append(df.sort_values(list(df.columns)).reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
+
+
+def test_bloom_decontaminate_invariant_to_buckets_and_blocks(ray_session):
+    import ray.data
+
+    from naer_ray.stages.dedup import bloom_decontaminate
+
+    frames = []
+    for n_buckets, n_blocks in ((4, 2), (64, 13)):
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(n_blocks)
+        test = docs.filter(lambda r: r["doc_id"] % 50 == 0)
+        out = bloom_decontaminate(docs, test, n=8, n_buckets=n_buckets).to_pandas()
+        frames.append(out.sort_values(list(out.columns)).reset_index(drop=True))
+    assert frames[0]["contaminated"].sum() >= 10  # the test docs themselves
+    pd.testing.assert_frame_equal(frames[0], frames[1])
