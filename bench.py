@@ -139,11 +139,14 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     ).materialize()
     warmup_sec = round(time.perf_counter() - t_w, 3)
 
-    # headline = min of 2 runs: this sandbox VM shows 2-3x wall-time
-    # swings from noisy-neighbor contention (load avg 8+ while idle);
-    # the min measures the pipeline, both raw times are reported
+    # headline = min of 3 runs: this sandbox VM shows 2-3x wall-time
+    # swings from noisy-neighbor contention (the alloc canary above
+    # reads 1-2 GB/s in bad windows vs 7+ calm); the min measures the
+    # pipeline, all raw times are reported.  Three runs instead of two
+    # costs ~3 s and roughly halves the odds that the driver's one
+    # round-end run lands entirely inside a bad window.
     runs = []
-    for i in range(2):
+    for i in range(3):
         out_dir = f"/tmp/naer_bench_out/{tier}-{num_cpus}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
