@@ -1358,12 +1358,25 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
         )
         return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(planted)
 
-    ann_fn = {
-        "lsh": lsh_topk,
-        "ivf": ivf_topk,
-        "quant": quantized_topk,
-        "pq": pq_topk,
-    }[method]
+    if method == "pq_indexed":
+        import os as _os
+        import shutil
+
+        from ..stages.ann import pq_topk_indexed, save_pq_index
+
+        def ann_fn(ds, q, k):
+            path = f"/tmp/naer_pq_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+            shutil.rmtree(path, ignore_errors=True)
+            save_pq_index(ds, path)
+            return pq_topk_indexed(path, q, k=k)
+
+    else:
+        ann_fn = {
+            "lsh": lsh_topk,
+            "ivf": ivf_topk,
+            "quant": quantized_topk,
+            "pq": pq_topk,
+        }[method]
     approx = ann_fn(with_planted(), q, k=k)
     exact = brute_force_topk(with_planted(), q, k=k)
     hits = approx.merge(exact[["query_id", "vec_id"]], on=["query_id", "vec_id"])
@@ -1405,6 +1418,15 @@ def a07_pq_topk(sf_dir: str):
     companions, driver-oracle-checked against literal TRUE rows (the
     a01/a02 gate)."""
     return _ann_recall_vs_exact(sf_dir, "pq")
+
+
+def a08_pq_indexed(sf_dir: str):
+    """PQ ANN against a PERSISTED index (stages/ann.save_pq_index +
+    pq_topk_indexed): codebooks + m-byte code table written once, the
+    probe scans only (id, codes) parquet — never the raw vectors —
+    and must still clear the recall gate (>= 4/5 vs exact top-5 on
+    the planted neighbors, literal-TRUE oracle rows)."""
+    return _ann_recall_vs_exact(sf_dir, "pq_indexed")
 
 
 def a06_mmr_select(sf_dir: str, k: int = 10, n_cand: int = 50):
@@ -6087,4 +6109,5 @@ REGISTRY: dict[str, tuple] = {
     "d14_bloom_decontaminate": (d14_bloom_decontaminate, D06_SQL),
     "m09_bmp_features": (m09_bmp_features, M09_SQL),
     "a07_pq_topk": (a07_pq_topk, ANN_RECALL_SQL),
+    "a08_pq_indexed": (a08_pq_indexed, ANN_RECALL_SQL),
 }

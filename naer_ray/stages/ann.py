@@ -413,6 +413,48 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     return brute_force_topk(candidates, q, k, id_col, vec_col)
 
 
+def _pq_train(mat: np.ndarray, m: int, n_codes: int, seed: int) -> np.ndarray:
+    """(m, n_codes, dim//m) sub-space codebooks: seeded Lloyd iterations
+    per sub-space on L2-normalized training rows (deterministic)."""
+    dim = mat.shape[1]
+    sub = dim // m
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub), np.float64)
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
+        for _ in range(5):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s, : len(cents)] = cents
+        if len(cents) < n_codes:  # tiny sample: repeat last centroid
+            books[s, len(cents):] = cents[-1]
+    return books
+
+
+def _pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes for L2-normalized rows ``x``."""
+    m, _, sub = books.shape
+    codes = np.empty((len(x), m), np.int64)
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+def _pq_tables(qn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_queries, m, n_codes) ADC tables: T[qi, s, c] = ||q_s - book||^2."""
+    m, n_codes, sub = books.shape
+    return ((qn.reshape(len(qn), 1, m, sub).transpose(0, 2, 1, 3)
+             - books[None, :, :, :]) ** 2).sum(axis=3)
+
+
 def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
             n_codes: int = 16, seed: int = 13, sample_size: int = 2048,
             id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -446,40 +488,16 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
         batch_format="pyarrow",
     ).to_pandas().sort_values(id_col)
     mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, n_codes, sub), np.float64)
-    for s in range(m):
-        x = mat[:, s * sub : (s + 1) * sub]
-        cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
-        for _ in range(5):
-            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(len(cents)):
-                members = x[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books[s, : len(cents)] = cents
-        if len(cents) < n_codes:  # tiny sample: repeat last centroid
-            books[s, len(cents):] = cents[-1]
+    books = _pq_train(mat, m, n_codes, seed)
     books_ref = ray.put(books)
-
-    # per-query ADC tables: T[qi, s, c] = ||q_s - book[s, c]||^2
-    tables = ((qn.reshape(len(qn), 1, m, sub).transpose(0, 2, 1, 3)
-               - books[None, :, :, :]) ** 2).sum(axis=3)
-    tables_ref = ray.put(tables)
+    tables_ref = ray.put(_pq_tables(qn, books))
 
     def local(batch: pa.Table) -> pd.DataFrame:
         bk = ray.get(books_ref)
         tb = ray.get(tables_ref)
         x = _as_matrix(batch[vec_col]).astype(np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        n = len(x)
-        codes = np.empty((n, m), np.int64)
-        for s in range(m):
-            xs = x[:, s * sub : (s + 1) * sub]
-            d = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = d.argmin(axis=1)
+        codes = _pq_encode(x, bk)
         ids = np.asarray(batch[id_col])
         frames = []
         for qi in range(tb.shape[0]):
@@ -493,4 +511,116 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
         return pd.concat(frames, ignore_index=True)
 
     parts = ds.map_batches(local, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return _topk_merge(parts, k)
+
+
+def save_pq_index(
+    ds,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 13,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: codebooks (npy) + the encoded code table as
+    parquet.  Unlike the LSH/IVF indexes the PQ probe scans EVERY code
+    row (no pruning) — its win is that the scanned table is m bytes of
+    codes per vector instead of the raw embedding (32x smaller at dim
+    64 / m=8), so at corpus scale a probe is an m-column int8 parquet
+    scan that never touches the vectors.  Encoding is one distributed
+    pass; the build amortizes over query calls (pq_topk retrains and
+    re-encodes per call)."""
+    import json
+    import os
+
+    import ray
+
+    sample = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], pa.scalar(sample_size))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    books = _pq_train(mat, m, n_codes, seed)
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = _pq_encode(x, bk).astype(np.uint8)
+        n = len(x)
+        offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+        codes_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(codes.tobytes())],
+        )
+        return pa.table({id_col: batch[id_col], "codes": codes_arr})
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "data")
+    )
+    np.save(os.path.join(path, "books.npy"), books)
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump(
+            {"kind": "pq", "m": m, "n_codes": n_codes, "seed": seed,
+             "id_col": id_col, "vec_col": vec_col},
+            f,
+        )
+
+
+def pq_topk_indexed(path: str, queries: np.ndarray, k: int = 10):
+    """ANN top-k against a PERSISTED PQ index (see :func:`save_pq_index`):
+    the scan reads only (id, m-byte codes) and scores via per-query ADC
+    tables — identical ranking to :func:`pq_topk` over the same corpus
+    and parameters."""
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(path, "index_meta.json")) as f:
+        meta = json.load(f)
+    m = meta["m"]
+    id_col = meta["id_col"]
+    books = np.load(os.path.join(path, "books.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    tables_ref = ray.put(_pq_tables(qn, books))
+    n_queries = len(qn)
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        tb = ray.get(tables_ref)
+        col = batch["codes"].combine_chunks()
+        n = len(col)
+        offs = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + n + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        codes = data[offs[0] : offs[-1]].reshape(n, m).astype(np.int64)
+        ids = np.asarray(batch[id_col])
+        frames = []
+        for qi in range(n_queries):
+            sims = -tb[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            order = np.lexsort((ids, -sims))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qi, "vec_id": ids[order], "sim": sims[order]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    import glob as _glob
+
+    from ..sources.transcripts import stripped_read_schema
+
+    files = sorted(_glob.glob(os.path.join(path, "data", "*.parquet")))
+    # stripped schema: Ray-written parquet carries pandas metadata whose
+    # dict breaks hash(schema) inside Ray's per-bundle schema dedup
+    parts = ray.data.read_parquet(
+        files, schema=stripped_read_schema(files[0], [id_col, "codes"])
+    ).map_batches(local, batch_format="pyarrow", batch_size=8192).to_pandas()
     return _topk_merge(parts, k)

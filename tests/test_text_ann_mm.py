@@ -90,6 +90,17 @@ class TestAnn:
                 1.0, abs=1e-9
             )
 
+    def test_persisted_pq_index_matches_per_call(self, emb_ds, queries, tmp_path):
+        """save_pq_index + pq_topk_indexed == per-call pq_topk: the
+        persisted probe scans only the m-byte code table."""
+        from naer_ray.stages.ann import pq_topk, pq_topk_indexed, save_pq_index
+
+        path = str(tmp_path / "pq_index")
+        save_pq_index(emb_ds, path)
+        from_index = pq_topk_indexed(path, queries, k=5)
+        per_call = pq_topk(emb_ds, queries, k=5)
+        assert from_index.values.tolist() == per_call.values.tolist()
+
     def test_pq_finds_self_and_is_partition_invariant(self, emb_ds, queries):
         """PQ codes of a query row ADC-score best against themselves,
         and the result is identical under a different block layout."""
