@@ -340,3 +340,74 @@ class TestBloomDecontaminate:
         arr = pa.array(vals, pa.string())
         got = _fnv64_arr(arr)
         assert [int(v) for v in got] == [fnv64(s) for s in vals]
+
+
+class TestNonAsciiRobustness:
+    """The span/shingle kernels are byte-oriented (utf-8); multi-byte
+    text must flow through without crashes and with planted duplicates
+    still detected (the SQL-substr oracle equivalence is ASCII-only and
+    documented — this guards crash-freedom and self-consistency)."""
+
+    def test_span_pairs_on_unicode(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.dedup import duplicated_span_pairs
+
+        span = "déjà-vu naïve café ← ünïcode 🎉 shared run of text"
+        docs = [
+            {"doc_id": 1, "text": f"prefix {span} suffix one"},
+            {"doc_id": 2, "text": f"other {span} tail two"},
+            {"doc_id": 3, "text": "札幌の天気は晴れで、明日は雪が降るでしょう。東京も寒い。"},
+        ]
+        out = duplicated_span_pairs(
+            ray.data.from_items(docs), k=16, n_buckets=8
+        ).to_pandas()
+        assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+
+    def test_winnowed_pairs_on_unicode(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.dedup import winnowed_span_pairs
+
+        span = "共有されたテキストの長い部分 🌊 emoji too, must be found"
+        docs = [
+            {"doc_id": 1, "text": f"あ {span} 終わり"},
+            {"doc_id": 2, "text": f"ほかの始まり {span} 別の尾"},
+        ]
+        out = winnowed_span_pairs(
+            ray.data.from_items(docs), k=16, window=4, n_buckets=8
+        ).to_pandas()
+        assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+
+    def test_minhash_on_unicode(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.dedup import minhash_bands, minhash_candidate_pairs
+
+        base = "многоязычный текст с юникодом 🚀 повторяется дважды здесь"
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": base},
+                {"doc_id": 3, "text": "célibataire 完全に異なる内容 überhaupt"},
+            ]
+        )
+        pairs = minhash_candidate_pairs(
+            minhash_bands(ds, "doc_id", "text"), "doc_id", min_est=0.95
+        ).to_pandas()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+
+    def test_fnv64_arr_multibyte_matches_scalar(self):
+        import pyarrow as pa
+
+        from naer_ray.stages.dedup import _fnv64_arr
+
+        def fnv64(s: str) -> int:
+            h = 14695981039346656037
+            for b in s.encode("utf-8"):
+                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        vals = ["déjà", "日本語テキスト", "🎉🎊", "mixed ascii + ünï"]
+        got = _fnv64_arr(pa.array(vals, pa.string()))
+        assert [int(v) for v in got] == [fnv64(s) for s in vals]
