@@ -5810,6 +5810,86 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def j02_set_similarity_join(sf_dir: str):
+    """Exact prefix-filtered set-similarity JOIN
+    (stages/joins.set_similarity_join — SSJoin/All-Pairs/PPJoin
+    family, the operator class of the retrieved set-similarity-join
+    papers): R = even-id documents, S = odd-id documents ∪ planted
+    exact copies of R (doc_id + 1M), joined on DISTINCT word-trigram
+    Jaccard >= 0.5.  The word-soup corpus has genuine near-dup pairs
+    at this threshold, so the DuckDB oracle brute-forces the full
+    trigram self-join — every emitted (id_a, id_b, jaccard) double
+    must match bit-exactly, planted and genuine alike."""
+    from ..stages.joins import set_similarity_join
+
+    # _read (byte-sized blocks), NOT _read_wide: every kernel in the
+    # join is batch-vectorized, and the join runs THREE groupby/union
+    # exchanges whose sort cost is per-BLOCK latency — 128-block inputs
+    # made the 134k-row token groupby a 5s exchange (256 tiny blocks);
+    # byte-sized blocking cut the whole join 24s -> ~6s at sf0.1
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(m))
+
+        return f
+
+    r_ds = ds.map_batches(half(True), batch_format="pyarrow")
+
+    def planted(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 2 == 0)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                "text": b["text"],
+            }
+        )
+
+    s_ds = ds.map_batches(half(False), batch_format="pyarrow").union(
+        ds.map_batches(planted, batch_format="pyarrow")
+    )
+    return set_similarity_join(r_ds, s_ds, threshold=0.5)
+
+
+J02_SQL = """
+WITH r AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+s AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0),
+rt AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM r),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+st AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+rn AS (SELECT doc_id, COUNT(*) AS n FROM rt GROUP BY doc_id),
+sn AS (SELECT doc_id, COUNT(*) AS n FROM st GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM rt a JOIN st b ON a.g = b.g
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (rn.n + sn.n - i) AS jaccard
+FROM inter
+JOIN rn ON rn.doc_id = id_a
+JOIN sn ON sn.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (rn.n + sn.n - i) >= 0.5
+"""
+
+
 def m09_bmp_features(sf_dir: str):
     """REAL BMP decode: deterministic 24-bit BMPs (BGR byte order,
     bottom-up rows, 4-byte row padding — the format's actual traps)
@@ -6110,4 +6190,5 @@ REGISTRY: dict[str, tuple] = {
     "m09_bmp_features": (m09_bmp_features, M09_SQL),
     "a07_pq_topk": (a07_pq_topk, ANN_RECALL_SQL),
     "a08_pq_indexed": (a08_pq_indexed, ANN_RECALL_SQL),
+    "j02_set_similarity_join": (j02_set_similarity_join, J02_SQL),
 }

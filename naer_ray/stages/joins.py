@@ -214,3 +214,272 @@ def range_join(
         return out[(delta >= lower) & (delta <= upper)]
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def set_similarity_join(
+    r_ds,
+    s_ds,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_buckets: int = 64,
+):
+    """Exact set-similarity JOIN with prefix filtering: emit
+    ``(id_a from R, id_b from S, jaccard)`` for every cross pair whose
+    DISTINCT word ``ngram``-shingle sets reach Jaccard ``threshold``.
+
+    Standard public construction (Chaudhuri, Ganti & Kaushik 2006
+    "A Primitive Operator for Similarity Joins"; Bayardo, Ma &
+    Srikant 2007 All-Pairs; Xiao et al. 2008 PPJoin): under any fixed
+    global token order, two sets with |A∩B| >= a share a token among
+    the first |A|-a+1 / |B|-a+1 of each, so each record only emits its
+    ``n - ceil(t*n) + 1`` RAREST tokens as join keys — the prefix —
+    and completeness follows for every pair passing the length filter
+    (t*|A| <= |B| and t*|B| <= |A|; pairs failing it cannot reach t).
+
+    Ray shape: (1) one bucketed token-frequency count builds the
+    rarest-first ranking (vocabulary-sized; broadcast via ray.put —
+    at an unbounded vocabulary swap rank for the raw token hash: any
+    consistent order keeps the lemma, only the pruning power drops);
+    (2) a second streaming pass emits prefix rows (token, side, id,
+    set size); (3) one token-hash bucket-run generates length-filtered
+    candidate pairs; (4) a bucketed distinct collapses
+    same-pair-via-multiple-tokens; (5) the d05 broadcast-semi-join
+    verify recomputes both STRING shingle sets per candidate and keeps
+    jaccard >= t — so hash collisions can never reach the output and
+    the emitted jaccard is the exact i/(|A|+|B|-i) double."""
+    import math
+
+    import ray
+    import ray.data
+
+    from .agg import bucketed_sum
+    from .dedup import _fnv64_arr, _word_ngram_strings
+
+    def gram_hashes(batch: pa.Table):
+        """per-record DISTINCT shingle hashes -> (hashes, row_offsets)."""
+        grams, parents = _word_ngram_strings(batch, text_col, ngram)
+        h = _fnv64_arr(grams)
+        if not len(h):
+            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
+        order = np.lexsort((h, parents))
+        ph, hh = parents[order], h[order]
+        keep = np.ones(len(ph), bool)
+        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+        ph, hh = ph[keep], hh[keep]
+        offs = np.zeros(batch.num_rows + 1, np.int64)
+        np.add.at(offs, ph + 1, 1)
+        np.cumsum(offs, out=offs)
+        return hh, offs
+
+    # ---- pass 1: global token frequencies (vocabulary-sized)
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        hh, _offs = gram_hashes(batch)
+        u, c = np.unique(hh, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(u.view(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = bucketed_sum(
+        r_ds.map_batches(tok_counts, batch_format="pyarrow").union(
+            s_ds.map_batches(tok_counts, batch_format="pyarrow")
+        ),
+        ["tok"],
+        ["c"],
+    ).to_pandas()
+    # rarest-first total order; ties by token hash (deterministic)
+    toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
+    counts = freq["c"].to_numpy(np.int64)
+    order = np.lexsort((toks, counts))
+    rank_arr = np.empty(len(toks), np.int64)
+    rank_arr[order] = np.arange(len(toks))
+    key_order = np.argsort(toks)
+    # (token hashes ascending, their rarest-first rank) for searchsorted
+    rank_ref = ray.put((toks[key_order], rank_arr[key_order]))
+
+    def prefix_rows(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys, ranks = ray.get(rank_ref)
+            hh, offs = gram_hashes(batch)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_t, out_i, out_n = [], [], []
+            rk = ranks[np.searchsorted(keys, hh)]
+            for r in range(batch.num_rows):
+                lo, hi = offs[r], offs[r + 1]
+                n = hi - lo
+                if n == 0:
+                    continue
+                p = n - math.ceil(threshold * n) + 1
+                sel = np.argsort(rk[lo:hi], kind="stable")[:p]
+                out_t.append(hh[lo:hi][sel])
+                out_i.append(np.full(len(sel), ids[r], np.int64))
+                out_n.append(np.full(len(sel), n, np.int64))
+            if not out_t:
+                return pa.table(
+                    {
+                        "tok": pa.array([], pa.int64()),
+                        "id": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int8()),
+                    }
+                )
+            toks = np.concatenate(out_t).view(np.int64)
+            return pa.table(
+                {
+                    "tok": pa.array(toks, pa.int64()),
+                    "id": pa.array(np.concatenate(out_i), pa.int64()),
+                    "n": pa.array(np.concatenate(out_n), pa.int64()),
+                    "side": pa.array(
+                        np.full(len(toks), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    tagged = r_ds.map_batches(prefix_rows(0), batch_format="pyarrow").union(
+        s_ds.map_batches(prefix_rows(1), batch_format="pyarrow")
+    )
+
+    def tok_bucketize(batch: pa.Table) -> pa.Table:
+        h = batch["tok"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows < 2:
+            return empty
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, side, tok))
+        tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
+        change = np.flatnonzero(np.diff(tok) != 0) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(tok)]))
+        out_a, out_b = [], []
+        for gi in range(len(starts)):
+            s, e = starts[gi], ends[gi]
+            sd = side[s:e]
+            r_idx = np.arange(s, e)[sd == 0]
+            s_idx = np.arange(s, e)[sd == 1]
+            if not r_idx.size or not s_idx.size:
+                continue
+            na = ns[r_idx][:, None]
+            nb = ns[s_idx][None, :]
+            ok = (threshold * na <= nb) & (threshold * nb <= na)
+            ii, jj = np.nonzero(ok)
+            if ii.size:
+                out_a.append(ids[r_idx[ii]])
+                out_b.append(ids[s_idx[jj]])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cands = (
+        tagged.map_batches(tok_bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cand_bucket, batch_format="pyarrow")
+    )
+    distinct = (
+        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c")
+        .drop_columns(["c"])
+        .materialize()  # candidate pairs are near-output-sized after prefix filtering
+    )
+    if distinct.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    # ---- exact string-set verify (the d05 broadcast semi-join shape)
+    pair_tbl = pa.concat_tables(
+        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
+    )
+    wanted = pa.compute.unique(
+        pa.concat_arrays(
+            [pair_tbl["id_a"].combine_chunks(), pair_tbl["id_b"].combine_chunks()]
+        )
+    )
+    wanted_ref = ray.put(wanted)
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(
+            pa.compute.is_in(
+                batch[id_col].cast(pa.int64()), value_set=ray.get(wanted_ref)
+            )
+        )
+        return pa.table(
+            {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
+        )
+
+    text_map: dict = {}
+    for src in (r_ds, s_ds):
+        for ref in src.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    map_ref = ray.put(text_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(map_ref)
+
+        def gset(i: int) -> frozenset:
+            ws = (lookup.get(i) or "").split(" ")
+            return frozenset(
+                tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)
+            )
+
+        cache: dict = {}
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa = cache.get(a)
+            if sa is None:
+                sa = cache[a] = gset(a)
+            sb = cache.get(b)
+            if sb is None:
+                sb = cache[b] = gset(b)
+            if not sa or not sb:
+                continue
+            i = len(sa & sb)
+            j = i / (len(sa) + len(sb) - i)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+    # parallelize the per-pair verify, but cap the block count: the
+    # repartition+map latency is per block, and the verify kernel
+    # amortizes its doc-set cache within a block
+    n_out = max(1, min(64, pair_tbl.num_rows // 2048))
+    return (
+        ray.data.from_arrow(pair_tbl)
+        .repartition(n_out)
+        .map_batches(verify, batch_format="pandas")
+    )

@@ -171,3 +171,53 @@ def test_asof_join_with_null_int_column(ray_session):
     # null lv values survive; matched rv for k=2 rows at/after t=25 is 9
     assert got.loc[(got["k"] == 2) & (got["lt"] >= pd.Timestamp(25, unit="s")), "rv"].tolist() == [9, 9]
     assert got["lv"].isna().sum() == 2
+
+
+class TestSetSimilarityJoin:
+    def test_planted_and_near_pairs(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        R = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+                {"doc_id": 2, "text": "one two three four five six seven eight nine"},
+                {"doc_id": 4, "text": "isolated words having zero overlap with anything else"},
+            ]
+        )
+        S = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+                {"doc_id": 3, "text": "zero two three four five six seven eight nine"},
+                {"doc_id": 5, "text": "entirely different material again nothing shared here at all"},
+            ]
+        )
+        out = set_similarity_join(R, S, threshold=0.5).to_pandas()
+        got = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+        assert set(got) == {(0, 1), (2, 3)}
+        assert got[(0, 1)] == 1.0
+        # trigram sets of size 7; 6 shared -> 6 / (7 + 7 - 6)
+        assert got[(2, 3)] == 6 / 8
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        rows = [
+            {"doc_id": i, "text": " ".join(f"w{(i * 7 + k) % 13}" for k in range(10))}
+            for i in range(40)
+        ]
+        R = ray.data.from_items(rows[::2])
+        S = ray.data.from_items(rows[1::2])
+        a = set_similarity_join(R, S, 0.4, n_buckets=8).to_pandas()
+        b = set_similarity_join(
+            R.repartition(7), S.repartition(3), 0.4, n_buckets=32
+        ).to_pandas()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        import pandas as pd
+
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
