@@ -5890,6 +5890,57 @@ WHERE CAST(i AS DOUBLE) / (rn.n + sn.n - i) >= 0.5
 """
 
 
+def j03_setsim_incremental(sf_dir: str):
+    """INCREMENTAL set-similarity join against a PERSISTED prefix-token
+    index (stages/joins.save_setsim_index + probe_setsim_index — the
+    streaming set-similarity-join setting): the even-id documents are
+    indexed ONCE (prefix shards + texts + frozen token order); the
+    delta (odd-id docs ∪ planted copies of the evens at doc_id + 1M)
+    probes only the shards its prefix tokens touch.  Same relation and
+    threshold as j02, so the SAME brute-force DuckDB oracle applies —
+    batch and incremental must produce identical pairs bit-exactly."""
+    import os as _os
+    import shutil
+
+    from ..stages.joins import probe_setsim_index, save_setsim_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(m))
+
+        return f
+
+    path = f"/tmp/naer_setsim_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    save_setsim_index(
+        ds.map_batches(half(True), batch_format="pyarrow"), path, threshold=0.5
+    )
+
+    def planted(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 2 == 0)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                "text": b["text"],
+            }
+        )
+
+    delta = ds.map_batches(half(False), batch_format="pyarrow").union(
+        ds.map_batches(planted, batch_format="pyarrow")
+    )
+    return probe_setsim_index(delta, path)
+
+
+# j03's oracle is J02_SQL: identical relation, threshold and output
+# contract — the incremental path must reproduce the batch join.
+
+
 def m09_bmp_features(sf_dir: str):
     """REAL BMP decode: deterministic 24-bit BMPs (BGR byte order,
     bottom-up rows, 4-byte row padding — the format's actual traps)
@@ -6191,4 +6242,5 @@ REGISTRY: dict[str, tuple] = {
     "a07_pq_topk": (a07_pq_topk, ANN_RECALL_SQL),
     "a08_pq_indexed": (a08_pq_indexed, ANN_RECALL_SQL),
     "j02_set_similarity_join": (j02_set_similarity_join, J02_SQL),
+    "j03_setsim_incremental": (j03_setsim_incremental, J02_SQL),
 }

@@ -483,3 +483,417 @@ def set_similarity_join(
         .repartition(n_out)
         .map_batches(verify, batch_format="pandas")
     )
+
+
+def save_setsim_index(
+    ds,
+    path: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_shards: int = 64,
+) -> None:
+    """Persist a prefix-token set-similarity index for INCREMENTAL
+    joins (the streaming set-similarity-join setting, e.g. ICDE 2020
+    "Distributed Streaming Set Similarity Join"): at 100 TB the corpus
+    is indexed ONCE and each intake batch probes it instead of
+    re-joining the world.
+
+    Layout: ``prefix/shard=<token_h & mask>/`` parquet of (tok, id, n)
+    prefix rows — a probe reads only the shards its own prefix tokens
+    touch; ``texts/shard=<id & mask>/`` parquet of (id, text) for the
+    exact verify (pruned by candidate ids); ``vocab.parquet`` freezes
+    the token-frequency order (prefix filtering needs ONE total order
+    shared by index and probe — it is frozen at index time, and tokens
+    unseen then order after all indexed tokens by hash, which keeps
+    the prefix lemma valid: any consistent total order works, only
+    pruning power varies)."""
+    import json
+    import math
+    import os
+
+    import ray
+
+    from .agg import bucketed_sum
+    from .dedup import _fnv64_arr, _word_ngram_strings
+
+    def gram_hashes(batch: pa.Table):
+        grams, parents = _word_ngram_strings(batch, text_col, ngram)
+        h = _fnv64_arr(grams)
+        if not len(h):
+            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
+        order = np.lexsort((h, parents))
+        ph, hh = parents[order], h[order]
+        keep = np.ones(len(ph), bool)
+        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+        ph, hh = ph[keep], hh[keep]
+        offs = np.zeros(batch.num_rows + 1, np.int64)
+        np.add.at(offs, ph + 1, 1)
+        np.cumsum(offs, out=offs)
+        return hh, offs
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        hh, _ = gram_hashes(batch)
+        u, c = np.unique(hh, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(u.view(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = bucketed_sum(
+        ds.map_batches(tok_counts, batch_format="pyarrow"), ["tok"], ["c"]
+    ).to_pandas()
+    toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
+    counts = freq["c"].to_numpy(np.int64)
+    order = np.lexsort((toks, counts))
+    rank_arr = np.empty(len(toks), np.int64)
+    rank_arr[order] = np.arange(len(toks))
+    key_order = np.argsort(toks)
+    rank_ref = ray.put((toks[key_order], rank_arr[key_order]))
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        keys, ranks = ray.get(rank_ref)
+        hh, offs = gram_hashes(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = ranks[np.searchsorted(keys, hh)] if len(hh) else np.empty(0, np.int64)
+        out_t, out_i, out_n = [], [], []
+        for r in range(batch.num_rows):
+            lo, hi = offs[r], offs[r + 1]
+            n = hi - lo
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            sel = np.argsort(rk[lo:hi], kind="stable")[:p]
+            out_t.append(hh[lo:hi][sel])
+            out_i.append(np.full(len(sel), ids[r], np.int64))
+            out_n.append(np.full(len(sel), n, np.int64))
+        if not out_t:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        t = np.concatenate(out_t)
+        return pa.table(
+            {
+                "tok": pa.array(t.view(np.int64), pa.int64()),
+                "id": pa.array(np.concatenate(out_i), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+                "shard": pa.array(
+                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    os.makedirs(os.path.join(path, "prefix"), exist_ok=True)
+    ds.map_batches(prefix_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "prefix"), partition_cols=["shard"]
+    )
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "text": batch[text_col],
+                "shard": pa.array(
+                    (ids % n_shards).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    os.makedirs(os.path.join(path, "texts"), exist_ok=True)
+    ds.map_batches(text_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "texts"), partition_cols=["shard"]
+    )
+    freq.to_parquet(os.path.join(path, "vocab.parquet"), index=False)
+    with open(os.path.join(path, "index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "setsim_prefix",
+                "threshold": threshold,
+                "ngram": ngram,
+                "n_shards": n_shards,
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            f,
+        )
+
+
+def probe_setsim_index(new_ds, path: str, n_buckets: int = 64):
+    """Probe a :func:`save_setsim_index` index with NEW documents ->
+    exact ``(id_a = indexed id, id_b = new id, jaccard)`` pairs at the
+    index's threshold.  Only the delta's prefix rows are exchanged
+    (one groupby on the token shard); each shard group's kernel reads
+    its matching prefix shard in-task (path-pruned), and the exact
+    verify reads only the texts/ shards that candidate OLD ids hash to
+    — nothing about the index is ever scanned in full."""
+    import glob as _glob
+    import json
+    import math
+    import os
+
+    import ray
+    import ray.data
+
+    from .agg import bucketed_sum
+    from .dedup import _fnv64_arr, _word_ngram_strings
+
+    with open(os.path.join(path, "index_meta.json")) as f:
+        meta = json.load(f)
+    threshold = meta["threshold"]
+    ngram = meta["ngram"]
+    n_shards = meta["n_shards"]
+    id_col = meta["id_col"]
+    text_col = meta["text_col"]
+    import pandas as _pd
+
+    vocab = _pd.read_parquet(os.path.join(path, "vocab.parquet"))
+    toks = vocab["tok"].to_numpy(np.int64).view(np.uint64)
+    counts = vocab["c"].to_numpy(np.int64)
+    order = np.lexsort((toks, counts))
+    rank_arr = np.empty(len(toks), np.int64)
+    rank_arr[order] = np.arange(len(toks))
+    key_order = np.argsort(toks)
+    rank_ref = ray.put((toks[key_order], rank_arr[key_order], len(toks)))
+
+    def gram_hashes(batch: pa.Table):
+        grams, parents = _word_ngram_strings(batch, text_col, ngram)
+        h = _fnv64_arr(grams)
+        if not len(h):
+            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
+        order = np.lexsort((h, parents))
+        ph, hh = parents[order], h[order]
+        keep = np.ones(len(ph), bool)
+        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+        ph, hh = ph[keep], hh[keep]
+        offs = np.zeros(batch.num_rows + 1, np.int64)
+        np.add.at(offs, ph + 1, 1)
+        np.cumsum(offs, out=offs)
+        return hh, offs
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        keys, ranks, v = ray.get(rank_ref)
+        hh, offs = gram_hashes(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(hh):
+            pos = np.searchsorted(keys, hh)
+            pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+            is_known = (
+                keys[pos] == hh if len(keys) else np.zeros(len(hh), bool)
+            )
+            rk = np.where(is_known, ranks[pos] if len(keys) else 0, 0)
+            # tokens unseen at index time order AFTER all indexed ones,
+            # by hash — a consistent total order (pruning power only)
+            unk = (~is_known).astype(np.int64)
+        else:
+            rk = np.empty(0, np.int64)
+            unk = np.empty(0, np.int64)
+        out_t, out_i, out_n = [], [], []
+        for r in range(batch.num_rows):
+            lo, hi = offs[r], offs[r + 1]
+            n = hi - lo
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            sel = np.lexsort(
+                (hh[lo:hi], rk[lo:hi], unk[lo:hi])
+            )[:p]
+            out_t.append(hh[lo:hi][sel])
+            out_i.append(np.full(len(sel), ids[r], np.int64))
+            out_n.append(np.full(len(sel), n, np.int64))
+        if not out_t:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        t = np.concatenate(out_t)
+        return pa.table(
+            {
+                "tok": pa.array(t.view(np.int64), pa.int64()),
+                "id": pa.array(np.concatenate(out_i), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+                "shard": pa.array(
+                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def probe_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if g.num_rows == 0:
+            return empty_pairs
+        shard = g["shard"][0].as_py()
+        files = sorted(
+            _glob.glob(os.path.join(path, "prefix", f"shard={shard}", "*.parquet"))
+        )
+        if not files:
+            return empty_pairs
+        old = pa.concat_tables(
+            [pq.read_table(f, columns=["tok", "id", "n"]) for f in files]
+        )
+        if old.num_rows == 0:
+            return empty_pairs
+        tok = np.concatenate(
+            [
+                old["tok"].to_numpy(zero_copy_only=False),
+                g["tok"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        side = np.concatenate(
+            [np.zeros(old.num_rows, np.int8), np.ones(g.num_rows, np.int8)]
+        )
+        ids = np.concatenate(
+            [
+                old["id"].to_numpy(zero_copy_only=False),
+                g["id"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        ns = np.concatenate(
+            [
+                old["n"].to_numpy(zero_copy_only=False),
+                g["n"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        order = np.lexsort((ids, side, tok))
+        tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
+        change = np.flatnonzero(np.diff(tok) != 0) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(tok)]))
+        out_a, out_b = [], []
+        for gi in range(len(starts)):
+            s, e = starts[gi], ends[gi]
+            sd = side[s:e]
+            o_idx = np.arange(s, e)[sd == 0]
+            n_idx = np.arange(s, e)[sd == 1]
+            if not o_idx.size or not n_idx.size:
+                continue
+            na = ns[o_idx][:, None]
+            nb = ns[n_idx][None, :]
+            ok = (threshold * na <= nb) & (threshold * nb <= na)
+            ii, jj = np.nonzero(ok)
+            if ii.size:
+                out_a.append(ids[o_idx[ii]])
+                out_b.append(ids[n_idx[jj]])
+        if not out_a:
+            return empty_pairs
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    cands = (
+        new_ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(probe_shard, batch_format="pyarrow")
+    )
+    distinct = (
+        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c")
+        .drop_columns(["c"])
+        .materialize()
+    )
+    if distinct.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    pair_tbl = pa.concat_tables(
+        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
+    )
+    # old texts: pruned reads of only the id shards candidates touch
+    import pyarrow.parquet as pq
+
+    old_ids = np.unique(pair_tbl["id_a"].to_numpy(zero_copy_only=False))
+    text_map: dict = {}
+    for s in np.unique(old_ids % n_shards):
+        for f in sorted(
+            _glob.glob(os.path.join(path, "texts", f"shard={int(s)}", "*.parquet"))
+        ):
+            t = pq.read_table(f, columns=["id", "text"])
+            sel = t.filter(
+                pa.compute.is_in(t["id"], value_set=pa.array(old_ids, pa.int64()))
+            )
+            text_map.update(zip(sel["id"].to_pylist(), sel["text"].to_pylist()))
+    # new texts: semi-join filter of the delta
+    new_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
+    new_ids_ref = ray.put(new_ids)
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(
+            pa.compute.is_in(
+                batch[id_col].cast(pa.int64()), value_set=ray.get(new_ids_ref)
+            )
+        )
+        return pa.table(
+            {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
+        )
+
+    for ref in new_ds.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+    map_ref = ray.put(text_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(map_ref)
+
+        def gset(i: int) -> frozenset:
+            ws = (lookup.get(i) or "").split(" ")
+            return frozenset(
+                tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)
+            )
+
+        cache: dict = {}
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa = cache.get(a)
+            if sa is None:
+                sa = cache[a] = gset(a)
+            sb = cache.get(b)
+            if sb is None:
+                sb = cache[b] = gset(b)
+            if not sa or not sb:
+                continue
+            i = len(sa & sb)
+            j = i / (len(sa) + len(sb) - i)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+    n_out = max(1, min(64, pair_tbl.num_rows // 2048))
+    return (
+        ray.data.from_arrow(pair_tbl)
+        .repartition(n_out)
+        .map_batches(verify, batch_format="pandas")
+    )

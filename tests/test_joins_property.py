@@ -221,3 +221,40 @@ class TestSetSimilarityJoin:
 
         assert len(a) > 0
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSetSimIncremental:
+    def test_incremental_matches_batch(self, ray_session, tmp_path):
+        """probe_setsim_index over a persisted index == the batch
+        set_similarity_join on the same relation (incl. a probe doc
+        whose trigrams were all unseen at index time)."""
+        import ray.data
+
+        from naer_ray.stages.joins import (
+            probe_setsim_index,
+            save_setsim_index,
+            set_similarity_join,
+        )
+
+        corpus = [
+            {"doc_id": i, "text": " ".join(f"w{(i * 5 + k) % 17}" for k in range(12))}
+            for i in range(0, 30, 2)
+        ]
+        delta = [
+            {"doc_id": i, "text": " ".join(f"w{((i - 1) * 5 + k) % 17}" for k in range(12))}
+            for i in range(1, 31, 2)
+        ] + [
+            {"doc_id": 999, "text": "totally fresh tokens never indexed anywhere before now ok"}
+        ]
+        R = ray.data.from_items(corpus)
+        S = ray.data.from_items(delta)
+        path = str(tmp_path / "setsim_index")
+        save_setsim_index(R, path, threshold=0.5)
+        inc = probe_setsim_index(S, path).to_pandas()
+        batch = set_similarity_join(R, S, threshold=0.5).to_pandas()
+        import pandas as pd
+
+        a = inc.sort_values(list(inc.columns)).reset_index(drop=True)
+        b = batch.sort_values(list(batch.columns)).reset_index(drop=True)
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
