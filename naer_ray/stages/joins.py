@@ -284,13 +284,16 @@ def set_similarity_join(
             }
         )
 
-    freq = bucketed_sum(
-        r_ds.map_batches(tok_counts, batch_format="pyarrow").union(
-            s_ds.map_batches(tok_counts, batch_format="pyarrow")
-        ),
-        ["tok"],
-        ["c"],
-    ).to_pandas()
+    # vocabulary-sized by contract (the ranking is broadcast right
+    # after), so the per-block partial counts merge on the driver — no
+    # exchange for a result the driver must hold anyway
+    freq = (
+        r_ds.map_batches(tok_counts, batch_format="pyarrow")
+        .union(s_ds.map_batches(tok_counts, batch_format="pyarrow"))
+        .to_pandas()
+        .groupby("tok", as_index=False)["c"]
+        .sum()
+    )
     # rarest-first total order; ties by token hash (deterministic)
     toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
     counts = freq["c"].to_numpy(np.int64)
@@ -515,7 +518,6 @@ def save_setsim_index(
 
     import ray
 
-    from .agg import bucketed_sum
     from .dedup import _fnv64_arr, _word_ngram_strings
 
     def gram_hashes(batch: pa.Table):
@@ -543,9 +545,13 @@ def save_setsim_index(
             }
         )
 
-    freq = bucketed_sum(
-        ds.map_batches(tok_counts, batch_format="pyarrow"), ["tok"], ["c"]
-    ).to_pandas()
+    # vocabulary-sized by contract (frozen + broadcast): driver merge
+    freq = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tok", as_index=False)["c"]
+        .sum()
+    )
     toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
     counts = freq["c"].to_numpy(np.int64)
     order = np.lexsort((toks, counts))
