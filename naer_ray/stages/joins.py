@@ -216,66 +216,40 @@ def range_join(
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
-def set_similarity_join(
-    r_ds,
-    s_ds,
-    threshold: float,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 3,
-    n_buckets: int = 64,
-):
-    """Exact set-similarity JOIN with prefix filtering: emit
-    ``(id_a from R, id_b from S, jaccard)`` for every cross pair whose
-    DISTINCT word ``ngram``-shingle sets reach Jaccard ``threshold``.
-
-    Standard public construction (Chaudhuri, Ganti & Kaushik 2006
-    "A Primitive Operator for Similarity Joins"; Bayardo, Ma &
-    Srikant 2007 All-Pairs; Xiao et al. 2008 PPJoin): under any fixed
-    global token order, two sets with |A∩B| >= a share a token among
-    the first |A|-a+1 / |B|-a+1 of each, so each record only emits its
-    ``n - ceil(t*n) + 1`` RAREST tokens as join keys — the prefix —
-    and completeness follows for every pair passing the length filter
-    (t*|A| <= |B| and t*|B| <= |A|; pairs failing it cannot reach t).
-
-    Ray shape: (1) one bucketed token-frequency count builds the
-    rarest-first ranking (vocabulary-sized; broadcast via ray.put —
-    at an unbounded vocabulary swap rank for the raw token hash: any
-    consistent order keeps the lemma, only the pruning power drops);
-    (2) a second streaming pass emits prefix rows (token, side, id,
-    set size); (3) one token-hash bucket-run generates length-filtered
-    candidate pairs; (4) a bucketed distinct collapses
-    same-pair-via-multiple-tokens; (5) the d05 broadcast-semi-join
-    verify recomputes both STRING shingle sets per candidate and keeps
-    jaccard >= t — so hash collisions can never reach the output and
-    the emitted jaccard is the exact i/(|A|+|B|-i) double."""
-    import math
-
-    import ray
-    import ray.data
-
-    from .agg import bucketed_sum
+def _shingle_hashes_per_row(batch: pa.Table, text_col: str, ngram: int):
+    """Per-record DISTINCT word-``ngram``-shingle FNV64 hashes, flat:
+    returns ``(hashes u64, row_offsets int64[num_rows+1])``.  Shared by
+    the batch set-similarity join AND the persisted index build/probe —
+    the index/probe pair must tokenize identically or the frozen-order
+    contract breaks, so there is exactly one copy of this kernel."""
     from .dedup import _fnv64_arr, _word_ngram_strings
 
-    def gram_hashes(batch: pa.Table):
-        """per-record DISTINCT shingle hashes -> (hashes, row_offsets)."""
-        grams, parents = _word_ngram_strings(batch, text_col, ngram)
-        h = _fnv64_arr(grams)
-        if not len(h):
-            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
-        order = np.lexsort((h, parents))
-        ph, hh = parents[order], h[order]
-        keep = np.ones(len(ph), bool)
-        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
-        ph, hh = ph[keep], hh[keep]
-        offs = np.zeros(batch.num_rows + 1, np.int64)
-        np.add.at(offs, ph + 1, 1)
-        np.cumsum(offs, out=offs)
-        return hh, offs
+    grams, parents = _word_ngram_strings(batch, text_col, ngram)
+    h = _fnv64_arr(grams)
+    if not len(h):
+        return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
+    order = np.lexsort((h, parents))
+    ph, hh = parents[order], h[order]
+    keep = np.ones(len(ph), bool)
+    keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
+    ph, hh = ph[keep], hh[keep]
+    offs = np.zeros(batch.num_rows + 1, np.int64)
+    np.add.at(offs, ph + 1, 1)
+    np.cumsum(offs, out=offs)
+    return hh, offs
 
-    # ---- pass 1: global token frequencies (vocabulary-sized)
+
+def _token_freqs(sources, text_col: str, ngram: int):
+    """Global (token u64, count) over one or more Datasets.
+
+    The result is vocabulary-sized (it is broadcast right after), but
+    the per-block PARTIALS are up to blocks x vocab rows — so they are
+    coalesced through one light repartition + combine stage before the
+    driver pull, bounding the driver at ~8 x vocabulary rows instead of
+    blocks x vocabulary."""
+
     def tok_counts(batch: pa.Table) -> pa.Table:
-        hh, _offs = gram_hashes(batch)
+        hh, _ = _shingle_hashes_per_row(batch, text_col, ngram)
         u, c = np.unique(hh, return_counts=True)
         return pa.table(
             {
@@ -284,170 +258,194 @@ def set_similarity_join(
             }
         )
 
-    # vocabulary-sized by contract (the ranking is broadcast right
-    # after), so the per-block partial counts merge on the driver — no
-    # exchange for a result the driver must hold anyway
-    freq = (
-        r_ds.map_batches(tok_counts, batch_format="pyarrow")
-        .union(s_ds.map_batches(tok_counts, batch_format="pyarrow"))
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch["tok"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, c = t[order], c[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) != 0) + 1))
+        sums = np.add.reduceat(c, starts) if len(c) else c
+        return pa.table(
+            {
+                "tok": pa.array(t[starts], pa.int64()),
+                "c": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = sources[0].map_batches(tok_counts, batch_format="pyarrow")
+    for s in sources[1:]:
+        parts = parts.union(s.map_batches(tok_counts, batch_format="pyarrow"))
+    merged = (
+        parts.repartition(8)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .to_pandas()
         .groupby("tok", as_index=False)["c"]
         .sum()
     )
-    # rarest-first total order; ties by token hash (deterministic)
+    return merged
+
+
+def _freq_rank_ref(freq):
+    """(sorted token keys, rarest-first ranks) broadcast handle from a
+    (tok, c) frame — ONE construction shared by batch join, index save
+    and probe so the total order is identical everywhere."""
+    import ray
+
     toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
     counts = freq["c"].to_numpy(np.int64)
     order = np.lexsort((toks, counts))
     rank_arr = np.empty(len(toks), np.int64)
     rank_arr[order] = np.arange(len(toks))
     key_order = np.argsort(toks)
-    # (token hashes ascending, their rarest-first rank) for searchsorted
-    rank_ref = ray.put((toks[key_order], rank_arr[key_order]))
+    return ray.put((toks[key_order], rank_arr[key_order]))
 
-    def prefix_rows(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            keys, ranks = ray.get(rank_ref)
-            hh, offs = gram_hashes(batch)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            out_t, out_i, out_n = [], [], []
-            rk = ranks[np.searchsorted(keys, hh)]
-            for r in range(batch.num_rows):
-                lo, hi = offs[r], offs[r + 1]
-                n = hi - lo
-                if n == 0:
-                    continue
-                p = n - math.ceil(threshold * n) + 1
+
+# pruning stages (prefix length, length filter) relax the threshold by
+# EPS so binary-float rounding of t*n can never prune a pair whose
+# exact jaccard EQUALS the threshold (e.g. t=9/11, |A|=63, |B|=77:
+# fl(t)*77 > 63 although 63/77 == t); the final verify applies the
+# sharp float predicate, identical to the SQL oracle's
+_SETSIM_EPS = 1e-9
+
+
+def _prefix_len(n: int, threshold: float) -> int:
+    import math
+
+    return n - math.ceil(threshold * n - _SETSIM_EPS) + 1
+
+
+def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
+                    side=None, unseen_after: bool = False):
+    """Builder for the prefix-emission kernel: per record, the
+    ``_prefix_len`` RAREST tokens under the broadcast order become join
+    keys.  ``unseen_after=True`` (probe side of a persisted index)
+    orders tokens missing from the frozen vocabulary after all indexed
+    ones, by hash — a consistent total order, so the prefix lemma
+    holds; only pruning power varies."""
+    import ray
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys, ranks = ray.get(rank_ref)
+        hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(hh) and len(keys):
+            pos = np.minimum(np.searchsorted(keys, hh), len(keys) - 1)
+            is_known = keys[pos] == hh
+            rk = np.where(is_known, ranks[pos], 0)
+            unk = (~is_known).astype(np.int64)
+        else:
+            rk = np.zeros(len(hh), np.int64)
+            unk = np.ones(len(hh), np.int64)
+        out_t, out_i, out_n = [], [], []
+        for r in range(batch.num_rows):
+            lo, hi = offs[r], offs[r + 1]
+            n = hi - lo
+            if n == 0:
+                continue
+            p = _prefix_len(n, threshold)
+            if unseen_after:
+                sel = np.lexsort((hh[lo:hi], rk[lo:hi], unk[lo:hi]))[:p]
+            else:
                 sel = np.argsort(rk[lo:hi], kind="stable")[:p]
-                out_t.append(hh[lo:hi][sel])
-                out_i.append(np.full(len(sel), ids[r], np.int64))
-                out_n.append(np.full(len(sel), n, np.int64))
-            if not out_t:
-                return pa.table(
-                    {
-                        "tok": pa.array([], pa.int64()),
-                        "id": pa.array([], pa.int64()),
-                        "n": pa.array([], pa.int64()),
-                        "side": pa.array([], pa.int8()),
-                    }
-                )
-            toks = np.concatenate(out_t).view(np.int64)
-            return pa.table(
-                {
-                    "tok": pa.array(toks, pa.int64()),
-                    "id": pa.array(np.concatenate(out_i), pa.int64()),
-                    "n": pa.array(np.concatenate(out_n), pa.int64()),
-                    "side": pa.array(
-                        np.full(len(toks), side, np.int8), pa.int8()
-                    ),
-                }
+            out_t.append(hh[lo:hi][sel])
+            out_i.append(np.full(len(sel), ids[r], np.int64))
+            out_n.append(np.full(len(sel), n, np.int64))
+        cols = {
+            "tok": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if side is not None:
+            cols["side"] = pa.array([], pa.int8())
+        if n_shards is not None:
+            cols["shard"] = pa.array([], pa.int32())
+        if not out_t:
+            return pa.table(cols)
+        t = np.concatenate(out_t)
+        cols = {
+            "tok": pa.array(t.view(np.int64), pa.int64()),
+            "id": pa.array(np.concatenate(out_i), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        }
+        if side is not None:
+            cols["side"] = pa.array(np.full(len(t), side, np.int8), pa.int8())
+        if n_shards is not None:
+            cols["shard"] = pa.array(
+                (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
             )
+        return pa.table(cols)
 
-        return f
+    return f
 
-    tagged = r_ds.map_batches(prefix_rows(0), batch_format="pyarrow").union(
-        s_ds.map_batches(prefix_rows(1), batch_format="pyarrow")
-    )
 
-    def tok_bucketize(batch: pa.Table) -> pa.Table:
-        h = batch["tok"].to_numpy(zero_copy_only=False).view(np.uint64)
-        return batch.append_column(
-            "bucket",
-            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+def _setsim_candidates(tok, side, ids, ns, threshold, max_group):
+    """Length-filtered cross-side candidate pairs from sorted prefix
+    rows of one bucket/shard — flat arrays; each side of a degenerate
+    token group is capped at ``max_group`` rows with a RuntimeWarning
+    (the minhash kernels' no-silent-cap convention)."""
+    order = np.lexsort((ids, side, tok))
+    tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
+    change = np.flatnonzero(np.diff(tok) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(tok)]))
+    t_lo = threshold - _SETSIM_EPS
+    out_a, out_b = [], []
+    capped = 0
+    for gi in range(len(starts)):
+        s, e = starts[gi], ends[gi]
+        sd = side[s:e]
+        a_idx = np.arange(s, e)[sd == 0]
+        b_idx = np.arange(s, e)[sd == 1]
+        if not a_idx.size or not b_idx.size:
+            continue
+        if len(a_idx) > max_group or len(b_idx) > max_group:
+            capped += max(0, len(a_idx) - max_group) + max(
+                0, len(b_idx) - max_group
+            )
+            a_idx = a_idx[:max_group]  # sides sorted by id within the run
+            b_idx = b_idx[:max_group]
+        na = ns[a_idx][:, None]
+        nb = ns[b_idx][None, :]
+        ok = (t_lo * na <= nb) & (t_lo * nb <= na)
+        ii, jj = np.nonzero(ok)
+        if ii.size:
+            out_a.append(ids[a_idx[ii]])
+            out_b.append(ids[b_idx[jj]])
+    if capped:
+        import warnings
+
+        warnings.warn(
+            f"set-similarity join: {capped} prefix rows beyond "
+            f"max_group={max_group} in degenerate token groups lose "
+            "candidate pairs",
+            RuntimeWarning,
+            stacklevel=2,
         )
-
-    def cand_bucket(g: pa.Table) -> pa.Table:
-        empty = pa.table(
+    if not out_a:
+        return pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
-        if g.num_rows < 2:
-            return empty
-        tok = g["tok"].to_numpy(zero_copy_only=False)
-        side = g["side"].to_numpy(zero_copy_only=False)
-        ids = g["id"].to_numpy(zero_copy_only=False)
-        ns = g["n"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, side, tok))
-        tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
-        change = np.flatnonzero(np.diff(tok) != 0) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(tok)]))
-        out_a, out_b = [], []
-        for gi in range(len(starts)):
-            s, e = starts[gi], ends[gi]
-            sd = side[s:e]
-            r_idx = np.arange(s, e)[sd == 0]
-            s_idx = np.arange(s, e)[sd == 1]
-            if not r_idx.size or not s_idx.size:
-                continue
-            na = ns[r_idx][:, None]
-            nb = ns[s_idx][None, :]
-            ok = (threshold * na <= nb) & (threshold * nb <= na)
-            ii, jj = np.nonzero(ok)
-            if ii.size:
-                out_a.append(ids[r_idx[ii]])
-                out_b.append(ids[s_idx[jj]])
-        if not out_a:
-            return empty
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
-
-    cands = (
-        tagged.map_batches(tok_bucketize, batch_format="pyarrow", batch_size=None)
-        .groupby("bucket")
-        .map_groups(cand_bucket, batch_format="pyarrow")
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
     )
-    distinct = (
-        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c")
-        .drop_columns(["c"])
-        .materialize()  # candidate pairs are near-output-sized after prefix filtering
-    )
-    if distinct.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
 
-    # ---- exact string-set verify (the d05 broadcast semi-join shape)
-    pair_tbl = pa.concat_tables(
-        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
-    )
-    wanted = pa.compute.unique(
-        pa.concat_arrays(
-            [pair_tbl["id_a"].combine_chunks(), pair_tbl["id_b"].combine_chunks()]
-        )
-    )
-    wanted_ref = ray.put(wanted)
 
-    def keep_wanted(batch: pa.Table) -> pa.Table:
-        sel = batch.filter(
-            pa.compute.is_in(
-                batch[id_col].cast(pa.int64()), value_set=ray.get(wanted_ref)
-            )
-        )
-        return pa.table(
-            {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
-        )
-
-    text_map: dict = {}
-    for src in (r_ds, s_ds):
-        for ref in src.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
-    map_ref = ray.put(text_map)
+def _setsim_verify_stage(pair_tbl, text_map_ref, threshold, ngram):
+    """Exact string-set verify over a candidate pair table; the text
+    map is keyed (side, id) so R and S ids may overlap freely.  The
+    emitted jaccard is the sharp i/(|A|+|B|-i) float64 — identical to
+    the SQL oracle's expression."""
+    import ray
+    import ray.data
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(map_ref)
+        lookup = ray.get(text_map_ref)
 
-        def gset(i: int) -> frozenset:
-            ws = (lookup.get(i) or "").split(" ")
+        def gset(key) -> frozenset:
+            ws = (lookup.get(key) or "").split(" ")
             return frozenset(
                 tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)
             )
@@ -455,12 +453,13 @@ def set_similarity_join(
         cache: dict = {}
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = cache.get(a)
+            ka, kb = (0, a), (1, b)
+            sa = cache.get(ka)
             if sa is None:
-                sa = cache[a] = gset(a)
-            sb = cache.get(b)
+                sa = cache[ka] = gset(ka)
+            sb = cache.get(kb)
             if sb is None:
-                sb = cache[b] = gset(b)
+                sb = cache[kb] = gset(kb)
             if not sa or not sb:
                 continue
             i = len(sa & sb)
@@ -488,6 +487,141 @@ def set_similarity_join(
     )
 
 
+def _empty_setsim_result():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
+def _collect_semijoin_texts(ds, wanted_ref, id_col, text_col, side, text_map):
+    """Filter ``ds`` to rows whose id is in the broadcast wanted set and
+    add them to ``text_map`` under (side, id) keys."""
+    import ray
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(
+            pa.compute.is_in(
+                batch[id_col].cast(pa.int64()), value_set=ray.get(wanted_ref)
+            )
+        )
+        return pa.table(
+            {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
+        )
+
+    for ref in ds.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            text_map[(side, i)] = txt
+
+
+def set_similarity_join(
+    r_ds,
+    s_ds,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_buckets: int = 64,
+    max_group: int = 2048,
+):
+    """Exact set-similarity JOIN with prefix filtering: emit
+    ``(id_a from R, id_b from S, jaccard)`` for every cross pair whose
+    DISTINCT word ``ngram``-shingle sets reach Jaccard ``threshold``.
+
+    Standard public construction (Chaudhuri, Ganti & Kaushik 2006
+    "A Primitive Operator for Similarity Joins"; Bayardo, Ma &
+    Srikant 2007 All-Pairs; Xiao et al. 2008 PPJoin): under any fixed
+    global token order, two sets with |A∩B| >= a share a token among
+    the first |A|-a+1 / |B|-a+1 of each, so each record only emits its
+    ``n - ceil(t*n) + 1`` RAREST tokens as join keys — the prefix —
+    and completeness follows for every pair passing the length filter
+    (t*|A| <= |B| and t*|B| <= |A|; pairs failing it cannot reach t).
+    Pruning comparisons are relaxed by 1e-9 so float rounding of t*n
+    never drops an exactly-at-threshold pair; the sharp predicate is
+    applied by the exact verify.
+
+    Ray shape: (1) one token-frequency pass builds the rarest-first
+    ranking (vocabulary-sized; partials coalesced before the driver
+    pull); (2) a second streaming pass emits prefix rows; (3) one
+    token-hash bucket-run generates length-filtered candidate pairs
+    (degenerate token groups capped at ``max_group`` per side with a
+    RuntimeWarning); (4) a bucketed distinct collapses
+    same-pair-via-multiple-tokens; (5) a broadcast-semi-join exact
+    verify recomputes both STRING shingle sets per candidate — keyed
+    (side, id), so R and S id spaces may overlap — and keeps
+    jaccard >= t, so hash collisions can never reach the output."""
+    import ray
+
+    from .agg import bucketed_sum
+
+    freq = _token_freqs([r_ds, s_ds], text_col, ngram)
+    rank_ref = _freq_rank_ref(freq)
+
+    tagged = r_ds.map_batches(
+        _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, None, side=0),
+        batch_format="pyarrow",
+    ).union(
+        s_ds.map_batches(
+            _prefix_rows_fn(
+                rank_ref, threshold, id_col, text_col, ngram, None, side=1
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def tok_bucketize(batch: pa.Table) -> pa.Table:
+        h = batch["tok"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return _setsim_candidates(
+            g["tok"].to_numpy(zero_copy_only=False),
+            g["side"].to_numpy(zero_copy_only=False),
+            g["id"].to_numpy(zero_copy_only=False),
+            g["n"].to_numpy(zero_copy_only=False),
+            threshold,
+            max_group,
+        )
+
+    cands = (
+        tagged.map_batches(tok_bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cand_bucket, batch_format="pyarrow")
+    )
+    distinct = (
+        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
+        .drop_columns(["c"])
+        .materialize()  # candidate pairs are near-output-sized after prefix filtering
+    )
+    if distinct.count() == 0:
+        return _empty_setsim_result()
+
+    pair_tbl = pa.concat_tables(
+        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
+    )
+    text_map: dict = {}
+    a_ids = pa.compute.unique(pair_tbl["id_a"].combine_chunks())
+    b_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
+    _collect_semijoin_texts(r_ds, ray.put(a_ids), id_col, text_col, 0, text_map)
+    _collect_semijoin_texts(s_ds, ray.put(b_ids), id_col, text_col, 1, text_map)
+    return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)
+
+
 def save_setsim_index(
     ds,
     path: str,
@@ -511,96 +645,21 @@ def save_setsim_index(
     shared by index and probe — it is frozen at index time, and tokens
     unseen then order after all indexed tokens by hash, which keeps
     the prefix lemma valid: any consistent total order works, only
-    pruning power varies)."""
+    pruning power varies).  The tokenizer, ranking and prefix kernels
+    are the SHARED module helpers, so index and probe cannot drift."""
     import json
-    import math
     import os
 
-    import ray
-
-    from .dedup import _fnv64_arr, _word_ngram_strings
-
-    def gram_hashes(batch: pa.Table):
-        grams, parents = _word_ngram_strings(batch, text_col, ngram)
-        h = _fnv64_arr(grams)
-        if not len(h):
-            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
-        order = np.lexsort((h, parents))
-        ph, hh = parents[order], h[order]
-        keep = np.ones(len(ph), bool)
-        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
-        ph, hh = ph[keep], hh[keep]
-        offs = np.zeros(batch.num_rows + 1, np.int64)
-        np.add.at(offs, ph + 1, 1)
-        np.cumsum(offs, out=offs)
-        return hh, offs
-
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        hh, _ = gram_hashes(batch)
-        u, c = np.unique(hh, return_counts=True)
-        return pa.table(
-            {
-                "tok": pa.array(u.view(np.int64), pa.int64()),
-                "c": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    # vocabulary-sized by contract (frozen + broadcast): driver merge
-    freq = (
-        ds.map_batches(tok_counts, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("tok", as_index=False)["c"]
-        .sum()
-    )
-    toks = freq["tok"].to_numpy(np.int64).view(np.uint64)
-    counts = freq["c"].to_numpy(np.int64)
-    order = np.lexsort((toks, counts))
-    rank_arr = np.empty(len(toks), np.int64)
-    rank_arr[order] = np.arange(len(toks))
-    key_order = np.argsort(toks)
-    rank_ref = ray.put((toks[key_order], rank_arr[key_order]))
-
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        keys, ranks = ray.get(rank_ref)
-        hh, offs = gram_hashes(batch)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        rk = ranks[np.searchsorted(keys, hh)] if len(hh) else np.empty(0, np.int64)
-        out_t, out_i, out_n = [], [], []
-        for r in range(batch.num_rows):
-            lo, hi = offs[r], offs[r + 1]
-            n = hi - lo
-            if n == 0:
-                continue
-            p = n - math.ceil(threshold * n) + 1
-            sel = np.argsort(rk[lo:hi], kind="stable")[:p]
-            out_t.append(hh[lo:hi][sel])
-            out_i.append(np.full(len(sel), ids[r], np.int64))
-            out_n.append(np.full(len(sel), n, np.int64))
-        if not out_t:
-            return pa.table(
-                {
-                    "tok": pa.array([], pa.int64()),
-                    "id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "shard": pa.array([], pa.int32()),
-                }
-            )
-        t = np.concatenate(out_t)
-        return pa.table(
-            {
-                "tok": pa.array(t.view(np.int64), pa.int64()),
-                "id": pa.array(np.concatenate(out_i), pa.int64()),
-                "n": pa.array(np.concatenate(out_n), pa.int64()),
-                "shard": pa.array(
-                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
+    freq = _token_freqs([ds], text_col, ngram)
+    rank_ref = _freq_rank_ref(freq)
 
     os.makedirs(os.path.join(path, "prefix"), exist_ok=True)
-    ds.map_batches(prefix_rows, batch_format="pyarrow").write_parquet(
-        os.path.join(path, "prefix"), partition_cols=["shard"]
-    )
+    ds.map_batches(
+        _prefix_rows_fn(
+            rank_ref, threshold, id_col, text_col, ngram, n_shards
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(path, "prefix"), partition_cols=["shard"])
 
     def text_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -608,9 +667,7 @@ def save_setsim_index(
             {
                 "id": pa.array(ids, pa.int64()),
                 "text": batch[text_col],
-                "shard": pa.array(
-                    (ids % n_shards).astype(np.int32), pa.int32()
-                ),
+                "shard": pa.array((ids % n_shards).astype(np.int32), pa.int32()),
             }
         )
 
@@ -633,24 +690,23 @@ def save_setsim_index(
         )
 
 
-def probe_setsim_index(new_ds, path: str, n_buckets: int = 64):
+def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
+                       max_group: int = 2048):
     """Probe a :func:`save_setsim_index` index with NEW documents ->
     exact ``(id_a = indexed id, id_b = new id, jaccard)`` pairs at the
     index's threshold.  Only the delta's prefix rows are exchanged
     (one groupby on the token shard); each shard group's kernel reads
     its matching prefix shard in-task (path-pruned), and the exact
     verify reads only the texts/ shards that candidate OLD ids hash to
-    — nothing about the index is ever scanned in full."""
+    — nothing about the index is ever scanned in full.  Verify texts
+    are keyed (side, id), so indexed and delta id spaces may overlap."""
     import glob as _glob
     import json
-    import math
     import os
 
     import ray
-    import ray.data
 
     from .agg import bucketed_sum
-    from .dedup import _fnv64_arr, _word_ngram_strings
 
     with open(os.path.join(path, "index_meta.json")) as f:
         meta = json.load(f)
@@ -659,82 +715,9 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64):
     n_shards = meta["n_shards"]
     id_col = meta["id_col"]
     text_col = meta["text_col"]
-    import pandas as _pd
 
-    vocab = _pd.read_parquet(os.path.join(path, "vocab.parquet"))
-    toks = vocab["tok"].to_numpy(np.int64).view(np.uint64)
-    counts = vocab["c"].to_numpy(np.int64)
-    order = np.lexsort((toks, counts))
-    rank_arr = np.empty(len(toks), np.int64)
-    rank_arr[order] = np.arange(len(toks))
-    key_order = np.argsort(toks)
-    rank_ref = ray.put((toks[key_order], rank_arr[key_order], len(toks)))
-
-    def gram_hashes(batch: pa.Table):
-        grams, parents = _word_ngram_strings(batch, text_col, ngram)
-        h = _fnv64_arr(grams)
-        if not len(h):
-            return np.empty(0, np.uint64), np.zeros(batch.num_rows + 1, np.int64)
-        order = np.lexsort((h, parents))
-        ph, hh = parents[order], h[order]
-        keep = np.ones(len(ph), bool)
-        keep[1:] = (ph[1:] != ph[:-1]) | (hh[1:] != hh[:-1])
-        ph, hh = ph[keep], hh[keep]
-        offs = np.zeros(batch.num_rows + 1, np.int64)
-        np.add.at(offs, ph + 1, 1)
-        np.cumsum(offs, out=offs)
-        return hh, offs
-
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        keys, ranks, v = ray.get(rank_ref)
-        hh, offs = gram_hashes(batch)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(hh):
-            pos = np.searchsorted(keys, hh)
-            pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
-            is_known = (
-                keys[pos] == hh if len(keys) else np.zeros(len(hh), bool)
-            )
-            rk = np.where(is_known, ranks[pos] if len(keys) else 0, 0)
-            # tokens unseen at index time order AFTER all indexed ones,
-            # by hash — a consistent total order (pruning power only)
-            unk = (~is_known).astype(np.int64)
-        else:
-            rk = np.empty(0, np.int64)
-            unk = np.empty(0, np.int64)
-        out_t, out_i, out_n = [], [], []
-        for r in range(batch.num_rows):
-            lo, hi = offs[r], offs[r + 1]
-            n = hi - lo
-            if n == 0:
-                continue
-            p = n - math.ceil(threshold * n) + 1
-            sel = np.lexsort(
-                (hh[lo:hi], rk[lo:hi], unk[lo:hi])
-            )[:p]
-            out_t.append(hh[lo:hi][sel])
-            out_i.append(np.full(len(sel), ids[r], np.int64))
-            out_n.append(np.full(len(sel), n, np.int64))
-        if not out_t:
-            return pa.table(
-                {
-                    "tok": pa.array([], pa.int64()),
-                    "id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "shard": pa.array([], pa.int32()),
-                }
-            )
-        t = np.concatenate(out_t)
-        return pa.table(
-            {
-                "tok": pa.array(t.view(np.int64), pa.int64()),
-                "id": pa.array(np.concatenate(out_i), pa.int64()),
-                "n": pa.array(np.concatenate(out_n), pa.int64()),
-                "shard": pa.array(
-                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
+    vocab = pd.read_parquet(os.path.join(path, "vocab.parquet"))
+    rank_ref = _freq_rank_ref(vocab)
 
     empty_pairs = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
@@ -777,55 +760,26 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64):
                 g["n"].to_numpy(zero_copy_only=False),
             ]
         )
-        order = np.lexsort((ids, side, tok))
-        tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
-        change = np.flatnonzero(np.diff(tok) != 0) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(tok)]))
-        out_a, out_b = [], []
-        for gi in range(len(starts)):
-            s, e = starts[gi], ends[gi]
-            sd = side[s:e]
-            o_idx = np.arange(s, e)[sd == 0]
-            n_idx = np.arange(s, e)[sd == 1]
-            if not o_idx.size or not n_idx.size:
-                continue
-            na = ns[o_idx][:, None]
-            nb = ns[n_idx][None, :]
-            ok = (threshold * na <= nb) & (threshold * nb <= na)
-            ii, jj = np.nonzero(ok)
-            if ii.size:
-                out_a.append(ids[o_idx[ii]])
-                out_b.append(ids[n_idx[jj]])
-        if not out_a:
-            return empty_pairs
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
+        return _setsim_candidates(tok, side, ids, ns, threshold, max_group)
 
     cands = (
-        new_ds.map_batches(prefix_rows, batch_format="pyarrow")
+        new_ds.map_batches(
+            _prefix_rows_fn(
+                rank_ref, threshold, id_col, text_col, ngram, n_shards,
+                unseen_after=True,
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("shard")
         .map_groups(probe_shard, batch_format="pyarrow")
     )
     distinct = (
-        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c")
+        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
         .drop_columns(["c"])
         .materialize()
     )
     if distinct.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return _empty_setsim_result()
 
     pair_tbl = pa.concat_tables(
         [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
@@ -843,63 +797,10 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64):
             sel = t.filter(
                 pa.compute.is_in(t["id"], value_set=pa.array(old_ids, pa.int64()))
             )
-            text_map.update(zip(sel["id"].to_pylist(), sel["text"].to_pylist()))
-    # new texts: semi-join filter of the delta
+            for i, txt in zip(sel["id"].to_pylist(), sel["text"].to_pylist()):
+                text_map[(0, i)] = txt
     new_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
-    new_ids_ref = ray.put(new_ids)
-
-    def keep_wanted(batch: pa.Table) -> pa.Table:
-        sel = batch.filter(
-            pa.compute.is_in(
-                batch[id_col].cast(pa.int64()), value_set=ray.get(new_ids_ref)
-            )
-        )
-        return pa.table(
-            {id_col: sel[id_col].cast(pa.int64()), text_col: sel[text_col]}
-        )
-
-    for ref in new_ds.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
-        text_map.update(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
-    map_ref = ray.put(text_map)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(map_ref)
-
-        def gset(i: int) -> frozenset:
-            ws = (lookup.get(i) or "").split(" ")
-            return frozenset(
-                tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)
-            )
-
-        cache: dict = {}
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
-            sa = cache.get(a)
-            if sa is None:
-                sa = cache[a] = gset(a)
-            sb = cache.get(b)
-            if sb is None:
-                sb = cache[b] = gset(b)
-            if not sa or not sb:
-                continue
-            i = len(sa & sb)
-            j = i / (len(sa) + len(sb) - i)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype="int64"),
-                "id_b": pd.Series(out_b, dtype="int64"),
-                "jaccard": pd.Series(out_j, dtype="float64"),
-            }
-        )
-
-    n_out = max(1, min(64, pair_tbl.num_rows // 2048))
-    return (
-        ray.data.from_arrow(pair_tbl)
-        .repartition(n_out)
-        .map_batches(verify, batch_format="pandas")
+    _collect_semijoin_texts(
+        new_ds, ray.put(new_ids), id_col, text_col, 1, text_map
     )
+    return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)

@@ -258,3 +258,44 @@ class TestSetSimIncremental:
         b = batch.sort_values(list(batch.columns)).reset_index(drop=True)
         assert len(a) > 0
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSetSimEdgeCases:
+    def test_overlapping_id_spaces(self, ray_session):
+        """R and S may reuse the same ids: verify texts are keyed
+        (side, id), so S's id-2 text must not shadow R's id-2 text."""
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+        R = ray.data.from_items([{"doc_id": 2, "text": shared}])
+        S = ray.data.from_items(
+            [
+                {"doc_id": 2, "text": "completely different words in this s-side record here"},
+                {"doc_id": 7, "text": shared},
+            ]
+        )
+        out = set_similarity_join(R, S, threshold=0.5).to_pandas()
+        got = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+        assert got == {(2, 7): 1.0}
+
+    def test_exactly_at_threshold_not_pruned(self, ray_session):
+        """threshold = 9/11 with |A|=63 trigrams subset of |B|=77:
+        jaccard == threshold exactly, but fl(t)*77 > 63 — the pruning
+        stages must not drop it (they relax by epsilon; the sharp
+        predicate runs in the verify)."""
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        words = [f"u{i:03d}" for i in range(79)]
+        b_text = " ".join(words)          # 77 distinct trigrams
+        a_text = " ".join(words[:65])     # 63 distinct trigrams, subset
+        R = ray.data.from_items([{"doc_id": 0, "text": a_text}])
+        S = ray.data.from_items([{"doc_id": 1, "text": b_text}])
+        t = 9 / 11
+        out = set_similarity_join(R, S, threshold=t).to_pandas()
+        assert len(out) == 1
+        assert out["jaccard"].iloc[0] == 63 / 77
+        assert out["jaccard"].iloc[0] >= t
