@@ -141,18 +141,22 @@ def _sig_matrix(col) -> np.ndarray:
 
 
 def exact_dedup(ds, id_col: str, content_col: str, n_buckets: int = 64):
-    """Keep the min-id row per distinct content value (hash-partitioned)."""
+    """Keep the min-id row per distinct content value (hash-partitioned).
 
-    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch[content_col].map(hash_u32)
+    Content hashing is the vectorized FNV64 byte-fold (:func:`_fnv64_arr`)
+    — the former per-row ``.map(hash_u32)`` was a Python loop over the
+    full corpus in the stage billed as the 100-TB exact-dedup shape."""
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        h = _fnv64_arr(batch[content_col])
         out = pd.DataFrame(
             {
-                id_col: batch[id_col],
-                "content_hash": h.astype("int64"),
-                content_col: batch[content_col],
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "content_hash": h.view(np.int64),
+                content_col: batch[content_col].to_pandas(),
             }
         )
-        out["bucket"] = (h % n_buckets).astype("int32")
+        out["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
         return out
 
     def first(group: pd.DataFrame) -> pd.DataFrame:
@@ -161,7 +165,7 @@ def exact_dedup(ds, id_col: str, content_col: str, n_buckets: int = 64):
         return out[[id_col, "content_hash"]]
 
     return (
-        ds.map_batches(keyed, batch_format="pandas", batch_size=8192)
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
         .map_groups(first, batch_format="pandas")
     )
