@@ -5301,25 +5301,27 @@ def p03_curation_pipeline(sf_dir: str):
     Output: surviving (doc_id, n_words).  The SQL oracle composes the
     same three relational steps, so a drift in ANY stage (regex
     semantics, filter bound, dedup tie-break) breaks the hash."""
+    from ..stages.dedup import _fnv64_arr
     from ..stages.text import normalize_text
-    from ..testdata import hash_u32
 
     ds = normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
 
     def filt(batch: pa.Table) -> pd.DataFrame:
-        split = pc.split_pattern(batch["norm_text"].combine_chunks(), " ")
+        norm = batch["norm_text"].combine_chunks()
+        split = pc.split_pattern(norm, " ")
         n = pc.list_value_length(split).to_numpy()
         keep = (n >= 20) & (n <= 80)
+        # vectorized FNV64 content buckets (full-corpus stage — no
+        # per-row Python hash loop)
+        h = _fnv64_arr(norm)
         df = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
-                "norm_text": batch["norm_text"].to_pandas(),
+                "norm_text": norm.to_pandas(),
                 "n_words": n.astype(np.int64),
+                "bucket": (h % np.uint64(64)).astype("int32"),
             }
         )[keep]
-        df["bucket"] = (
-            df["norm_text"].map(hash_u32) % 64
-        ).astype("int32")
         return df
 
     def first_per_text(group: pd.DataFrame) -> pd.DataFrame:

@@ -1248,10 +1248,18 @@ def keep_best_dedup(
     the full content inside the bucket kernel.
     """
 
-    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch[content_col].map(hash_u32)
-        out = batch[[id_col, content_col, priority_col]].copy()
-        out["bucket"] = (h % n_buckets).astype("int32")
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        # vectorized FNV64 byte-folds, not a per-row Python hash loop
+        # (this stage scans the full corpus)
+        h = _fnv64_arr(batch[content_col])
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                content_col: batch[content_col].to_pandas(),
+                priority_col: batch[priority_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        out["bucket"] = (h % np.uint64(n_buckets)).astype("int32")
         return out
 
     def best(group: pd.DataFrame) -> pd.DataFrame:
@@ -1263,7 +1271,7 @@ def keep_best_dedup(
         return out[[id_col, priority_col]]
 
     return (
-        ds.map_batches(keyed, batch_format="pandas", batch_size=8192)
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
         .map_groups(best, batch_format="pandas")
     )
