@@ -1365,7 +1365,7 @@ def _ann_recall_vs_exact(sf_dir: str, method: str, k: int = 5, min_hits: int = 4
         from ..stages.ann import pq_topk_indexed, save_pq_index
 
         def ann_fn(ds, q, k):
-            path = f"/tmp/naer_pq_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+            path = f"/tmp/naer_pq_index/{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
             shutil.rmtree(path, ignore_errors=True)
             save_pq_index(ds, path)
             return pq_topk_indexed(path, q, k=k)
@@ -4390,7 +4390,7 @@ def d11_incremental_dedup(sf_dir: str):
 
     from ..stages.dedup import minhash_probe_index, save_minhash_index
 
-    path = f"/tmp/naer_minhash_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"/tmp/naer_minhash_index/{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(path, ignore_errors=True)
     docs = _read_wide(sf_dir, "documents", ["doc_id", "text"])
     save_minhash_index(docs, path)
@@ -5916,7 +5916,7 @@ def j03_setsim_incremental(sf_dir: str):
 
         return f
 
-    path = f"/tmp/naer_setsim_index/{_os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"/tmp/naer_setsim_index/{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(path, ignore_errors=True)
     save_setsim_index(
         ds.map_batches(half(True), batch_format="pyarrow"), path, threshold=0.5

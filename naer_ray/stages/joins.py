@@ -433,6 +433,15 @@ def _setsim_candidates(tok, side, ids, ns, threshold, max_group):
     )
 
 
+def _setsim_gram_set(text, ngram: int) -> frozenset:
+    """The sharp verify's shingle set: word ``ngram`` tuples over a
+    plain ``split(" ")`` — ONE definition shared by the broadcast and
+    co-partition verify kernels so the two strategies are bit-identical
+    (and both match the SQL oracle's expression)."""
+    ws = (text or "").split(" ")
+    return frozenset(tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1))
+
+
 def _setsim_verify_stage(pair_tbl, text_map_ref, threshold, ngram):
     """Exact string-set verify over a candidate pair table; the text
     map is keyed (side, id) so R and S ids may overlap freely.  The
@@ -444,22 +453,16 @@ def _setsim_verify_stage(pair_tbl, text_map_ref, threshold, ngram):
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(text_map_ref)
 
-        def gset(key) -> frozenset:
-            ws = (lookup.get(key) or "").split(" ")
-            return frozenset(
-                tuple(ws[j : j + ngram]) for j in range(len(ws) - ngram + 1)
-            )
-
         cache: dict = {}
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["id_a"], batch["id_b"]):
             ka, kb = (0, a), (1, b)
             sa = cache.get(ka)
             if sa is None:
-                sa = cache[ka] = gset(ka)
+                sa = cache[ka] = _setsim_gram_set(lookup.get(ka), ngram)
             sb = cache.get(kb)
             if sb is None:
-                sb = cache[kb] = gset(kb)
+                sb = cache[kb] = _setsim_gram_set(lookup.get(kb), ngram)
             if not sa or not sb:
                 continue
             i = len(sa & sb)
@@ -487,6 +490,59 @@ def _setsim_verify_stage(pair_tbl, text_map_ref, threshold, ngram):
     )
 
 
+def _setsim_verify_copartition(distinct_ds, a_texts_ds, b_texts_ds, threshold,
+                               ngram, id_col, text_col, n_buckets):
+    """Large-pair verify: NOTHING is pulled to the driver.  Two bucketed
+    co-partition passes (dedup._attach_text — the d05 planner's scale
+    arm) attach text_a/text_b to every candidate pair, then a streaming
+    kernel applies the sharp jaccard predicate.  Shuffled volume =
+    pairs + |R| + |S| text rows; driver holds only the plan.  id_a is
+    resolved ONLY against ``a_texts_ds`` and id_b ONLY against
+    ``b_texts_ds``, so overlapping R/S id spaces stay disjoint exactly
+    like the (side, id) keying of the broadcast path."""
+    from .dedup import _attach_text
+
+    base = [("id_a", pa.int64()), ("id_b", pa.int64())]
+    with_a = _attach_text(
+        distinct_ds, a_texts_ds, "id_a", base, "text_a", id_col, text_col,
+        n_buckets,
+    )
+    with_b = _attach_text(
+        with_a, b_texts_ds, "id_b", base + [("text_a", pa.string())],
+        "text_b", id_col, text_col, n_buckets,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(
+            batch["id_a"], batch["id_b"], batch["text_a"], batch["text_b"]
+        ):
+            sa = cache.get((0, a))
+            if sa is None:
+                sa = cache[(0, a)] = _setsim_gram_set(ta, ngram)
+            sb = cache.get((1, b))
+            if sb is None:
+                sb = cache[(1, b)] = _setsim_gram_set(tb, ngram)
+            if not sa or not sb:
+                continue
+            i = len(sa & sb)
+            j = i / (len(sa) + len(sb) - i)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pandas", batch_size=65536)
+
+
 def _empty_setsim_result():
     import ray.data
 
@@ -503,7 +559,9 @@ def _empty_setsim_result():
 
 def _collect_semijoin_texts(ds, wanted_ref, id_col, text_col, side, text_map):
     """Filter ``ds`` to rows whose id is in the broadcast wanted set and
-    add them to ``text_map`` under (side, id) keys."""
+    add them to ``text_map`` under (side, id) keys.  Only called on the
+    BROADCAST verify arm, where the wanted set (and therefore the
+    surviving rows) is bounded by ``broadcast_max_pairs``."""
     import ray
 
     def keep_wanted(batch: pa.Table) -> pa.Table:
@@ -518,8 +576,60 @@ def _collect_semijoin_texts(ds, wanted_ref, id_col, text_col, side, text_map):
 
     for ref in ds.map_batches(keep_wanted, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            text_map[(side, i)] = txt
+        ids = t[id_col].to_pylist()
+        text_map.update(zip(zip([side] * len(ids), ids), t[text_col].to_pylist()))
+
+
+def _setsim_verify_broadcast(distinct_ds, a_texts_ds, b_texts_ds, threshold,
+                             ngram, id_col, text_col):
+    """Small-pair verify arm: pull the (bounded) distinct pair table,
+    semi-join both text sides down to the <= 2x|pairs| referenced
+    documents, broadcast the (side, id) -> text map, verify per batch."""
+    import ray
+
+    pair_tbl = pa.concat_tables(
+        [t for ref in distinct_ds.to_arrow_refs() if (t := ray.get(ref)).num_rows]
+    )
+    text_map: dict = {}
+    a_ids = pa.compute.unique(pair_tbl["id_a"].combine_chunks())
+    b_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
+    _collect_semijoin_texts(
+        a_texts_ds, ray.put(a_ids), id_col, text_col, 0, text_map
+    )
+    _collect_semijoin_texts(
+        b_texts_ds, ray.put(b_ids), id_col, text_col, 1, text_map
+    )
+    return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)
+
+
+def _setsim_verify(distinct_ds, a_texts_ds, b_texts_ds, threshold, ngram,
+                   id_col, text_col, n_buckets, strategy, broadcast_max_pairs):
+    """Size-gated exact-verify planner (the d05 ``strategy="auto"``
+    precedent): candidate-pair tables are near-output-sized after
+    prefix filtering, but a 100-TB similarity self-join can still emit
+    millions — below ``broadcast_max_pairs`` the broadcast semi-join
+    arm wins (one corpus filter pass, tiny driver pull); above it the
+    bucketed co-partition arm keeps the driver out of the data path
+    entirely.  Both arms share :func:`_setsim_gram_set`, so the output
+    is bit-identical either way (forced-strategy equivalence is under
+    test)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if distinct_ds.count() <= broadcast_max_pairs
+            else "copartition"
+        )
+    if strategy == "broadcast":
+        return _setsim_verify_broadcast(
+            distinct_ds, a_texts_ds, b_texts_ds, threshold, ngram, id_col,
+            text_col,
+        )
+    if strategy != "copartition":
+        raise ValueError(f"unknown setsim verify strategy {strategy!r}")
+    return _setsim_verify_copartition(
+        distinct_ds, a_texts_ds, b_texts_ds, threshold, ngram, id_col,
+        text_col, n_buckets,
+    )
 
 
 def set_similarity_join(
@@ -531,6 +641,8 @@ def set_similarity_join(
     ngram: int = 3,
     n_buckets: int = 64,
     max_group: int = 2048,
+    strategy: str = "auto",
+    broadcast_max_pairs: int = 50_000,
 ):
     """Exact set-similarity JOIN with prefix filtering: emit
     ``(id_a from R, id_b from S, jaccard)`` for every cross pair whose
@@ -554,12 +666,12 @@ def set_similarity_join(
     token-hash bucket-run generates length-filtered candidate pairs
     (degenerate token groups capped at ``max_group`` per side with a
     RuntimeWarning); (4) a bucketed distinct collapses
-    same-pair-via-multiple-tokens; (5) a broadcast-semi-join exact
-    verify recomputes both STRING shingle sets per candidate — keyed
-    (side, id), so R and S id spaces may overlap — and keeps
-    jaccard >= t, so hash collisions can never reach the output."""
-    import ray
-
+    same-pair-via-multiple-tokens; (5) a SIZE-GATED exact verify
+    (:func:`_setsim_verify`) recomputes both STRING shingle sets per
+    candidate — broadcast semi-join below ``broadcast_max_pairs``
+    pairs, bucketed co-partition above, both keyed so R and S id
+    spaces may overlap — and keeps jaccard >= t, so hash collisions
+    can never reach the output."""
     from .agg import bucketed_sum
 
     freq = _token_freqs([r_ds, s_ds], text_col, ngram)
@@ -610,16 +722,10 @@ def set_similarity_join(
     )
     if distinct.count() == 0:
         return _empty_setsim_result()
-
-    pair_tbl = pa.concat_tables(
-        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
+    return _setsim_verify(
+        distinct, r_ds, s_ds, threshold, ngram, id_col, text_col, n_buckets,
+        strategy, broadcast_max_pairs,
     )
-    text_map: dict = {}
-    a_ids = pa.compute.unique(pair_tbl["id_a"].combine_chunks())
-    b_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
-    _collect_semijoin_texts(r_ds, ray.put(a_ids), id_col, text_col, 0, text_map)
-    _collect_semijoin_texts(s_ds, ray.put(b_ids), id_col, text_col, 1, text_map)
-    return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)
 
 
 def save_setsim_index(
@@ -646,7 +752,11 @@ def save_setsim_index(
     unseen then order after all indexed tokens by hash, which keeps
     the prefix lemma valid: any consistent total order works, only
     pruning power varies).  The tokenizer, ranking and prefix kernels
-    are the SHARED module helpers, so index and probe cannot drift."""
+    are the SHARED module helpers, so index and probe cannot drift.
+
+    ``path`` must be storage every node shares (probes read shards
+    inside worker tasks); :func:`probe_setsim_index` fails loudly when
+    a worker cannot see the tree."""
     import json
     import os
 
@@ -691,20 +801,30 @@ def save_setsim_index(
 
 
 def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
-                       max_group: int = 2048):
+                       max_group: int = 2048, strategy: str = "auto",
+                       broadcast_max_pairs: int = 50_000):
     """Probe a :func:`save_setsim_index` index with NEW documents ->
     exact ``(id_a = indexed id, id_b = new id, jaccard)`` pairs at the
     index's threshold.  Only the delta's prefix rows are exchanged
     (one groupby on the token shard); each shard group's kernel reads
     its matching prefix shard in-task (path-pruned), and the exact
-    verify reads only the texts/ shards that candidate OLD ids hash to
-    — nothing about the index is ever scanned in full.  Verify texts
-    are keyed (side, id), so indexed and delta id spaces may overlap."""
+    verify (size-gated, :func:`_setsim_verify`) reads the texts/
+    shards through Ray tasks — pruned to the shards candidate OLD ids
+    hash to on the broadcast arm, a full but streaming+co-partitioned
+    read on the large-pair arm — nothing is ever scanned serially on
+    the driver.  Verify texts are keyed (side, id), so indexed and
+    delta id spaces may overlap.
+
+    ``path`` must be a filesystem visible to EVERY node (shared FS /
+    fuse mount / NFS) — shard reads happen inside worker tasks.  A
+    node that can see ``index_meta.json`` but not the ``prefix/`` tree
+    fails loudly instead of silently matching nothing."""
     import glob as _glob
     import json
     import os
 
     import ray
+    import ray.data
 
     from .agg import bucketed_sum
 
@@ -728,11 +848,22 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
 
         if g.num_rows == 0:
             return empty_pairs
+        if not os.path.isdir(os.path.join(path, "prefix")):
+            # the save always creates prefix/ — its absence on THIS node
+            # means the index lives on a filesystem the worker cannot
+            # see; silently returning no matches would be wrong output
+            raise RuntimeError(
+                f"set-similarity index {path!r}: prefix/ tree not visible "
+                "on this worker — the index must live on storage shared "
+                "by every node"
+            )
         shard = g["shard"][0].as_py()
         files = sorted(
             _glob.glob(os.path.join(path, "prefix", f"shard={shard}", "*.parquet"))
         )
         if not files:
+            # a shard dir may legitimately be absent (no token hashed
+            # there at index time) — that is a true no-match
             return empty_pairs
         old = pa.concat_tables(
             [pq.read_table(f, columns=["tok", "id", "n"]) for f in files]
@@ -778,29 +909,60 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
         .drop_columns(["c"])
         .materialize()
     )
-    if distinct.count() == 0:
+    n_pairs = distinct.count()
+    if n_pairs == 0:
         return _empty_setsim_result()
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if n_pairs <= broadcast_max_pairs else "copartition"
+        )
 
-    pair_tbl = pa.concat_tables(
-        [t for ref in distinct.to_arrow_refs() if (t := ray.get(ref)).num_rows]
-    )
-    # old texts: pruned reads of only the id shards candidates touch
-    import pyarrow.parquet as pq
-
-    old_ids = np.unique(pair_tbl["id_a"].to_numpy(zero_copy_only=False))
-    text_map: dict = {}
-    for s in np.unique(old_ids % n_shards):
-        for f in sorted(
-            _glob.glob(os.path.join(path, "texts", f"shard={int(s)}", "*.parquet"))
-        ):
-            t = pq.read_table(f, columns=["id", "text"])
-            sel = t.filter(
-                pa.compute.is_in(t["id"], value_set=pa.array(old_ids, pa.int64()))
+    if strategy == "broadcast":
+        # old-side texts: the candidate OLD ids fit on the driver here
+        # (bounded by broadcast_max_pairs), so prune the read to only
+        # the id shards they hash to — still a Ray read, not a driver
+        # file loop
+        old_id_blocks = [
+            pa.compute.unique(t["id_a"].combine_chunks())
+            for ref in distinct.to_arrow_refs()
+            if (t := ray.get(ref)).num_rows
+        ]
+        old_ids = np.unique(
+            np.concatenate(
+                [b.to_numpy(zero_copy_only=False) for b in old_id_blocks]
             )
-            for i, txt in zip(sel["id"].to_pylist(), sel["text"].to_pylist()):
-                text_map[(0, i)] = txt
-    new_ids = pa.compute.unique(pair_tbl["id_b"].combine_chunks())
-    _collect_semijoin_texts(
-        new_ds, ray.put(new_ids), id_col, text_col, 1, text_map
+        )
+        shard_files = [
+            f
+            for s in np.unique(old_ids % n_shards)
+            for f in sorted(
+                _glob.glob(
+                    os.path.join(path, "texts", f"shard={int(s)}", "*.parquet")
+                )
+            )
+        ]
+        if shard_files:
+            old_texts = ray.data.read_parquet(shard_files, columns=["id", "text"])
+        else:
+            old_texts = ray.data.from_arrow(
+                pa.table({"id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+            )
+    elif strategy == "copartition":
+        # large-pair arm: the whole texts/ tree streams through the
+        # co-partition (two pruned columns of the (id, text, shard)
+        # layout; nothing touches the driver)
+        old_texts = ray.data.read_parquet(
+            os.path.join(path, "texts"), columns=["id", "text"]
+        )
+    else:
+        raise ValueError(f"unknown setsim verify strategy {strategy!r}")
+
+    old_texts = old_texts.map_batches(
+        lambda b: pa.table({id_col: b["id"], text_col: b["text"]}),
+        batch_format="pyarrow",
     )
-    return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)
+    return _setsim_verify(
+        distinct, old_texts, new_ds, threshold, ngram, id_col, text_col,
+        n_buckets, strategy, broadcast_max_pairs,
+    )

@@ -260,6 +260,84 @@ class TestSetSimIncremental:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestSetSimVerifyStrategies:
+    def _corpus(self):
+        R = [
+            {"doc_id": i, "text": " ".join(f"w{(i * 7 + k) % 13}" for k in range(10))}
+            for i in range(0, 40, 2)
+        ]
+        S = [
+            {"doc_id": i, "text": " ".join(f"w{((i - 1) * 7 + k) % 13}" for k in range(10))}
+            for i in range(1, 41, 2)
+        ]
+        return R, S
+
+    def test_forced_copartition_matches_broadcast(self, ray_session):
+        """strategy='copartition' (the 100-TB arm: no driver pair table,
+        no broadcast text map) must be bit-identical to the broadcast
+        arm — the d05 forced-strategy precedent."""
+        import pandas as pd
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        R_rows, S_rows = self._corpus()
+        R, S = ray.data.from_items(R_rows), ray.data.from_items(S_rows)
+        bc = set_similarity_join(R, S, 0.4, strategy="broadcast").to_pandas()
+        co = set_similarity_join(R, S, 0.4, strategy="copartition").to_pandas()
+        bc = bc.sort_values(list(bc.columns)).reset_index(drop=True)
+        co = co.sort_values(list(co.columns)).reset_index(drop=True)
+        assert len(bc) > 0
+        pd.testing.assert_frame_equal(bc, co)
+
+    def test_probe_forced_copartition(self, ray_session, tmp_path):
+        """Incremental probe with the co-partitioned verify (texts/
+        tree streamed through Ray, nothing on the driver) == the
+        broadcast-verified probe == the batch join."""
+        import pandas as pd
+        import ray.data
+
+        from naer_ray.stages.joins import (
+            probe_setsim_index,
+            save_setsim_index,
+            set_similarity_join,
+        )
+
+        R_rows, S_rows = self._corpus()
+        R, S = ray.data.from_items(R_rows), ray.data.from_items(S_rows)
+        path = str(tmp_path / "setsim_index")
+        save_setsim_index(R, path, threshold=0.4)
+        co = probe_setsim_index(S, path, strategy="copartition").to_pandas()
+        bc = probe_setsim_index(S, path, strategy="broadcast").to_pandas()
+        batch = set_similarity_join(R, S, threshold=0.4).to_pandas()
+        co = co.sort_values(list(co.columns)).reset_index(drop=True)
+        bc = bc.sort_values(list(bc.columns)).reset_index(drop=True)
+        batch = batch.sort_values(list(batch.columns)).reset_index(drop=True)
+        assert len(co) > 0
+        pd.testing.assert_frame_equal(co, bc)
+        pd.testing.assert_frame_equal(co, batch)
+
+    def test_overlapping_ids_copartition(self, ray_session):
+        """The co-partition arm resolves id_a only against R and id_b
+        only against S, so overlapping id spaces must not cross-shadow
+        (mirror of the broadcast-arm test below)."""
+        import ray.data
+
+        from naer_ray.stages.joins import set_similarity_join
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+        R = ray.data.from_items([{"doc_id": 2, "text": shared}])
+        S = ray.data.from_items(
+            [
+                {"doc_id": 2, "text": "completely different words in this s-side record here"},
+                {"doc_id": 7, "text": shared},
+            ]
+        )
+        out = set_similarity_join(R, S, threshold=0.5, strategy="copartition").to_pandas()
+        got = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+        assert got == {(2, 7): 1.0}
+
+
 class TestSetSimEdgeCases:
     def test_overlapping_id_spaces(self, ray_session):
         """R and S may reuse the same ids: verify texts are keyed
