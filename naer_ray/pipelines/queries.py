@@ -1707,14 +1707,14 @@ def q21_distinct_count(sf_dir: str):
     sketch in stages/sketch.py)."""
     from ray.data.aggregate import Sum
 
-    from ..testdata import hash_u32
+    from ..stages.dedup import _bucket_series
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.drop_duplicates()
         comb = g["o_orderpriority"].astype(str) + "|" + g["o_custkey"].astype(str)
-        g = g.assign(bucket=(comb.map(hash_u32) % 64).astype("int32"))
+        g = g.assign(bucket=_bucket_series(comb, 64))
         return g
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -5203,7 +5203,7 @@ def e04_triple_spans(sf_dir: str):
     Arrow split) + per-batch (conv, entity) min/max/count partials +
     one key-hash bucket-run merge (min of mins / max of maxes / sum of
     counts are all associative — no corpus-sized shuffle)."""
-    from ..testdata import hash_u32
+    from ..stages.dedup import _bucket_series
 
     ds = _derive_transcripts(sf_dir)
     ents = np.array(sorted(KG_ENTITIES))
@@ -5248,7 +5248,7 @@ def e04_triple_spans(sf_dir: str):
             first_turn=("t", "min"), last_turn=("t", "max"), n_turns=("t", "size")
         )
         comb = g["subj"].astype(str) + "|" + g["conv_id"].astype(str)
-        g["bucket"] = (comb.map(hash_u32) % 64).astype("int32")
+        g["bucket"] = _bucket_series(comb, 64)
         g["subj"] = g["subj"].astype("string")
         g["conv_id"] = g["conv_id"].astype("string")
         return g.astype(

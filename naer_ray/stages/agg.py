@@ -21,16 +21,25 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..testdata import hash_u32
-
 
 def _key_hash(g: pd.DataFrame, keys: list[str]) -> pd.Series:
-    if len(keys) == 1:
-        return g[keys[0]].map(lambda v: hash_u32(str(v)))
+    """Vectorized 32-bit key hash over the (stringified) composite key
+    — the FNV64 Arrow kernel folded to 32 bits so the salted-bucket
+    arithmetic (``hash * salt + sub``) stays well inside int64.  Bucket
+    keys only need determinism + co-location, so swapping the former
+    per-row ``hash_u32`` map for this kernel changes only partitioning,
+    never results."""
+    import pyarrow as pa
+
+    from .dedup import _fnv64_arr
+
     comb = g[keys[0]].astype(str)
     for k in keys[1:]:
         comb = comb + "\x1f" + g[k].astype(str)
-    return comb.map(hash_u32)
+    h = _fnv64_arr(pa.array(comb, from_pandas=True))
+    return pd.Series(
+        (h % np.uint64(1 << 32)).astype(np.int64), index=g.index
+    )
 
 
 def bucketed_sum(

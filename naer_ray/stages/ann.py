@@ -594,12 +594,11 @@ def pq_topk_indexed(path: str, queries: np.ndarray, k: int = 10):
 
     def local(batch: pa.Table) -> pd.DataFrame:
         tb = ray.get(tables_ref)
+        from .dedup import _varlen_buffers
+
         col = batch["codes"].combine_chunks()
         n = len(col)
-        offs = np.frombuffer(col.buffers()[1], np.int32)[
-            col.offset : col.offset + n + 1
-        ]
-        data = np.frombuffer(col.buffers()[2], np.uint8)
+        offs, data = _varlen_buffers(col)
         codes = data[offs[0] : offs[-1]].reshape(n, m).astype(np.int64)
         ids = np.asarray(batch[id_col])
         frames = []

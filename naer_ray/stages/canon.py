@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..names import clean_component_name, normalize_surface
-from ..testdata import hash_u32
+from .dedup import _bucket_series
 
 
 def jaro(s1: str, s2: str) -> float:
@@ -128,9 +128,7 @@ def name_pool_rows(names_ds, name_col: str = "name", aliases_col: str | None = N
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.drop_duplicates()
-        batch["bucket"] = (
-            batch["pool_key"].map(hash_u32).astype("int64") % 64
-        ).astype("int32")
+        batch["bucket"] = _bucket_series(batch["pool_key"], 64)
         return batch
 
     return (
@@ -176,9 +174,9 @@ def similarity_edges(pool_rows, jw_threshold: float = 0.93, max_block: int = 500
 
     def collapse_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["ckey_bucket"] = (
-            batch["pool_key"].str.replace(" ", "", regex=False).map(hash_u32) % 64
-        ).astype("int32")
+        batch["ckey_bucket"] = _bucket_series(
+            batch["pool_key"].str.replace(" ", "", regex=False), 64
+        )
         return batch
 
     exact = (
@@ -260,7 +258,7 @@ def canonical_labels(names_ds, name_col: str = "name", aliases_col: str | None =
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["bucket"] = (batch["node"].map(hash_u32) % 64).astype("int32")
+        batch["bucket"] = _bucket_series(batch["node"], 64)
         return batch
 
     return (

@@ -37,13 +37,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..testdata import hash_u32
-
 
 def _bucket_of(series: pd.Series, n_buckets: int) -> np.ndarray:
     if pd.api.types.is_integer_dtype(series):
         return (series.to_numpy().astype(np.int64) % n_buckets).astype(np.int32)
-    return series.astype(str).map(lambda s: hash_u32(s) % n_buckets).to_numpy(np.int32)
+    from .dedup import _bucket_series
+
+    return _bucket_series(series, n_buckets)
 
 
 def _arrow_schema(ds) -> pa.Schema:

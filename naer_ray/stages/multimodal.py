@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..testdata import hash_u32
+from .dedup import _bucket_series
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -429,7 +430,7 @@ def image_dedup_groups(media_ds, id_col: str = "doc_id",
         g = df.groupby("img_key", as_index=False).agg(
             min_id=(id_col, "min"), n=(id_col, "size")
         )
-        g["bucket"] = (g["img_key"].map(hash_u32) % n_buckets).astype("int32")
+        g["bucket"] = _bucket_series(g["img_key"], n_buckets)
         return g
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
