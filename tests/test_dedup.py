@@ -115,6 +115,31 @@ def test_connected_components_chain(ray_session):
         assert lbl["d"] == lbl["e"] == "d", kwargs
 
 
+def test_connected_components_distributed_random(ray_session):
+    """Forced distributed label-propagation (driver_threshold=0) on a
+    200-edge int-node random graph must agree exactly with the driver
+    union-find fast path — exercises multi-round convergence, the
+    inline changed flags, and the Arrow-native round kernels."""
+    import ray.data
+
+    from naer_ray.stages.dedup import connected_components
+
+    rng = __import__("numpy").random.default_rng(7)
+    edges = [
+        {"id_a": int(a), "id_b": int(b)}
+        for a, b in rng.integers(0, 120, size=(200, 2))
+    ]
+    pairs = ray.data.from_items(edges)
+    fast = connected_components(pairs).to_pandas()
+    dist = connected_components(
+        ray.data.from_items(edges).repartition(5), driver_threshold=0,
+        n_buckets=8,
+    ).to_pandas()
+    f = dict(zip(fast["node"], fast["label"]))
+    d = dict(zip(dist["node"], dist["label"]))
+    assert f == d
+
+
 def test_embedding_neardup(ray_session):
     import ray.data
 
