@@ -495,18 +495,19 @@ def q08_tumbling_hour(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "window_start": batch["ts"].dt.floor("h"),
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
                 "event_type": batch["event_type"],
-                "value_c": np.floor(batch["value"].to_numpy() * 1000 + 0.5).astype(
-                    np.int64
+                "value_c": pa.array(
+                    np.floor(v * 1000 + 0.5).astype(np.int64), pa.int64()
                 ),
             }
         )
 
-    rows = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     agg = bucketed_sum(rows, ["window_start", "event_type"], ["value_c"], count_col="n_events")
     df = agg.to_pandas()
     df["sum_value"] = df.pop("value_c") / 1000.0
@@ -1213,12 +1214,12 @@ def t02_fingerprints(sf_dir: str, n_buckets: int = 64):
 
     fps = fingerprints(_docs_with_mutants(sf_dir))
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["bucket"] = (
-            batch["fingerprint"].to_numpy().astype(np.uint64) % n_buckets
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % n_buckets
         ).astype(np.int32)
-        return batch
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1232,7 +1233,7 @@ def t02_fingerprints(sf_dir: str, n_buckets: int = 64):
         return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64")
 
     pair_ds = (
-        fps.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        fps.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -2790,12 +2791,12 @@ def w02_user_gaps(sf_dir: str, n_buckets: int = 64):
     Single-event users have no gaps and are excluded (HAVING parity)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(
-                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
-            ).astype(np.int32)
-        )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -2817,7 +2818,7 @@ def w02_user_gaps(sf_dir: str, n_buckets: int = 64):
         return out
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(gaps, batch_format="pandas")
     )
@@ -3019,11 +3020,12 @@ def w03_running_revenue(sf_dir: str, n_buckets: int = 64):
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["bucket"] = (
-            batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
-        ).astype("int32")
-        return batch
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -3034,7 +3036,7 @@ def w03_running_revenue(sf_dir: str, n_buckets: int = 64):
         return g[["o_custkey", "o_orderkey", "running_c"]]
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(running, batch_format="pandas")
     )
@@ -3074,12 +3076,12 @@ def q30_set_ops(sf_dir: str):
         )
         return df.groupby("o_custkey", as_index=False).max()
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(
-                batch["o_custkey"].to_numpy().astype(np.int64) % 64
-            ).astype(np.int32)
-        )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % 64
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def classify(group: pd.DataFrame) -> pd.DataFrame:
         m = group.groupby("o_custkey", as_index=False)[["in_a", "in_b"]].max()
@@ -3095,7 +3097,7 @@ def q30_set_ops(sf_dir: str):
     # vectorized per-bucket pandas max is the CLAUDE.md bucket-run rule
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(classify, batch_format="pandas")
     )
@@ -3429,11 +3431,12 @@ def w04_order_ntile(sf_dir: str, k: int = 4, n_buckets: int = 64):
     cumcount + group size — no per-group Python."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["bucket"] = (
-            batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
-        ).astype("int32")
-        return batch
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def ntile(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -3456,7 +3459,7 @@ def w04_order_ntile(sf_dir: str, k: int = 4, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(ntile, batch_format="pandas")
     )
@@ -3480,11 +3483,12 @@ def w05_funnel(sf_dir: str, gap_us: int = 600_000_000, n_buckets: int = 64):
     the LAG window expressed without a global sort."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["bucket"] = (
-            batch["user_id"].to_numpy().astype(np.int64) % n_buckets
-        ).astype("int32")
-        return batch
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -3506,7 +3510,7 @@ def w05_funnel(sf_dir: str, gap_us: int = 600_000_000, n_buckets: int = 64):
         return res
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(funnel, batch_format="pandas")
     )
@@ -3604,19 +3608,21 @@ def w06_retention_cohorts(sf_dir: str, n_buckets: int = 64):
     WEEK_US = 7 * 86_400 * 1_000_000
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        uid = batch["user_id"].to_numpy().astype(np.int64)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         week = (
-            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            // WEEK_US
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // WEEK_US
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uid,
-                "week": week,
-                "bucket": (uid % n_buckets).astype(np.int32),
+                "user_id": pa.array(uid, pa.int64()),
+                "week": pa.array(week, pa.int64()),
+                "bucket": pa.array(
+                    (uid % n_buckets).astype(np.int32), pa.int32()
+                ),
             }
-        ).drop_duplicates()
+        ).group_by(["user_id", "week", "bucket"]).aggregate([])
 
     def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
         df = g[["user_id", "week"]].drop_duplicates()
@@ -3633,7 +3639,7 @@ def w06_retention_cohorts(sf_dir: str, n_buckets: int = 64):
         return p.rename(columns={"size": "n_users"}).astype("int64")
 
     partials = (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(cohort_partial, batch_format="pandas")
     )
@@ -3668,19 +3674,21 @@ def w07_activity_streaks(sf_dir: str, n_buckets: int = 64):
     DAY_US = 86_400 * 1_000_000
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        uid = batch["user_id"].to_numpy().astype(np.int64)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         day = (
-            batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            // DAY_US
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // DAY_US
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uid,
-                "day": day,
-                "bucket": (uid % n_buckets).astype(np.int32),
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "bucket": pa.array(
+                    (uid % n_buckets).astype(np.int32), pa.int32()
+                ),
             }
-        ).drop_duplicates()
+        ).group_by(["user_id", "day", "bucket"]).aggregate([])
 
     def streaks(g: pd.DataFrame) -> pd.DataFrame:
         df = (
@@ -3703,7 +3711,7 @@ def w07_activity_streaks(sf_dir: str, n_buckets: int = 64):
         return res.astype("int64")
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(streaks, batch_format="pandas")
     )
@@ -3742,12 +3750,12 @@ def i01_scd2_intervals(sf_dir: str, n_buckets: int = 64):
     LEAD window machinery and no per-user loop."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(
-                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
-            ).astype(np.int32)
-        )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def intervals(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -3771,7 +3779,7 @@ def i01_scd2_intervals(sf_dir: str, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(intervals, batch_format="pandas")
     )
@@ -3841,13 +3849,15 @@ def _copurchase_edges(sf_dir: str, n_buckets: int = 64):
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch[batch["l_partkey"].to_numpy() % 7 == 0]
-        return b.assign(
-            bucket=(
-                b["l_orderkey"].to_numpy().astype(np.int64) % n_buckets
-            ).astype(np.int32)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pa.array(batch["l_partkey"].to_numpy(zero_copy_only=False) % 7 == 0)
         )
+        b = (
+            keep["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return keep.append_column("bucket", pa.array(b, pa.int32()))
 
     def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = (
@@ -3876,7 +3886,7 @@ def _copurchase_edges(sf_dir: str, n_buckets: int = 64):
         ).drop_duplicates()
 
     pairs = (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(order_pairs, batch_format="pandas")
     )
@@ -4509,12 +4519,12 @@ def w08_dense_rank(sf_dir: str, n_buckets: int = 64):
     cumsum per bucket — no per-customer dispatch, no global sort."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(
-                batch["o_custkey"].to_numpy().astype(np.int64) % n_buckets
-            ).astype(np.int32)
-        )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(
@@ -4540,7 +4550,7 @@ def w08_dense_rank(sf_dir: str, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(rank_kernel, batch_format="pandas")
     )
@@ -4962,12 +4972,12 @@ def i02_cdc_merge(sf_dir: str, n_buckets: int = 64):
     Integer-cents value so the oracle is hash-exact."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(
-            bucket=(
-                batch["user_id"].to_numpy().astype(np.int64) % n_buckets
-            ).astype(np.int32)
-        )
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_buckets
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def merge_apply(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
@@ -4987,7 +4997,7 @@ def i02_cdc_merge(sf_dir: str, n_buckets: int = 64):
         )
 
     return (
-        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
         .map_groups(merge_apply, batch_format="pandas")
     )
