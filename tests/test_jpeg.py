@@ -163,3 +163,63 @@ def test_dc_prediction_and_restart_reset():
     _, _, rgb_a = decode_jpeg(a)
     _, _, rgb_b = decode_jpeg(b)
     assert np.array_equal(rgb_a, rgb_b)
+
+
+class TestMjpegAvi:
+    def test_round_trip_matches_closed_form(self):
+        """Container walk + per-frame decode must reproduce the
+        generator arithmetic bit-exactly (the m10 oracle's claim)."""
+        import numpy as np
+
+        from naer_ray.stages.multimodal import (
+            decode_mjpeg_avi,
+            synth_mjpeg_avi_payload,
+        )
+
+        for d in (0, 1, 2, 3, 5, 12, 33):
+            frames = decode_mjpeg_avi(synth_mjpeg_avi_payload(d))
+            assert len(frames) == 1 + d % 4
+            bw, bh = 1 + (d * 7) % 4, 1 + (d * 11) % 4
+            w, h = frames[0][0], frames[0][1]
+            assert (w, h) == (8 * bw, 8 * bh)
+            for f, (fw, fh, _rgb, ycc) in enumerate(frames):
+                vy = np.array(
+                    [(d * 5 + f * 13 + i * 37) % 256 for i in range(bw * bh)],
+                    np.int64,
+                )
+                assert int(ycc[:, 0].astype(np.int64).sum()) == int(vy.sum()) * 64
+
+    def test_container_validation(self):
+        import struct
+
+        import pytest
+
+        from naer_ray.stages.multimodal import (
+            decode_mjpeg_avi,
+            synth_mjpeg_avi_payload,
+        )
+
+        good = synth_mjpeg_avi_payload(5)  # 2 frames
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_mjpeg_avi(b"JUNK" + good[4:])
+        with pytest.raises(ValueError, match="AVI"):
+            decode_mjpeg_avi(good[:8] + b"WAVE" + good[12:])
+        # drop the movi list's SECOND frame chunk but keep the avih
+        # count -> loud frame-count mismatch, not a silent short read
+        # (search inside movi only: idx1 also contains 00dc fourccs)
+        movi_at = good.index(b"movi")
+        idx1_at = good.index(b"idx1")
+        first = good.index(b"00dc", movi_at, idx1_at)
+        idx = good.index(b"00dc", first + 4, idx1_at)
+        size = struct.unpack("<I", good[idx + 4 : idx + 8])[0]
+        removed = 8 + size + (size & 1)
+        clipped = bytearray(good)
+        del clipped[idx : idx + removed]
+        # fix the movi LIST and RIFF sizes so the walk stays in bounds
+        li = movi_at - 8  # the movi LIST header precedes its form type
+        lsz = struct.unpack("<I", bytes(clipped[li + 4 : li + 8]))[0]
+        clipped[li + 4 : li + 8] = struct.pack("<I", lsz - removed)
+        rsz = struct.unpack("<I", bytes(clipped[4:8]))[0]
+        clipped[4:8] = struct.pack("<I", rsz - removed)
+        with pytest.raises(ValueError, match="frame count mismatch"):
+            decode_mjpeg_avi(bytes(clipped))
