@@ -3276,7 +3276,165 @@ FROM events GROUP BY event_type
 """
 
 
-def g01_pagerank(sf_dir: str, iters: int = 3):
+def _graph_bucket(arr: np.ndarray, n_buckets: int) -> np.ndarray:
+    """splitmix bucket keys for int64 node ids (one definition shared
+    by every stage of a co-partitioned graph iteration — co-location
+    breaks if two stages hash differently)."""
+    with np.errstate(over="ignore"):
+        v = arr.astype(np.uint64, copy=False)
+        h = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _pagerank_copartition(edges, iters: int, scale: int, n_buckets: int = 64):
+    """PageRank for graphs whose dense node vector exceeds worker RAM —
+    the co-partition fallback the g01 docstring promises: ranks/degrees
+    live in a DISTRIBUTED (node, rank, deg) state dataset co-partitioned
+    with the edges by node hash; each iteration is exactly two bucketed
+    exchanges (contrib emit, contrib sum + apply) and the driver never
+    holds anything node-sized until the final result pull.  Identical
+    scaled-int64 arithmetic to the dense path (rank//deg contribs,
+    base + (85*s)//100 apply), so the same 3-round SQL oracle gates
+    both paths bit-exactly."""
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+
+    deg = bucketed_sum(edges, ["src"], [], count_col="deg").materialize()
+    n = deg.count()
+    r0 = scale // n
+    base = (15 * (scale // n)) // 100
+
+    def edge_tagged(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(src)
+        return pa.table(
+            {
+                "node": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "rank": pa.nulls(m, pa.int64()),
+                "deg": pa.nulls(m, pa.int64()),
+                "kind": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(src, n_buckets), pa.int32()),
+            }
+        )
+
+    edges_t = edges.map_batches(
+        edge_tagged, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+
+    def deg_tagged(batch: pa.Table) -> pa.Table:
+        node = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(node)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "c": pa.array(d, pa.int64()),  # deg travels in the c slot
+                "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(node, n_buckets), pa.int32()),
+            }
+        )
+
+    deg_t = deg.map_batches(
+        deg_tagged, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+
+    def state0(batch: pa.Table) -> pa.Table:
+        node = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(node)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "dst": pa.nulls(m, pa.int64()),
+                "rank": pa.array(np.full(m, r0, np.int64), pa.int64()),
+                "deg": pa.array(d, pa.int64()),
+                "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(node, n_buckets), pa.int32()),
+            }
+        )
+
+    state = deg.map_batches(
+        state0, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+
+    for _ in range(iters):
+
+        def contrib(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            st = kind == 1
+            s_node = node[st]
+            order = np.argsort(s_node)
+            s_node = s_node[order]
+            s_rank = group["rank"].to_numpy(zero_copy_only=False)[st][order]
+            s_deg = group["deg"].to_numpy(zero_copy_only=False)[st][order]
+            e_src = node[~st]
+            e_dst = group["dst"].to_numpy(zero_copy_only=False)[~st].astype(
+                np.int64
+            )
+            pos = np.searchsorted(s_node, e_src)
+            c = (s_rank[pos].astype(np.int64) // s_deg[pos].astype(np.int64))
+            return pa.table(
+                {
+                    "node": pa.array(e_dst, pa.int64()),
+                    "c": pa.array(c, pa.int64()),
+                    "kind": pa.array(np.zeros(len(e_dst), np.int8), pa.int8()),
+                    "bucket": pa.array(
+                        _graph_bucket(e_dst, n_buckets), pa.int32()
+                    ),
+                }
+            )
+
+        msgs = (
+            state.union(edges_t).groupby("bucket").map_groups(
+                contrib, batch_format="pyarrow"
+            )
+        )
+
+        def apply_rank(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            c = group["c"].to_numpy(zero_copy_only=False)
+            isdeg = kind == 1
+            d_node = node[isdeg]
+            order = np.argsort(d_node)
+            d_node = d_node[order]
+            d_deg = c[isdeg][order].astype(np.int64)
+            m_node = node[~isdeg]
+            m_c = c[~isdeg].astype(np.int64)
+            s = np.zeros(len(d_node), np.int64)
+            np.add.at(s, np.searchsorted(d_node, m_node), m_c)
+            rank = base + (85 * s) // 100
+            m = len(d_node)
+            return pa.table(
+                {
+                    "node": pa.array(d_node, pa.int64()),
+                    "dst": pa.nulls(m, pa.int64()),
+                    "rank": pa.array(rank, pa.int64()),
+                    "deg": pa.array(d_deg, pa.int64()),
+                    "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                    "bucket": pa.array(_graph_bucket(d_node, n_buckets), pa.int32()),
+                }
+            )
+
+        state = (
+            msgs.union(deg_t).groupby("bucket").map_groups(
+                apply_rank, batch_format="pyarrow"
+            )
+        ).materialize()
+
+    df = state.select_columns(["node", "rank"]).to_pandas()
+    df = df.rename(columns={"node": "node_id"}).astype(
+        {"node_id": "int64", "rank": "int64"}
+    )
+    return df.sort_values("node_id", ignore_index=True)
+
+
+def g01_pagerank(sf_dir: str, iters: int = 3, node_threshold: int = 50_000_000):
     """Iterative graph computation: integer-arithmetic PageRank over
     the bidirected part↔supplier graph from DISTINCT lineitem pairs.
 
@@ -3286,19 +3444,18 @@ def g01_pagerank(sf_dir: str, iters: int = 3):
     and the 3-round SQL oracle matches hash-exactly — no float
     summation-order hazard.
 
-    Ray shape: the edge list stays distributed (distinct-ed once via a
-    bucketed sum, materialized, reused every iteration); the node→rank
-    vector is node-sized BY DESIGN (it broadcasts via ``ray.put``), so
-    the per-iteration reduce is node-sized too: each edge block emits
-    ONE dense int64 partial-contribution vector (np.add.at — exact,
-    order-independent) and the driver sums the per-block vectors.
-    That's ZERO shuffles per iteration where the first cut paid a full
-    sort-shuffle of (dst, contrib) partials each round (measured: g01
-    4.0s -> ~1.7s at sf0.1, 3 iters).  Assumption documented: the node
-    set fits worker/driver memory (true for entity/catalog graphs —
-    here max node id = 2*max(partkey, suppkey)+1; a web-scale node set
-    would co-partition ranks with edges by dst and keep the bucketed
-    per-dst sum instead)."""
+    Ray shape, SIZE-GATED on the dense-vector bound: below
+    ``node_threshold`` (max node id + 1; 50M ids = a 400 MB int64
+    vector) the node→rank vector broadcasts via ``ray.put`` and each
+    edge block emits ONE dense int64 partial-contribution vector
+    (np.add.at — exact, order-independent) summed on the driver —
+    ZERO shuffles per iteration (measured: g01 4.0s -> ~1.7s at sf0.1
+    vs the first-cut per-round sort shuffle).  Above the threshold
+    (web-scale node sets) :func:`_pagerank_copartition` keeps ranks in
+    a distributed state dataset co-partitioned with the edges — two
+    bucketed exchanges per iteration, nothing node-sized on the
+    driver.  Both paths share the integer arithmetic and the oracle
+    (forced-path test in tests/test_round3_ops.py)."""
     import ray
 
     from ..stages.agg import bucketed_sum
@@ -3322,6 +3479,8 @@ def g01_pagerank(sf_dir: str, iters: int = 3):
         .drop_columns(["n"])
         .materialize()  # distinct edge list, reused every iteration
     )
+    if edges.max("src") + 1 > node_threshold:
+        return _pagerank_copartition(edges, iters, SCALE)
 
     def _dense_sum(vec_ds) -> np.ndarray:
         """Sum per-block dense int64 vectors (driver-side, node-sized)."""
@@ -5625,26 +5784,167 @@ ORDER BY common_neighbors DESC, u, v LIMIT 20
 """
 
 
-def g04_bfs_levels(sf_dir: str, rounds: int = 3):
+def _bfs_copartition(edges, rounds: int, n_buckets: int = 64):
+    """Multi-source BFS for graphs whose node set exceeds driver RAM —
+    the co-partition fallback of the g04 dense path: the visited
+    (node, dist) state is a DISTRIBUTED dataset co-partitioned with
+    the (bidirected) edges by node hash; each round is two bucketed
+    exchanges (frontier-expand emit, min-dist reduce) and the driver
+    only ever sees the scalar newly-visited count.  Seeds and level
+    semantics identical to the dense path (node %% 70 == 0, hop
+    distance capped at ``rounds``), so the same closed-form SQL oracle
+    gates both paths (forced-path test in tests/test_round3_ops.py)."""
+
+    def edge_tagged(batch: pd.DataFrame) -> pa.Table:
+        u = batch["u"].to_numpy(np.int64)
+        v = batch["v"].to_numpy(np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        m = len(src)
+        return pa.table(
+            {
+                "node": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "dist": pa.nulls(m, pa.int64()),
+                "kind": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(src, n_buckets), pa.int32()),
+            }
+        )
+
+    edges_t = edges.map_batches(
+        edge_tagged, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def seed_rows(batch: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+            )
+        )
+        seeds = nodes[nodes % 70 == 0]
+        m = len(seeds)
+        return pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dst": pa.nulls(m, pa.int64()),
+                "dist": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(seeds, n_buckets), pa.int32()),
+            }
+        )
+
+    # duplicate seed rows across batches are fine: the first min-reduce
+    # collapses them (the connected_components init precedent)
+    state = edges.map_batches(
+        seed_rows, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    for lvl in range(1, rounds + 1):
+
+        def expand(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            st = kind == 1
+            dist = group["dist"].to_numpy(zero_copy_only=False)
+            frontier = np.unique(node[st & (dist == lvl - 1)])
+            e_src = node[kind == 0]
+            e_dst = group["dst"].to_numpy(zero_copy_only=False)[kind == 0]
+            if len(frontier) and len(e_src):
+                pos = np.searchsorted(frontier, e_src)
+                pos[pos >= len(frontier)] = 0
+                hit = frontier[pos] == e_src
+                out = np.unique(e_dst[hit].astype(np.int64))
+            else:
+                out = np.empty(0, np.int64)
+            m = len(out)
+            return pa.table(
+                {
+                    "node": pa.array(out, pa.int64()),
+                    "dst": pa.nulls(m, pa.int64()),
+                    "dist": pa.array(np.full(m, lvl, np.int64), pa.int64()),
+                    "kind": pa.array(np.full(m, 2, np.int8), pa.int8()),
+                    "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                    "bucket": pa.array(_graph_bucket(out, n_buckets), pa.int32()),
+                }
+            )
+
+        msgs = (
+            state.union(edges_t).groupby("bucket").map_groups(
+                expand, batch_format="pyarrow"
+            )
+        )
+
+        def reduce_min(group: pa.Table) -> pa.Table:
+            node = group["node"].to_numpy(zero_copy_only=False)
+            dist = group["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((dist, node))
+            node, dist, kind = node[order], dist[order], kind[order]
+            first = np.r_[True, node[1:] != node[:-1]]
+            out_node = node[first]
+            out_dist = dist[first]  # min dist per node (lexsort)
+            has_state = np.zeros(len(out_node), bool)
+            np.logical_or.at(
+                has_state, np.searchsorted(out_node, node[kind == 1]), True
+            )
+            m = len(out_node)
+            return pa.table(
+                {
+                    "node": pa.array(out_node, pa.int64()),
+                    "dst": pa.nulls(m, pa.int64()),
+                    "dist": pa.array(out_dist, pa.int64()),
+                    "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                    "newly": pa.array(
+                        (~has_state).astype(np.int8), pa.int8()
+                    ),
+                    "bucket": pa.array(
+                        _graph_bucket(out_node, n_buckets), pa.int32()
+                    ),
+                }
+            )
+
+        state = (
+            msgs.union(state).groupby("bucket").map_groups(
+                reduce_min, batch_format="pyarrow"
+            )
+        ).materialize()
+        if not state.sum("newly"):
+            break
+
+    df = state.select_columns(["node", "dist"]).to_pandas()
+    df = df.rename(columns={"node": "node_id"}).astype(
+        {"node_id": "int64", "dist": "int64"}
+    )
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
+def g04_bfs_levels(sf_dir: str, rounds: int = 3, node_threshold: int = 50_000_000):
     """Multi-source BFS levels (shortest hop distance, capped at 3)
     over the shared co-purchase graph — the "how far is every entity
     from a seed set" primitive (taxonomy roots, trusted-domain seeds).
 
-    Ray shape: the distinct edge list stays distributed; each round
-    broadcasts the CURRENT frontier (node-sized, the g01 documented
-    assumption) via ``ray.put``, batches emit ``dst`` partials for
-    edges leaving the frontier (vectorized ``np.isin`` over both
-    directions), and a bucketed distinct reduces them; the driver only
-    ever holds node-sized level sets.  Fixed round count keeps the SQL
-    oracle a closed-form 3-step expansion (the g01 precedent)."""
+    Ray shape, SIZE-GATED like g01: below ``node_threshold`` distinct
+    nodes each round broadcasts the CURRENT frontier (node-sized) via
+    ``ray.put``, batches emit ``dst`` partials for edges leaving the
+    frontier (vectorized ``np.isin`` over both directions), and a
+    bucketed distinct reduces them; the driver only ever holds
+    node-sized level sets.  Above it, :func:`_bfs_copartition` keeps
+    the visited set distributed and co-partitioned with the edges.
+    Fixed round count keeps the SQL oracle a closed-form 3-step
+    expansion (the g01 precedent)."""
     import ray
 
     from ..stages.agg import bucketed_sum
 
     edges = _copurchase_edges(sf_dir)
-    # node set + seeds (node-sized)
-    us = bucketed_sum(edges, ["u"], [], count_col="n").to_pandas()
-    vs = bucketed_sum(edges, ["v"], [], count_col="n").to_pandas()
+    # node set + seeds (node-sized below the gate)
+    us_ds = bucketed_sum(edges, ["u"], [], count_col="n").materialize()
+    vs_ds = bucketed_sum(edges, ["v"], [], count_col="n").materialize()
+    if us_ds.count() + vs_ds.count() > node_threshold:
+        return _bfs_copartition(edges, rounds)
+    us, vs = us_ds.to_pandas(), vs_ds.to_pandas()
     nodes = np.union1d(
         us["u"].to_numpy(np.int64), vs["v"].to_numpy(np.int64)
     )

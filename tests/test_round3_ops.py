@@ -1007,3 +1007,46 @@ class TestUrlNormalize:
         t = parse_normalize_urls(pa.array(["https://localhost:8443/x"]))
         assert t["domain"][0].as_py() == "localhost"
         assert t["url_norm"][0].as_py() == "https://localhost:8443/x"
+
+
+class TestGraphCopartitionFallback:
+    """g01/g04's distributed fallbacks (node set beyond worker/driver
+    RAM) forced via node_threshold=0 must match the SAME DuckDB
+    oracles that gate the dense paths — hash-exact."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("lineitem",):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{self.SF}/{t}.parquet')"
+            )
+        return con.sql(sql).df()
+
+    def test_g01_forced_copartition_vs_oracle(self, ray_session):
+        from naer_ray.pipelines.queries import G01_SQL, g01_pagerank
+
+        got = g01_pagerank(self.SF, node_threshold=0).reset_index(drop=True)
+        want = (
+            self._oracle(G01_SQL)
+            .sort_values("node_id")
+            .reset_index(drop=True)
+            .astype({"node_id": "int64", "rank": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_g04_forced_copartition_vs_oracle(self, ray_session):
+        from naer_ray.pipelines.queries import G04_SQL, g04_bfs_levels
+
+        got = g04_bfs_levels(self.SF, node_threshold=0).reset_index(drop=True)
+        want = (
+            self._oracle(G04_SQL)
+            .sort_values("node_id")
+            .reset_index(drop=True)
+            .astype({"node_id": "int64", "dist": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
