@@ -370,6 +370,12 @@ def _ivf_index(ds, n_lists: int, seed: int, sample_size: int,
         batch_format="pyarrow",
     ).to_pandas().sort_values(id_col)
     mat = np.array(sample[vec_col].to_list(), dtype=np.float64)
+    if len(mat) == 0:
+        raise ValueError(
+            "IVF training sample is empty: no rows had id < sample_size. "
+            "The id-keyed sample assumes vector ids start near 0 — raise "
+            "sample_size or re-key the ids."
+        )
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
     for _ in range(5):
@@ -416,6 +422,12 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 def _pq_train(mat: np.ndarray, m: int, n_codes: int, seed: int) -> np.ndarray:
     """(m, n_codes, dim//m) sub-space codebooks: seeded Lloyd iterations
     per sub-space on L2-normalized training rows (deterministic)."""
+    if mat.shape[0] == 0:
+        raise ValueError(
+            "PQ training sample is empty: no rows had id < sample_size. "
+            "The id-keyed sample assumes vector ids start near 0 — raise "
+            "sample_size or re-key the ids."
+        )
     dim = mat.shape[1]
     sub = dim // m
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -1660,11 +1660,22 @@ def minhash_probe_index(
 
         if g.num_rows == 0:
             return empty
+        if not os.path.isdir(data_root):
+            # the save always creates data/ — its absence on THIS node
+            # means the index lives on storage the worker cannot see;
+            # silently matching nothing would be wrong output
+            raise RuntimeError(
+                f"minhash index {path!r}: data/ tree not visible on this "
+                "worker — the index must live on storage shared by every "
+                "node"
+            )
         shard = g["shard"][0].as_py()
         files = sorted(
             _glob.glob(os.path.join(data_root, f"shard={shard}", "*.parquet"))
         )
         if not files:
+            # a shard dir may legitimately be absent (no band hashed
+            # there at index time) — that is a true no-match
             return empty
         old = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
         if old.num_rows == 0:
@@ -2306,13 +2317,20 @@ def bloom_decontaminate(
     confirmed = (
         tagged.groupby("bucket").map_groups(confirm, batch_format="pyarrow")
     ).to_pandas()
-    contaminated_ids = set(confirmed["cid"].tolist()) if len(confirmed) else set()
+    # sorted int64 array (not a Python set): the flag pass runs over the
+    # ENTIRE training corpus, so membership must be a vectorized
+    # np.isin, not a per-row Python set probe (round-4 ADVICE)
+    contaminated_ids = (
+        np.sort(confirmed["cid"].to_numpy().astype(np.int64))
+        if len(confirmed)
+        else np.empty(0, np.int64)
+    )
     ids_ref = ray.put(contaminated_ids)
 
     def flag(batch: pa.Table) -> pa.Table:
         bad = ray.get(ids_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hit = np.fromiter((i in bad for i in ids.tolist()), bool, count=len(ids))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.isin(ids, bad, assume_unique=False)
         return pa.table(
             {id_col: batch[id_col], "contaminated": pa.array(hit, pa.bool_())}
         )
