@@ -4307,41 +4307,38 @@ def d09_edit_distance_pairs(sf_dir: str):
     exact verify over the corpus vocabulary ∪ planted middle-char
     deletions (the corpus vocab alone has no lev-1 pairs; the planted
     derivation is SQL-expressible, c02 pattern).  Oracle = brute
-    levenshtein join."""
-    from ..stages.agg import bucketed_sum
+    levenshtein join.
+
+    Shuffle budget (round-5 d09 regression root-cause): the pipeline's
+    wall time at test scale is fixed per-exchange latency, not data —
+    so tokenize + variant-planting fuse into ONE corpus pass and the
+    two global string dedups are dropped entirely.  That is safe
+    because :func:`edit_distance_pairs` dedups internally at every
+    level (per-batch strings, per-bucket candidates, bucketed pair
+    reduce), so duplicate input strings across batches cannot change
+    the output pair set."""
     from ..stages.dedup import edit_distance_pairs
     from ..stages.text import _RE2_SPACE_CLASS, _flat_nonempty, _string_array
 
     ds = _read_wide(sf_dir, "documents", ["text"])
 
-    def toks(batch: pa.Table) -> pa.Table:
+    def toks_with_variants(batch: pa.Table) -> pa.Table:
         txt = _string_array(batch["text"])
         flat, _, _ = _flat_nonempty(
             pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), len(txt)
         )
         u = np.unique(flat.to_numpy(zero_copy_only=False))
         u = u[np.char.str_len(u.astype(str)) >= 4]
-        return pa.table({"t": pa.array(u.astype(object), pa.string())})
-
-    vocab = bucketed_sum(
-        ds.map_batches(toks, batch_format="pyarrow"), ["t"], [], count_col="n"
-    ).drop_columns(["n"])
-
-    def with_variants(batch: pa.Table) -> pa.Table:
         out = []
-        for t in batch["t"].to_pylist():  # vocab-sized, not corpus-sized
+        for t in u.tolist():  # batch-vocab-sized, not corpus-sized
             out.append(t)
             p = (len(t) + 1) // 2  # 1-based middle position
             out.append(t[: p - 1] + t[p:])
         return pa.table({"s": pa.array(out, pa.string())})
 
-    strings = bucketed_sum(
-        vocab.map_batches(with_variants, batch_format="pyarrow"),
-        ["s"],
-        [],
-        count_col="n",
-    ).drop_columns(["n"])
-    return edit_distance_pairs(strings)
+    return edit_distance_pairs(
+        ds.map_batches(toks_with_variants, batch_format="pyarrow")
+    )
 
 
 D09_SQL = r"""
