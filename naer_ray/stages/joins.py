@@ -321,7 +321,13 @@ def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
     keys.  ``unseen_after=True`` (probe side of a persisted index)
     orders tokens missing from the frozen vocabulary after all indexed
     ones, by hash — a consistent total order, so the prefix lemma
-    holds; only pruning power varies."""
+    holds; only pruning power varies.
+
+    Each emitted row also carries ``pos`` — the token's 0-based rank
+    within ITS OWN record's global-order sort (the prefix is by
+    construction the first ``p`` of that sort, so positions are just
+    0..p-1).  The candidate kernel uses it for the PPJoin positional
+    filter (Xiao et al. 2008)."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:
@@ -336,7 +342,7 @@ def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
         else:
             rk = np.zeros(len(hh), np.int64)
             unk = np.ones(len(hh), np.int64)
-        out_t, out_i, out_n = [], [], []
+        out_t, out_i, out_n, out_p = [], [], [], []
         for r in range(batch.num_rows):
             lo, hi = offs[r], offs[r + 1]
             n = hi - lo
@@ -350,10 +356,12 @@ def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
             out_t.append(hh[lo:hi][sel])
             out_i.append(np.full(len(sel), ids[r], np.int64))
             out_n.append(np.full(len(sel), n, np.int64))
+            out_p.append(np.arange(len(sel), dtype=np.int32))
         cols = {
             "tok": pa.array([], pa.int64()),
             "id": pa.array([], pa.int64()),
             "n": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int32()),
         }
         if side is not None:
             cols["side"] = pa.array([], pa.int8())
@@ -366,6 +374,7 @@ def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
             "tok": pa.array(t.view(np.int64), pa.int64()),
             "id": pa.array(np.concatenate(out_i), pa.int64()),
             "n": pa.array(np.concatenate(out_n), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int32()),
         }
         if side is not None:
             cols["side"] = pa.array(np.full(len(t), side, np.int8), pa.int8())
@@ -378,13 +387,27 @@ def _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, n_shards,
     return f
 
 
-def _setsim_candidates(tok, side, ids, ns, threshold, max_group):
-    """Length-filtered cross-side candidate pairs from sorted prefix
-    rows of one bucket/shard — flat arrays; each side of a degenerate
-    token group is capped at ``max_group`` rows with a RuntimeWarning
-    (the minhash kernels' no-silent-cap convention)."""
+def _setsim_candidates(tok, side, ids, ns, pos, threshold, max_group):
+    """Length- and position-filtered cross-side candidate pairs from
+    sorted prefix rows of one bucket/shard — flat arrays; each side of
+    a degenerate token group is capped at ``max_group`` rows with a
+    RuntimeWarning (the minhash kernels' no-silent-cap convention).
+
+    Positional filter (PPJoin, Xiao et al. 2008): a pair reaching
+    jaccard t needs overlap >= ceil(t*(|A|+|B|)/(1+t)); an emission at
+    prefix positions (pa, pb) bounds the overlap by
+    ``1 + min(|A|-pa-1, |B|-pb-1)``.  Emissions are OR-combined per
+    pair, and the pair's FIRST shared prefix token (smallest positions
+    on both sides, because both rows sort by the same global order)
+    yields the loosest — and provably valid — bound, so dropping
+    emissions that fail the test never drops a pair that could reach
+    the threshold.  The required-overlap comparison is relaxed by EPS
+    (same convention as the length filter); the exact verify applies
+    the sharp predicate."""
     order = np.lexsort((ids, side, tok))
-    tok, side, ids, ns = tok[order], side[order], ids[order], ns[order]
+    tok, side, ids, ns, pos = (
+        tok[order], side[order], ids[order], ns[order], pos[order]
+    )
     change = np.flatnonzero(np.diff(tok) != 0) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(tok)]))
@@ -407,6 +430,11 @@ def _setsim_candidates(tok, side, ids, ns, threshold, max_group):
         na = ns[a_idx][:, None]
         nb = ns[b_idx][None, :]
         ok = (t_lo * na <= nb) & (t_lo * nb <= na)
+        if ok.any():
+            pa_ = pos[a_idx][:, None].astype(np.int64)
+            pb_ = pos[b_idx][None, :].astype(np.int64)
+            need = np.ceil(t_lo * (na + nb) / (1.0 + t_lo) - _SETSIM_EPS)
+            ok &= (1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)) >= need
         ii, jj = np.nonzero(ok)
         if ii.size:
             out_a.append(ids[a_idx[ii]])
@@ -650,7 +678,8 @@ def set_similarity_join(
 
     Standard public construction (Chaudhuri, Ganti & Kaushik 2006
     "A Primitive Operator for Similarity Joins"; Bayardo, Ma &
-    Srikant 2007 All-Pairs; Xiao et al. 2008 PPJoin): under any fixed
+    Srikant 2007 All-Pairs; Xiao et al. 2008 PPJoin prefix + positional
+    filters): under any fixed
     global token order, two sets with |A∩B| >= a share a token among
     the first |A|-a+1 / |B|-a+1 of each, so each record only emits its
     ``n - ceil(t*n) + 1`` RAREST tokens as join keys — the prefix —
@@ -706,6 +735,7 @@ def set_similarity_join(
             g["side"].to_numpy(zero_copy_only=False),
             g["id"].to_numpy(zero_copy_only=False),
             g["n"].to_numpy(zero_copy_only=False),
+            g["pos"].to_numpy(zero_copy_only=False),
             threshold,
             max_group,
         )
@@ -743,7 +773,7 @@ def save_setsim_index(
     is indexed ONCE and each intake batch probes it instead of
     re-joining the world.
 
-    Layout: ``prefix/shard=<token_h & mask>/`` parquet of (tok, id, n)
+    Layout: ``prefix/shard=<token_h & mask>/`` parquet of (tok, id, n, pos)
     prefix rows — a probe reads only the shards its own prefix tokens
     touch; ``texts/shard=<id & mask>/`` parquet of (id, text) for the
     exact verify (pruned by candidate ids); ``vocab.parquet`` freezes
@@ -866,7 +896,7 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
             # there at index time) — that is a true no-match
             return empty_pairs
         old = pa.concat_tables(
-            [pq.read_table(f, columns=["tok", "id", "n"]) for f in files]
+            [pq.read_table(f, columns=["tok", "id", "n", "pos"]) for f in files]
         )
         if old.num_rows == 0:
             return empty_pairs
@@ -891,7 +921,13 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
                 g["n"].to_numpy(zero_copy_only=False),
             ]
         )
-        return _setsim_candidates(tok, side, ids, ns, threshold, max_group)
+        pos = np.concatenate(
+            [
+                old["pos"].to_numpy(zero_copy_only=False),
+                g["pos"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return _setsim_candidates(tok, side, ids, ns, pos, threshold, max_group)
 
     cands = (
         new_ds.map_batches(
