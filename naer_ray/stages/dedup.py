@@ -1836,6 +1836,26 @@ def _has_shared_span(a: str, b: str, k: int) -> bool:
     return any(b[i : i + k] in grams_a for i in range(len(b) - k + 1))
 
 
+def _sliding_min_u64(a: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (van Herk / Gil–Werman two-pass
+    block scheme) over a uint64 array — 3 passes regardless of ``w``,
+    replacing the O(n*w) ``sliding_window_view(...).min(axis=1)`` in
+    the winnowing hot loop (window=8 paid 8 full passes per chunk)."""
+    n = len(a)
+    m = n - w + 1
+    if m <= 0:
+        return a[:0]
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    nb = -(-n // w)
+    pad = nb * w
+    buf = np.full(pad, sentinel, np.uint64)
+    buf[:n] = a
+    blocks = buf.reshape(nb, w)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:m], pre[w - 1 : w - 1 + m])
+
+
 def duplicated_span_pairs(
     texts_ds,
     id_col: str = "doc_id",
@@ -1907,9 +1927,7 @@ def duplicated_span_pairs(
             # identical full window and therefore select the same
             # minimum VALUE — value-based matching needs no position
             # bookkeeping.
-            h = np.lib.stride_tricks.sliding_window_view(
-                h, winnow_window
-            ).min(axis=1)
+            h = _sliding_min_u64(h, winnow_window)
         m = len(h)
         valid = parent[:m] == parent[span - 1 : span - 1 + m]
         idx = np.flatnonzero(valid)

@@ -436,3 +436,21 @@ class TestNonAsciiRobustness:
         vals = ["déjà", "日本語テキスト", "🎉🎊", "mixed ascii + ünï"]
         got = _fnv64_arr(pa.array(vals, pa.string()))
         assert [int(v) for v in got] == [fnv64(s) for s in vals]
+
+    def test_sliding_min_u64_matches_naive(self):
+        import numpy as np
+
+        from naer_ray.stages.dedup import _sliding_min_u64
+
+        rng = np.random.RandomState(7)
+        for n in [1, 5, 8, 9, 57, 1000]:
+            for w in [2, 3, 8, 16]:
+                a = rng.randint(0, 2**63, size=n).astype(np.uint64)
+                got = _sliding_min_u64(a, w)
+                if n - w + 1 <= 0:
+                    assert len(got) == 0
+                    continue
+                want = np.lib.stride_tricks.sliding_window_view(a, w).min(
+                    axis=1
+                )
+                assert np.array_equal(got, want), (n, w)
