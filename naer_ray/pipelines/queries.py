@@ -6487,6 +6487,29 @@ FROM rgb GROUP BY doc_id, nf, bw, bh
 """
 
 
+def s05_global_sort(sf_dir: str):
+    """Distributed global sort with exact ranks (TeraSort shape —
+    stages/order.range_partition_sort): sampled range bounds partition
+    the corpus in ONE all-to-all exchange, each part sorts locally and
+    emits its exact global ROW_NUMBER from per-part count offsets.
+    Ties (equal values) share a part by construction (searchsorted
+    boundaries) and break on the unique event_id — so the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY value, event_id)`` must match
+    hash-exactly, which verifies the sampling, the boundary
+    assignment, the count offsets AND the within-part sort at once."""
+    from ..stages.order import range_partition_sort
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_partition_sort(ds, "value", "event_id", n_parts=64)
+
+
+S05_SQL = """
+SELECT event_id, value,
+       ROW_NUMBER() OVER (ORDER BY value, event_id) AS global_rank
+FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -6606,4 +6629,5 @@ REGISTRY: dict[str, tuple] = {
     "j02_set_similarity_join": (j02_set_similarity_join, J02_SQL),
     "j03_setsim_incremental": (j03_setsim_incremental, J02_SQL),
     "m10_mjpeg_frames": (m10_mjpeg_frames, M10_SQL),
+    "s05_global_sort": (s05_global_sort, S05_SQL),
 }

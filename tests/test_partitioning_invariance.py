@@ -139,3 +139,49 @@ def test_bloom_decontaminate_invariant_to_buckets_and_blocks(ray_session):
         frames.append(out.sort_values(list(out.columns)).reset_index(drop=True))
     assert frames[0]["contaminated"].sum() >= 10  # the test docs themselves
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_range_partition_sort_invariant_and_exact(ray_session):
+    import numpy as np
+    import ray.data
+
+    from naer_ray.stages.order import range_partition_sort
+
+    frames = []
+    for n_parts, n_blocks, mod in ((4, 2, 17), (64, 13, 101)):
+        ds = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_id", "value"]
+        ).repartition(n_blocks)
+        out = range_partition_sort(
+            ds, "value", "event_id", n_parts=n_parts, sample_mod=mod
+        ).to_pandas()
+        frames.append(
+            out.sort_values("global_rank").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    # ranks are exactly 1..n and the (value, id) order is correct
+    df = frames[0]
+    assert list(df["global_rank"]) == list(range(1, len(df) + 1))
+    key = list(zip(df["value"], df["event_id"]))
+    assert key == sorted(key)
+
+
+def test_range_partition_sort_descending(ray_session):
+    import ray.data
+
+    from naer_ray.stages.order import range_partition_sort
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "value"]
+    ).repartition(5)
+    df = (
+        range_partition_sort(
+            ds, "value", "event_id", n_parts=8, descending=True
+        )
+        .to_pandas()
+        .sort_values("global_rank")
+        .reset_index(drop=True)
+    )
+    key = list(zip(-df["value"], df["event_id"]))
+    assert key == sorted(key)
+    assert list(df["global_rank"]) == list(range(1, len(df) + 1))
