@@ -6510,6 +6510,55 @@ FROM events
 """
 
 
+def d15_remove_duplicated_spans(sf_dir: str):
+    """Substring-dedup APPLY (stages/dedup.remove_duplicated_spans —
+    Lee 2021's cleaning step; d12 only reports the pair signal): every
+    character covered by a corpus-wide >=2-occurrence 40-gram is
+    removed and the survivors concatenate into clean_text.  The SQL
+    oracle re-derives the exact same rule per character (dup gram
+    starts -> a 39-PRECEDING window max marks coverage -> ordered
+    string_agg of the survivors), so the hash match verifies the
+    count pass, the candidate marking, the byte-exact confirm AND the
+    interval-union apply at once."""
+    from ..stages.dedup import remove_duplicated_spans
+
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicated_spans(ds, k=40)
+
+
+D15_SQL = """
+WITH g AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+         substr(text, CAST(j AS INT), 40) AS gram
+  FROM documents,
+       LATERAL unnest(generate_series(1, GREATEST(len(text) - 39, 0))) AS t(j)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+ds AS (SELECT g.doc_id, g.j FROM g JOIN dup USING (gram)),
+chars AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(text))) AS t(i)),
+flag AS (
+  SELECT c.doc_id, c.i, c.ch, CASE WHEN s.j IS NULL THEN 0 ELSE 1 END AS st
+  FROM chars c LEFT JOIN ds s ON c.doc_id = s.doc_id AND c.i = s.j),
+cov AS (
+  SELECT doc_id, i, ch,
+         MAX(st) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS covered
+  FROM flag),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(ch, '' ORDER BY i) FILTER (WHERE covered = 0),
+                  '') AS clean_text,
+         CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS n_removed
+  FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, d.text) AS clean_text,
+       COALESCE(a.n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -6630,4 +6679,5 @@ REGISTRY: dict[str, tuple] = {
     "j03_setsim_incremental": (j03_setsim_incremental, J02_SQL),
     "m10_mjpeg_frames": (m10_mjpeg_frames, M10_SQL),
     "s05_global_sort": (s05_global_sort, S05_SQL),
+    "d15_remove_duplicated_spans": (d15_remove_duplicated_spans, D15_SQL),
 }

@@ -2177,6 +2177,455 @@ def winnowed_span_pairs(
     )
 
 
+def remove_duplicated_spans(
+    texts_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    n_buckets: int = 64,
+    broadcast_max_hashes: int = 500_000,
+    strategy: str = "auto",
+):
+    """Substring-dedup APPLY (Lee et al. 2021, arXiv:2107.06499 — the
+    step that actually CLEANS the corpus; :func:`duplicated_span_pairs`
+    only reports the signal): every character covered by a k-gram that
+    occurs >= 2 times corpus-wide (any doc, any position — including a
+    second occurrence inside the same document) is removed, and the
+    survivors concatenate into ``clean_text``.
+
+    Returns a Dataset of ``(id_col, clean_text, n_removed)`` — one row
+    per input document (empty/short docs pass through untouched).
+
+    Ray shape (exact output, hash collisions can never reach it):
+    1. **Count pass** — vectorized window-FNV over each batch's
+       concatenated bytes (the d12 kernel) -> per-batch partial
+       (gram_h, count) -> one bucketed sum; hashes with count >= 2 are
+       CANDIDATES (true dups ∪ ~zero collisions).  The corpus-sized
+       exchange is 16 bytes/position, same as d12.
+    2. **Mark pass** — a second streaming gram pass keeps positions
+       whose hash is a candidate.  Size-gated like the d05 planner:
+       below ``broadcast_max_hashes`` the sorted candidate array
+       broadcasts (``np.isin``); above it the gram rows co-partition
+       with the candidate hashes on a gram-hash bucket (nothing on the
+       driver).  Candidate-position volume is dup-sized.
+    3. **Exact confirm** — candidate (doc, pos) rows co-partition with
+       the texts on a doc-hash bucket; each doc slices the REAL gram
+       bytes at its candidate positions; one bucketed count by the
+       gram bytes themselves keeps only byte-identical >= 2 grams, so
+       a hash collision dies here instead of corrupting the output.
+    4. **Apply** — confirmed dup starts co-partition with the texts
+       (doc-hash bucket again); per doc a +1/-1 interval-delta cumsum
+       builds the coverage mask and the kept bytes concatenate.
+
+    Positions/characters are BYTE positions — exact for the ASCII
+    corpora these tables hold; a multi-byte UTF-8 corpus needs a
+    char-indexed gram kernel (the SQL oracle's substr() is
+    char-indexed, so the two diverge on non-ASCII input).
+
+    100-TB note: like d12, the count pass exchanges ~1 row per corpus
+    byte.  The Lee et al. production construction is a suffix array
+    per shard; this operator is the exact-semantics building block and
+    the candidate/confirm stages are already output-sized."""
+    import ray
+    import ray.data
+
+    from .agg import bucketed_sum
+
+    def _positions_chunk(bufs):
+        """Concatenated-byte chunk -> (gram_h u64, parent, pos_in_doc,
+        window_view, flat_idx) — the last two let a caller slice the
+        actual gram bytes of selected positions without re-walking."""
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        if len(buf) < k:
+            return None
+        parent = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+        starts_of = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)
+        h = np.full(win.shape[0], np.uint64(14695981039346656037), np.uint64)
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for c in range(k):
+                h = (h ^ win[:, c].astype(np.uint64)) * prime
+        m = len(h)
+        valid = parent[:m] == parent[k - 1 : k - 1 + m]
+        idx = np.flatnonzero(valid)
+        if not idx.size:
+            return None
+        ph = parent[idx]
+        pos = idx - starts_of[ph]
+        return h[idx], ph, pos, win, idx
+
+    def _iter_chunks(batch):
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = [(t or "").encode("utf-8") for t in batch[text_col].to_pylist()]
+        lo, budget = 0, 4 << 20
+        while lo < len(bufs):
+            hi, total = lo, 0
+            while hi < len(bufs) and (total == 0 or total + len(bufs[hi]) <= budget):
+                total += len(bufs[hi])
+                hi += 1
+            yield bufs[lo:hi], ids[lo:hi]
+            lo = hi
+
+    # ---- 1. gram-hash count pass -> candidate hashes (count >= 2)
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        out_h, out_c = [], []
+        for bufs, _ids in _iter_chunks(batch):
+            res = _positions_chunk(bufs)
+            if res is None:
+                continue
+            u, c = np.unique(res[0], return_counts=True)
+            out_h.append(u)
+            out_c.append(c)
+        if not out_h:
+            return pa.table(
+                {"gh": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "gh": pa.array(np.concatenate(out_h).view(np.int64), pa.int64()),
+                "c": pa.array(
+                    np.concatenate(out_c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cand_hashes = (
+        bucketed_sum(
+            texts_ds.map_batches(hash_counts, batch_format="pyarrow"),
+            ["gh"],
+            ["c"],
+            n_buckets=n_buckets,
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["c"], pa.scalar(2, pa.int64()))
+            ).drop_columns(["c"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_cand = cand_hashes.count()
+
+    empty_starts = pa.table(
+        {"doc": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+    )
+    empty_grams = pa.table(
+        {
+            "gram": pa.array([], pa.binary()),
+            "doc": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if n_cand <= broadcast_max_hashes else "copartition"
+        )
+
+    # ---- 2. mark candidate (doc, pos) starts
+    if n_cand == 0:
+        cand_grams = ray.data.from_arrow(empty_grams)
+        cand_starts = None
+    elif strategy == "broadcast":
+        arrs = [
+            t["gh"].to_numpy(zero_copy_only=False)
+            for ref in cand_hashes.to_arrow_refs()
+            if (t := ray.get(ref)).num_rows
+        ]
+        cand_ref = ray.put(
+            np.sort(np.concatenate(arrs).view(np.uint64))
+            if arrs
+            else np.empty(0, np.uint64)
+        )
+
+        def mark(batch: pa.Table) -> pa.Table:
+            """Candidate positions WITH their gram bytes: the text is in
+            hand here, so emitting the (candidate-sized) bytes now lets
+            the exact confirm run off one bucketed count instead of an
+            extra doc co-partition round."""
+            cand = ray.get(cand_ref)
+            out_g, out_d, out_p = [], [], []
+            for bufs, ids in _iter_chunks(batch):
+                res = _positions_chunk(bufs)
+                if res is None:
+                    continue
+                hh, ph, pos, win, idx = res
+                hit = np.flatnonzero(np.isin(hh, cand))
+                if hit.size:
+                    sel = np.ascontiguousarray(win[idx[hit]])  # (n, k) bytes
+                    n = len(hit)
+                    offs = np.arange(0, (n + 1) * k, k, dtype=np.int32)
+                    out_g.append(
+                        pa.BinaryArray.from_buffers(
+                            pa.binary(),
+                            n,
+                            [
+                                None,
+                                pa.py_buffer(offs.tobytes()),
+                                pa.py_buffer(sel.tobytes()),
+                            ],
+                        )
+                    )
+                    out_d.append(ids[ph[hit]])
+                    out_p.append(pos[hit])
+            if not out_d:
+                return empty_grams
+            return pa.table(
+                {
+                    "gram": pa.concat_arrays(out_g)
+                    if len(out_g) > 1
+                    else out_g[0],
+                    "doc": pa.array(np.concatenate(out_d), pa.int64()),
+                    "pos": pa.array(np.concatenate(out_p), pa.int64()),
+                }
+            )
+
+        cand_grams = texts_ds.map_batches(mark, batch_format="pyarrow")
+        cand_starts = None
+    elif strategy == "copartition":
+        # gram rows and candidate hashes co-partition on a gram-hash
+        # bucket; the kernel semi-joins its bucket only — nothing is
+        # pulled to the driver
+        def gram_rows(batch: pa.Table) -> pa.Table:
+            out_h, out_d, out_p = [], [], []
+            for bufs, ids in _iter_chunks(batch):
+                res = _positions_chunk(bufs)
+                if res is None:
+                    continue
+                hh, ph, pos = res[0], res[1], res[2]
+                out_h.append(hh)
+                out_d.append(ids[ph])
+                out_p.append(pos)
+            if not out_h:
+                return pa.table(
+                    {
+                        "gh": pa.array([], pa.int64()),
+                        "doc": pa.array([], pa.int64()),
+                        "pos": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int32()),
+                    }
+                )
+            hh = np.concatenate(out_h)
+            return pa.table(
+                {
+                    "gh": pa.array(hh.view(np.int64), pa.int64()),
+                    "doc": pa.array(np.concatenate(out_d), pa.int64()),
+                    "pos": pa.array(np.concatenate(out_p), pa.int64()),
+                    "bucket": pa.array(
+                        (hh % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            gh = batch["gh"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "gh": batch["gh"],
+                    "doc": pa.array(np.full(len(gh), -1, np.int64), pa.int64()),
+                    "pos": pa.array(np.zeros(len(gh), np.int64), pa.int64()),
+                    "bucket": pa.array(
+                        (gh.view(np.uint64) % np.uint64(n_buckets)).astype(
+                            np.int32
+                        ),
+                        pa.int32(),
+                    ),
+                }
+            )
+
+        def semi(group: pa.Table) -> pa.Table:
+            doc = group["doc"].to_numpy(zero_copy_only=False)
+            is_cand = doc == -1
+            if not is_cand.any() or is_cand.all():
+                return empty_starts
+            gh = group["gh"].to_numpy(zero_copy_only=False)
+            cand = np.sort(gh[is_cand])
+            hit = np.isin(gh, cand) & ~is_cand
+            return pa.table(
+                {
+                    "doc": pa.array(doc[hit], pa.int64()),
+                    "pos": pa.array(
+                        group["pos"].to_numpy(zero_copy_only=False)[hit],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        cand_starts = (
+            texts_ds.map_batches(gram_rows, batch_format="pyarrow")
+            .union(cand_hashes.map_batches(cand_rows, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(semi, batch_format="pyarrow")
+        )
+        cand_grams = None  # confirm slice happens in a doc co-partition
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # ---- 3. exact confirm: slice real gram bytes at candidate starts,
+    #         keep byte-identical grams occurring >= 2 times
+    def _doc_copartition(starts_ds, out_kernel, out_schema_empty):
+        """Union candidate/dup starts with texts on a doc-hash bucket
+        and run ``out_kernel(doc_ids, positions, text_by_doc)`` per
+        bucket."""
+        fields = pa.schema(
+            [
+                ("doc", pa.int64()),
+                ("pos", pa.int64()),
+                ("__text", pa.string()),
+                ("__side", pa.int8()),
+                ("bucket", pa.int32()),
+            ]
+        )
+
+        def tag_starts(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            doc = batch["doc"].to_numpy(zero_copy_only=False)
+            b = _bucket_series(pd.Series(doc), n_buckets)
+            return pa.Table.from_arrays(
+                [
+                    batch["doc"],
+                    batch["pos"],
+                    pa.nulls(n, pa.string()),
+                    pa.array(np.zeros(n, np.int8), pa.int8()),
+                    pa.array(b, pa.int32()),
+                ],
+                schema=fields,
+            )
+
+        def tag_texts(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = _bucket_series(pd.Series(doc), n_buckets)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(doc, pa.int64()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                    batch[text_col].cast(pa.string()),
+                    pa.array(np.ones(n, np.int8), pa.int8()),
+                    pa.array(b, pa.int32()),
+                ],
+                schema=fields,
+            )
+
+        # coalesce before the sort shuffle: the upstream chain can carry
+        # 256+ tiny blocks and Ray's sort partitions (and scheduling
+        # cost) scale with input block count — measured 5.7s for one
+        # groupby at 256 blocks vs ~1s at 64, compounding through the
+        # three chained co-partitions of this operator
+        tagged = (
+            starts_ds.map_batches(tag_starts, batch_format="pyarrow")
+            .union(texts_ds.map_batches(tag_texts, batch_format="pyarrow"))
+            .repartition(n_buckets)
+        )
+
+        def kernel(group: pa.Table) -> pa.Table:
+            side = group["__side"].to_numpy(zero_copy_only=False)
+            is_text = side == 1
+            texts = {}
+            if is_text.any():
+                tdoc = group["doc"].to_numpy(zero_copy_only=False)[is_text]
+                tval = group.filter(pa.array(is_text))["__text"].to_pylist()
+                texts = dict(zip(tdoc.tolist(), tval))
+            doc = group["doc"].to_numpy(zero_copy_only=False)[~is_text]
+            pos = group["pos"].to_numpy(zero_copy_only=False)[~is_text]
+            return out_kernel(doc, pos, texts)
+
+        return tagged.groupby("bucket").map_groups(kernel, batch_format="pyarrow")
+
+    def confirm_kernel(doc, pos, texts):
+        if not len(doc):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.binary()),
+                    "doc": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        grams = [
+            texts[d].encode("utf-8")[p : p + k]
+            for d, p in zip(doc.tolist(), pos.tolist())
+        ]
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.binary()),
+                "doc": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    if cand_grams is None:
+        # copartition arm: the mark pass had no text in hand — slice the
+        # gram bytes in one doc co-partition round
+        cand_grams = _doc_copartition(cand_starts, confirm_kernel, None)
+
+    def count_confirm(group: pa.Table) -> pa.Table:
+        """One gram-hash bucket: keep (doc, pos) of byte-identical
+        grams that occur >= 2 times (candidate-sized work)."""
+        g = group["gram"].to_numpy(zero_copy_only=False)
+        if not len(g):
+            return empty_starts
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        change = np.concatenate(
+            ([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1, [len(gs)])
+        )
+        sizes = np.diff(change)
+        keep = np.repeat(sizes >= 2, sizes)
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc": pa.compute.take(group["doc"], pa.array(sel, pa.int64())),
+                "pos": pa.compute.take(group["pos"], pa.array(sel, pa.int64())),
+            }
+        )
+
+    def gram_bucketize(batch: pa.Table) -> pa.Table:
+        b = (_fnv64_arr(batch["gram"]) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    dup_starts = (
+        cand_grams.map_batches(gram_bucketize, batch_format="pyarrow")
+        .repartition(n_buckets)  # block-count coalesce (see _doc_copartition)
+        .groupby("bucket")
+        .map_groups(count_confirm, batch_format="pyarrow")
+    )
+
+    # ---- 4. apply: coverage mask per doc, concatenate survivors
+    def apply_kernel(doc, pos, texts):
+        out_id, out_text, out_rm = [], [], []
+        by_doc: dict[int, list[int]] = {}
+        for d, p in zip(doc.tolist(), pos.tolist()):
+            by_doc.setdefault(d, []).append(p)
+        for d, text in texts.items():
+            raw = text.encode("utf-8")
+            starts = by_doc.get(d)
+            if not starts:
+                out_id.append(d)
+                out_text.append(text)
+                out_rm.append(0)
+                continue
+            delta = np.zeros(len(raw) + 1, np.int64)
+            s = np.asarray(starts, np.int64)
+            np.add.at(delta, s, 1)
+            np.add.at(delta, np.minimum(s + k, len(raw)), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = np.frombuffer(raw, np.uint8)[~covered]
+            out_id.append(d)
+            out_text.append(kept.tobytes().decode("utf-8"))
+            out_rm.append(int(covered.sum()))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
+
+    return _doc_copartition(dup_starts, apply_kernel, None)
+
+
 def _fnv64_arr(arr) -> np.ndarray:
     """Vectorized 64-bit FNV-1a over an Arrow string array: byte-column
     folds over the flat data buffer with per-position masking (one numpy

@@ -185,3 +185,24 @@ def test_range_partition_sort_descending(ray_session):
     key = list(zip(-df["value"], df["event_id"]))
     assert key == sorted(key)
     assert list(df["global_rank"]) == list(range(1, len(df) + 1))
+
+
+def test_remove_duplicated_spans_strategy_equivalence(ray_session):
+    import ray.data
+
+    from naer_ray.stages.dedup import remove_duplicated_spans
+
+    frames = []
+    for strategy, n_blocks in (("broadcast", 3), ("copartition", 11)):
+        ds = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(n_blocks)
+        out = (
+            remove_duplicated_spans(ds, k=40, strategy=strategy)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        frames.append(out)
+    assert frames[0]["n_removed"].sum() > 0  # the corpus has real dups
+    pd.testing.assert_frame_equal(frames[0], frames[1])
