@@ -6510,6 +6510,80 @@ FROM events
 """
 
 
+_T13_BLOCKLIST = [
+    "slow",
+    "hash value",
+    "fast table",
+    "agg row",
+    "merge batch",
+    "key agg",
+]
+
+
+class _BlocklistScanner:
+    """Stateful multi-pattern literal scanner (the C4-style phrase
+    blocklist pass of training-data curation): the pattern list is
+    bound ONCE per actor in ``__init__`` (the brief's actor-pool rule —
+    at production size the list is thousands of phrases loaded from a
+    broadcast object), and each batch runs one vectorized
+    ``pc.count_substring`` per pattern — Arrow kernels end to end, no
+    per-row Python.  Counts are non-overlapping left-to-right, matching
+    SQL's replace()-length arithmetic exactly."""
+
+    def __init__(self, patterns=None):
+        self._patterns = list(patterns or _T13_BLOCKLIST)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        ids = batch["doc_id"]
+        for p in self._patterns:
+            n = pc.count_substring(batch["text"], p)
+            hit = pc.greater(n, 0)
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": ids.filter(hit),
+                        "pattern": pa.array(
+                            [p] * pc.sum(pc.cast(hit, pa.int64())).as_py(),
+                            pa.string(),
+                        ),
+                        "n": pc.cast(n.filter(hit), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def t13_blocklist_hits(sf_dir: str):
+    """Phrase-blocklist content filter (curation counterpart of d06's
+    n-gram decontamination: C4 / Gopher pipelines drop documents
+    matching a banned-phrase list).  One actor-pool map_batches —
+    patterns bound per actor, Arrow count_substring per batch; emits
+    (doc_id, pattern, n) for every blocklisted phrase occurrence.  The
+    SQL oracle re-counts with the replace()-length trick, so substring
+    (not token) semantics and the non-overlapping count rule are both
+    verified."""
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        _BlocklistScanner,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+T13_SQL = """
+SELECT doc_id, p AS pattern,
+       CAST((length(text) - length(replace(text, p, ''))) // length(p)
+            AS BIGINT) AS n
+FROM documents,
+     (SELECT unnest(['slow', 'hash value', 'fast table', 'agg row',
+                     'merge batch', 'key agg']) AS p) pats
+WHERE position(p IN text) > 0
+"""
+
+
 def d15_remove_duplicated_spans(sf_dir: str):
     """Substring-dedup APPLY (stages/dedup.remove_duplicated_spans —
     Lee 2021's cleaning step; d12 only reports the pair signal): every
@@ -6680,4 +6754,5 @@ REGISTRY: dict[str, tuple] = {
     "m10_mjpeg_frames": (m10_mjpeg_frames, M10_SQL),
     "s05_global_sort": (s05_global_sort, S05_SQL),
     "d15_remove_duplicated_spans": (d15_remove_duplicated_spans, D15_SQL),
+    "t13_blocklist_hits": (t13_blocklist_hits, T13_SQL),
 }
