@@ -6510,6 +6510,121 @@ FROM events
 """
 
 
+def m11_image_profile_neardup(sf_dir: str):
+    """Signature-based (perceptual-hash-style) image near-dup grouping:
+    REAL PPM decode per payload, then an integer row-profile signature —
+    bit r set iff row r's luma sum × h exceeds the image's total luma
+    sum (the aHash construction with rows as cells, in exact integer
+    arithmetic) — and one key-hash bucket-run keyed on (w, h, signature)
+    keeps the min doc_id per group.  Byte-different images with the
+    same luminance profile unify, which is precisely what exact dedup
+    (m06) cannot do.  Every pixel is closed-form in doc_id, so the SQL
+    oracle re-derives the row sums, the bit packing AND the grouping —
+    a decode, signature or shuffle bug all break the hash."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.multimodal import decode_ppm, synth_ppm_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).repartition(32)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ws, hs, sigs, mins, ns = [], [], [], [], []
+        rows_by_key: dict = {}
+        for i in ids:
+            w, h, pix = decode_ppm(synth_ppm_payload(i))
+            lum = pix.astype(np.int64).sum(axis=1)
+            rows = lum.reshape(h, w).sum(axis=1)
+            total = int(rows.sum())
+            bits = (rows * h > total).astype(np.int64)
+            packed = int((bits << np.arange(h, dtype=np.int64)).sum())
+            key = (w, h, packed)
+            cur = rows_by_key.get(key)
+            if cur is None:
+                rows_by_key[key] = [i, 1]
+            else:
+                cur[0] = min(cur[0], i)
+                cur[1] += 1
+        for (w, h, packed), (mn, n) in rows_by_key.items():
+            ws.append(w)
+            hs.append(h)
+            sigs.append(packed)
+            mins.append(mn)
+            ns.append(n)
+        return pa.table(
+            {
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+                "min_id": pa.array(mins, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(sig, batch_format="pyarrow", batch_size=256)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        s = batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        w = batch["w"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (
+                s * np.uint64(0x9E3779B97F4A7C15)
+                ^ w * np.uint64(0xFF51AFD7ED558CCD)
+                ^ h
+            )
+        return batch.append_column(
+            "bucket",
+            pa.array((mix % np.uint64(64)).astype(np.int32), pa.int32()),
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["w", "h", "sig"], as_index=False).agg(
+            keep_id=("min_id", "min"), n_members=("n", "sum")
+        )
+        return g[["keep_id", "n_members"]]
+
+    out = (
+        partials.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.astype({"keep_id": "int64", "n_members": "int64"})
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+
+
+M11_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 131) % 29 AS w,
+         4 + (doc_id * 197) % 31 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS j FROM dims),
+lum AS (
+  SELECT doc_id, w, h, j // w AS r,
+         (doc_id * 7 + j * 13) % 256
+           + (doc_id * 11 + j * 17) % 256
+           + (doc_id * 13 + j * 23) % 256 AS l
+  FROM px),
+rws AS (
+  SELECT doc_id, w, h, r, SUM(l) AS rs FROM lum GROUP BY 1, 2, 3, 4),
+tot AS (
+  SELECT doc_id, SUM(rs) AS ts FROM rws GROUP BY 1),
+bits AS (
+  SELECT rws.doc_id, w, h,
+         SUM(CASE WHEN rs * h > ts THEN CAST(1 AS BIGINT) << r
+             ELSE 0 END) AS sig
+  FROM rws JOIN tot USING (doc_id) GROUP BY 1, 2, 3)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM bits GROUP BY w, h, sig
+"""
+
+
 _T13_BLOCKLIST = [
     "slow",
     "hash value",
@@ -6755,4 +6870,5 @@ REGISTRY: dict[str, tuple] = {
     "s05_global_sort": (s05_global_sort, S05_SQL),
     "d15_remove_duplicated_spans": (d15_remove_duplicated_spans, D15_SQL),
     "t13_blocklist_hits": (t13_blocklist_hits, T13_SQL),
+    "m11_image_profile_neardup": (m11_image_profile_neardup, M11_SQL),
 }
