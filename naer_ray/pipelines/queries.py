@@ -6625,6 +6625,369 @@ FROM bits GROUP BY w, h, sig
 """
 
 
+# --------------------------------------------------- hashed-feature models
+
+
+_FEAT_NBUCKETS = 64
+# same bucket in SQL: tokens are ASCII here so the first byte IS the
+# code point ascii() returns
+_FEAT_SQL_BUCKET = (
+    "((31 * length(t) + 7 * ascii(t)"
+    " + 13 * ascii(substr(t, length(t), 1))) % 64)"
+)
+
+
+def _token_feature_buckets(flat, mod: int = _FEAT_NBUCKETS):
+    """(lens, buckets) int64 arrays for a flat Arrow token array.
+
+    Bucket = (31*len + 7*first_byte + 13*last_byte) % mod — a feature
+    hash DuckDB re-derives exactly with length()/ascii()/substr()
+    (zero-copy buffer views, no per-token Python).  len==0 entries get
+    bucket 0; callers must mask them out.
+    """
+    from ..stages.dedup import _varlen_buffers
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs, data = _varlen_buffers(flat)
+    lens = offs[1:] - offs[:-1]
+    nz = lens > 0
+    first = np.zeros(len(lens), np.int64)
+    last = np.zeros(len(lens), np.int64)
+    first[nz] = data[offs[:-1][nz]]
+    last[nz] = data[offs[1:][nz] - 1]
+    return lens, (31 * lens + 7 * first + 13 * last) % mod
+
+
+def t14_hashed_classifier(sf_dir: str):
+    """fastText-shaped hashed linear classifier INFERENCE (Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification"):
+    token → feature-hash bucket → weight lookup; per-doc score = sum
+    of token weights; per-language acceptance stats.  The weight
+    vector is built once per actor in ``__init__`` (the batched-model-
+    inference shape — at real scale this is where the trained
+    coefficient matrix loads) and scoring is one vectorized bincount
+    per batch.  Integer weights (|w| ≤ 1000, docs ≤ ~1k tokens, so
+    float64 bincount accumulation stays exact below 2^53) make the
+    DuckDB oracle bit-exact."""
+
+    class Scorer:
+        def __init__(self):
+            b = np.arange(_FEAT_NBUCKETS, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = (b * np.uint64(2654435761)) % np.uint64(2**32)
+            self.w = (h % np.uint64(2001)).astype(np.int64) - 1000
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch["text"], " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            n = batch.num_rows
+            flat = pc.list_flatten(toks)
+            if len(flat):
+                parents = pc.list_parent_indices(toks).to_numpy(
+                    zero_copy_only=False
+                )
+                lens, buckets = _token_feature_buckets(flat)
+                wts = np.where(lens > 0, self.w[buckets], 0)
+                scores = np.bincount(
+                    parents, weights=wts, minlength=n
+                ).astype(np.int64)
+            else:
+                scores = np.zeros(n, np.int64)
+            # per-lang partials: <= n_langs rows leave each task
+            df = pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pandas(),
+                    "score": scores,
+                    "pos": (scores > 0).astype(np.int64),
+                }
+            )
+            g = df.groupby("lang", as_index=False).agg(
+                n_docs=("score", "size"),
+                n_pos=("pos", "sum"),
+                sum_score=("score", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    partials = ds.map_batches(
+        Scorer, concurrency=4, batch_format="pyarrow"
+    ).to_pandas()
+    out = partials.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_pos=("n_pos", "sum"),
+        sum_score=("sum_score", "sum"),
+    )
+    for c in ("n_docs", "n_pos", "sum_score"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+T14_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         SUM(CAST((({_FEAT_SQL_BUCKET} * 2654435761) % 4294967296) % 2001
+             - 1000 AS BIGINT)) AS score
+  FROM tok WHERE t <> '' GROUP BY doc_id),
+d AS (
+  SELECT documents.doc_id, lang, COALESCE(s.score, 0) AS score
+  FROM documents LEFT JOIN s USING (doc_id))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM d GROUP BY lang
+"""
+
+
+def d16_dsir_importance(sf_dir: str):
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate hashed-token
+    feature distributions for the TARGET domain (lang='en') and the
+    SOURCE (whole corpus) in one aggregation pass — each batch emits a
+    64-bucket count partial, the driver reduces a vector of 2x64 ints
+    and the likelihood-ratio table r[b] = cnt_target[b]*1_000_000 //
+    (cnt_source[b]+1) is broadcast back into the scoring pass (tiny
+    small side, never a shuffle).  Every doc scores as the sum of its
+    tokens' ratios; top 100 by (score DESC, doc_id) survive, selected
+    with per-block local top-k so only k rows per block reach the
+    driver.  Integer ratios keep the oracle exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        cs = np.zeros(_FEAT_NBUCKETS, np.int64)
+        ct = np.zeros(_FEAT_NBUCKETS, np.int64)
+        if len(flat):
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            lens, buckets = _token_feature_buckets(flat)
+            nz = lens > 0
+            cs = np.bincount(buckets[nz], minlength=_FEAT_NBUCKETS)
+            is_en = pc.equal(batch["lang"], "en").to_numpy(
+                zero_copy_only=False
+            )
+            en_tok = is_en[parents] & nz
+            ct = np.bincount(
+                buckets[en_tok], minlength=_FEAT_NBUCKETS
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(_FEAT_NBUCKETS, dtype=np.int64)
+                ),
+                "cs": pa.array(cs.astype(np.int64)),
+                "ct": pa.array(ct.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        bucket_counts, batch_format="pyarrow"
+    ).to_pandas()
+    cnt = partials.groupby("bucket").agg({"cs": "sum", "ct": "sum"})
+    cnt = cnt.reindex(range(_FEAT_NBUCKETS), fill_value=0)
+    ratio = (
+        cnt["ct"].to_numpy() * 1_000_000 // (cnt["cs"].to_numpy() + 1)
+    ).astype(np.int64)
+
+    k = 100
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = batch.num_rows
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            lens, buckets = _token_feature_buckets(flat)
+            wts = np.where(lens > 0, ratio[buckets], 0)
+            scores = np.bincount(
+                parents, weights=wts, minlength=n
+            ).astype(np.int64)
+        else:
+            scores = np.zeros(n, np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(scores[order], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(k)
+    return out.reset_index(drop=True)
+
+
+D16_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS t
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, {_FEAT_SQL_BUCKET} AS b FROM tok WHERE t <> ''),
+cnt AS (
+  SELECT b, COUNT(*) AS cs,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM f GROUP BY b),
+r AS (SELECT b, (ct * 1000000) // (cs + 1) AS r FROM cnt),
+s AS (
+  SELECT f.doc_id, SUM(r.r) AS score FROM f JOIN r USING (b)
+  GROUP BY f.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
+def x01_inverted_index_search(sf_dir: str):
+    """Inverted-index build + conjunctive probe (Zobel & Moffat 2006,
+    "Inverted files for text search engines"): BUILD tokenizes the
+    corpus once, derives per-(doc, token) term frequencies inside each
+    batch (docs are row-local, so tf needs no shuffle), and writes
+    postings as hive-partitioned Parquet sharded by fnv64(token) % 16
+    — the persisted-index family (d11 / a08 / j03).  PROBE reads ONLY
+    the query tokens' shards (partition-pruned + token-filtered),
+    joins the posting lists on doc_id with one doc-hash bucket-run
+    (conjunctive AND), scores tf('hash') + tf('vector') and returns
+    the top 10 by (score DESC, doc_id)."""
+    import os as _os
+    import shutil
+
+    from ..stages.dedup import _fnv64_arr
+
+    n_shards = 16
+    q_tokens = ["hash", "vector"]
+    path = (
+        "/tmp/naer_inverted_index/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if not len(flat):
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        codes = pc.dictionary_encode(flat)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        vocab = codes.dictionary
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = parents.astype(np.int64) * np.int64(len(vocab)) + idx
+        uniq, tf = np.unique(key, return_counts=True)
+        tok_ids = (uniq % len(vocab)).astype(np.int64)
+        doc_pos = (uniq // len(vocab)).astype(np.int64)
+        tok_arr = vocab.take(pa.array(tok_ids))
+        keep = pc.not_equal(tok_arr, "").to_numpy(zero_copy_only=False)
+        tok_arr = tok_arr.filter(pa.array(keep))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[
+            doc_pos[keep]
+        ]
+        shard = (_fnv64_arr(tok_arr) % np.uint64(n_shards)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "token": tok_arr,
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "shard": pa.array(shard, pa.int32()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs.map_batches(postings, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["shard"]
+    )
+
+    # --- probe: read only the query tokens' shards
+    import ray.data
+
+    q_arr = pa.array(q_tokens, pa.string())
+    shards = sorted(
+        {int(s) for s in _fnv64_arr(q_arr) % np.uint64(n_shards)}
+    )
+    import glob as _glob
+
+    shard_files = [
+        f
+        for s in shards
+        for f in sorted(_glob.glob(f"{path}/shard={s}/*.parquet"))
+    ]
+    probe = ray.data.read_parquet(
+        shard_files, columns=["token", "doc_id", "tf"]
+    ).filter(expr=f"token in {q_tokens!r}")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(64)
+        ).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def conj_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("doc_id").agg(
+            score=("tf", "sum"), nt=("token", "nunique")
+        )
+        g = g[g["nt"] == len(q_tokens)].reset_index()
+        g = g.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(10)
+        return g[["doc_id", "score"]]
+
+    out = (
+        probe.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(conj_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        out.astype({"doc_id": "int64", "score": "int64"})
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out.reset_index(drop=True)
+
+
+X01_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ('hash', 'vector') GROUP BY doc_id, t),
+j AS (
+  SELECT doc_id, SUM(tf) AS score, COUNT(*) AS nt FROM tf
+  GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+FROM j WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 _T13_BLOCKLIST = [
     "slow",
     "hash value",
@@ -6871,4 +7234,7 @@ REGISTRY: dict[str, tuple] = {
     "d15_remove_duplicated_spans": (d15_remove_duplicated_spans, D15_SQL),
     "t13_blocklist_hits": (t13_blocklist_hits, T13_SQL),
     "m11_image_profile_neardup": (m11_image_profile_neardup, M11_SQL),
+    "t14_hashed_classifier": (t14_hashed_classifier, T14_SQL),
+    "d16_dsir_importance": (d16_dsir_importance, D16_SQL),
+    "x01_inverted_index_search": (x01_inverted_index_search, X01_SQL),
 }
