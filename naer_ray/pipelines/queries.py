@@ -6712,7 +6712,7 @@ def t14_hashed_classifier(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text", "lang"])
     partials = ds.map_batches(
-        Scorer, concurrency=4, batch_format="pyarrow"
+        Scorer, concurrency=4, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     out = partials.groupby("lang", as_index=False).agg(
         n_docs=("n_docs", "sum"),
@@ -6787,8 +6787,11 @@ def d16_dsir_importance(sf_dir: str):
             }
         )
 
+    # batch_size=None -> one 64-row partial per BLOCK, so the driver
+    # reduce is 64 x n_blocks rows (a vector, not a table) even at
+    # 100-TB block counts
     partials = ds.map_batches(
-        bucket_counts, batch_format="pyarrow"
+        bucket_counts, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     cnt = partials.groupby("bucket").agg({"cs": "sum", "ct": "sum"})
     cnt = cnt.reindex(range(_FEAT_NBUCKETS), fill_value=0)
@@ -6824,7 +6827,9 @@ def d16_dsir_importance(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(
+        score_topk, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     out = out.sort_values(
         ["score", "doc_id"], ascending=[False, True]
     ).head(k)
