@@ -7116,6 +7116,263 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _bm25_doc_stats(batch: pa.Table, q_tokens):
+    """Per-doc (dl, [tf per query token]) for one batch — split/flatten
+    Arrow kernels + bincount, no per-row Python.  dl counts non-empty
+    tokens (split artifacts dropped, the x01/t11 rule)."""
+    txt = pc.fill_null(batch["text"].combine_chunks(), "")
+    toks = pc.split_pattern(txt, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(txt)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(parents[nonempty], minlength=n).astype(np.int64)
+    tfs = []
+    for t in q_tokens:
+        eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+        tfs.append(np.bincount(parents[eq], minlength=n).astype(np.int64))
+    return dl, tfs
+
+
+def x02_bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; k1=1.2,
+    b=0.75) — the scoring layer on top of x01's boolean inverted-index
+    probe, the retrieval shape curation pipelines use to mine
+    exemplars.
+
+    Ray shape — two streaming passes, NO shuffle: pass 1 computes the
+    collection statistics (N, total length, per-query-token df) as
+    one-row-per-batch partials summed on the driver (4 ints); pass 2
+    re-scans with the broadcast constants closed over, scores matching
+    docs vectorized, and keeps a LOCAL top-k per batch, so the driver
+    merge is bounded by blocks x k rows.  (A standing corpus would
+    persist x01's index instead of re-scanning; two passes is the
+    index-free streaming shape.)
+
+    Exactness: the output is (rnk, doc_id) only — both sides compute
+    the identical double expression (same association, single
+    divisions, <=2-term sums which IEEE addition makes order-free), so
+    the ranking is stable; scores themselves stay out of the hash."""
+    import math
+
+    q_tokens = ("hash", "vector")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _bm25_doc_stats(batch, q_tokens)
+        return pa.table(
+            {
+                "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+                "total_len": pa.array([int(dl.sum())], pa.int64()),
+                "df_0": pa.array([int((tfs[0] > 0).sum())], pa.int64()),
+                "df_1": pa.array([int((tfs[1] > 0).sum())], pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n_corpus = int(st["n_docs"])
+    avgdl = int(st["total_len"]) / n_corpus
+    idf = [
+        math.log((n_corpus - int(st[f"df_{i}"]) + 0.5) / (int(st[f"df_{i}"]) + 0.5))
+        for i in range(len(q_tokens))
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        dl, tfs = _bm25_doc_stats(batch, q_tokens)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        match = (tfs[0] + tfs[1]) > 0
+        if not match.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        dlm = dl[match].astype(np.float64)
+        score = np.zeros(match.sum(), np.float64)
+        for idf_t, tf in zip(idf, tfs):
+            tfm = tf[match].astype(np.float64)
+            score = score + idf_t * (
+                (tfm * 2.2) / (tfm + 1.2 * (0.25 + 0.75 * (dlm / avgdl)))
+            )
+        idsm = ids[match]
+        o = np.lexsort((idsm, -score))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(idsm[o], pa.int64()),
+                "score": pa.array(score[o], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(cand) + 1, dtype=np.int64),
+            "doc_id": cand["doc_id"].to_numpy(np.int64),
+        }
+    )
+
+
+X02_SQL = """
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE t IN ('hash', 'vector') GROUP BY doc_id, t),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+sc AS (
+  SELECT tf.doc_id,
+         SUM( ln((CAST(stats.n AS DOUBLE) - df.df + 0.5)
+                 / (CAST(df.df AS DOUBLE) + 0.5))
+              * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25
+                             + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                       / stats.avgdl)))) ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def t15_bigram_lm(sf_dir: str):
+    """Bigram-LM quality scoring (stages/text.bigram_lm_score): the
+    order-aware CCNet-style LM filter — word-salad documents score low
+    on adjacent-pair frequency even when each word is common.  Bigram
+    histogram shuffle + broadcast-frequency scoring pass; integer-exact
+    per-doc stats (the t11 discipline) so the oracle hashes
+    bit-identically — no float log sums."""
+    from ..stages.text import bigram_lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_score(ds)
+
+
+T15_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM l WHERE len(toks) >= 2),
+vocab AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(v.c) AS BIGINT) AS sum_bg_freq,
+       MIN(v.c) AS min_bg_freq,
+       CAST(SUM(v.c) AS DOUBLE) / COUNT(*) AS avg_bg_freq
+FROM bg JOIN vocab v ON v.b = bg.b
+GROUP BY bg.doc_id
+"""
+
+
+def d17_url_canonical_dedup(sf_dir: str, n_buckets: int = 64):
+    """URL-canonical dedup (the CommonCrawl curation rule: ONE document
+    per canonical URL, keep the best capture): each doc's raw URL is
+    derived by u01's closed-form arithmetic, REALLY parsed/normalized
+    (stages/url.parse_normalize_urls — case-fold, default-port strip,
+    tracking-param removal), then canonicalized to scheme://host/path
+    (query dropped entirely, the aggressive canonical form), and the
+    longest document per canonical URL wins (ties -> lowest doc_id).
+
+    Ray shape: per-batch local combiner (one candidate row per key per
+    batch — thins the exchange like bucketed_sum's partials), ONE
+    key-hash bucket shuffle (vectorized FNV64), per-bucket best-of
+    merge.  Output: (url_key, kept_doc_id, n_docs)."""
+    from ..stages.dedup import _fnv64_arr
+    from ..stages.url import parse_normalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].combine_chunks().to_numpy()
+        m211 = pa.array((ids % 211).astype("U"), type=pa.string())
+        m13 = pa.array((ids % 13).astype("U"), type=pa.string())
+        raw = pc.binary_join_element_wise(
+            pa.scalar("HTTPS://"),
+            pc.utf8_upper(batch["source"].combine_chunks()),
+            pa.scalar(".Example.COM:443/"),
+            batch["lang"].combine_chunks(),
+            pa.scalar("/page-"),
+            m211,
+            pa.scalar("?utm_source=feed&id="),
+            m13,
+            "",
+        )
+        parsed = parse_normalize_urls(raw)
+        key = pc.binary_join_element_wise(
+            pa.scalar("https://"), parsed["host"], parsed["path"], ""
+        )
+        bucket = (_fnv64_arr(key) % np.uint64(n_buckets)).astype(np.int32)
+        df = pd.DataFrame(
+            {
+                "url_key": key.to_pandas(),
+                "doc_id": ids.astype(np.int64),
+                "len": pc.utf8_length(batch["text"].combine_chunks())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "bucket": bucket,
+            }
+        )
+        df = df.sort_values(["len", "doc_id"], ascending=[False, True])
+        return df.groupby(["url_key", "bucket"], as_index=False, sort=False).agg(
+            doc_id=("doc_id", "first"),
+            len=("len", "first"),
+            n=("doc_id", "size"),
+        )
+
+    def best_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["len", "doc_id"], ascending=[False, True])
+        out = g.groupby("url_key", as_index=False, sort=False).agg(
+            kept_doc_id=("doc_id", "first"),
+            n_docs=("n", "sum"),
+        )
+        return out[["url_key", "kept_doc_id", "n_docs"]].astype(
+            {"kept_doc_id": "int64", "n_docs": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(best_of, batch_format="pandas")
+    )
+
+
+D17_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/page-'
+           || CAST(doc_id % 211 AS VARCHAR) AS url_key,
+         length(text) AS len
+  FROM documents)
+SELECT url_key, doc_id AS kept_doc_id, CAST(n_docs AS BIGINT) AS n_docs
+FROM (SELECT url_key, doc_id,
+             COUNT(*) OVER (PARTITION BY url_key) AS n_docs,
+             ROW_NUMBER() OVER (PARTITION BY url_key
+                                ORDER BY len DESC, doc_id) AS rn
+      FROM u)
+WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7242,4 +7499,7 @@ REGISTRY: dict[str, tuple] = {
     "t14_hashed_classifier": (t14_hashed_classifier, T14_SQL),
     "d16_dsir_importance": (d16_dsir_importance, D16_SQL),
     "x01_inverted_index_search": (x01_inverted_index_search, X01_SQL),
+    "x02_bm25_topk": (x02_bm25_topk, X02_SQL),
+    "t15_bigram_lm": (t15_bigram_lm, T15_SQL),
+    "d17_url_canonical_dedup": (d17_url_canonical_dedup, D17_SQL),
 }

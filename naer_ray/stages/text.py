@@ -1091,6 +1091,105 @@ def unigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
 
+def _batch_bigrams(txt: pa.Array):
+    """Vectorized adjacent-bigram derivation for one batch: returns
+    (bigram strings: pa.Array, parent doc index: int64 np, n_docs).
+    Bigrams are space-joined adjacent non-empty tokens within a doc —
+    no per-row Python, just split/flatten/shift kernels."""
+    n = len(txt)
+    flat, parents, _ = _flat_nonempty(
+        pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), n
+    )
+    if len(flat) < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64), n
+    same = parents[1:] == parents[:-1]
+    idx = np.flatnonzero(same).astype(np.int64)
+    left = flat.take(pa.array(idx))
+    right = flat.take(pa.array(idx + 1))
+    bg = pc.binary_join_element_wise(left, right, " ")
+    return bg, parents[idx], n
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-frequency BIGRAM-LM document scoring — the order-aware
+    upgrade of :func:`unigram_lm_score` (a CCNet/Wenzek-2020-style LM
+    quality filter shape): docs whose adjacent word PAIRS are rare in
+    the corpus score low even when every individual word is common
+    (word-salad detection, which a unigram model cannot see).
+
+    Integer-exact by construction (the t11 discipline): per doc it
+    emits ``n_bigrams``, ``sum_bg_freq`` (sum over bigram instances of
+    that bigram's corpus-wide count), ``min_bg_freq`` (the rarest
+    bigram), and ``avg_bg_freq`` (ONE double division of two exact
+    integers) — no float log-prob summation whose order could change a
+    bit.
+
+    Two streaming passes: (1) per-batch np.unique bigram partials ->
+    bucketed sum = the corpus bigram histogram; (2) broadcast the
+    histogram (``ray.put`` once, read per task) and score each batch
+    with searchsorted + bincount/minimum.at.  The bigram vocabulary is
+    larger than the unigram one but still Heaps-law sublinear; the
+    documented fallback for a pathological corpus is the same
+    freq-join co-partition as t11.  Docs with <2 tokens are dropped
+    (SQL inner-join parity)."""
+    import ray
+
+    from .agg import bucketed_sum
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        bg, _, _ = _batch_bigrams(_string_array(batch[text_col]))
+        toks, counts = np.unique(
+            bg.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "bg": pa.array(toks, pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    vocab = bucketed_sum(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["bg"],
+        ["c"],
+    ).to_pandas()
+    order = np.argsort(vocab["bg"].to_numpy())
+    vocab_ref = ray.put(
+        (
+            vocab["bg"].to_numpy()[order],
+            vocab["c"].to_numpy().astype(np.int64)[order],
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        bgs_sorted, freqs = ray.get(vocab_ref)
+        bg, parents, n = _batch_bigrams(_string_array(batch[text_col]))
+        n_bg = np.bincount(parents, minlength=n).astype(np.int64)
+        if len(bg):
+            f = freqs[
+                np.searchsorted(bgs_sorted, bg.to_numpy(zero_copy_only=False))
+            ]
+        else:
+            f = np.empty(0, np.int64)
+        s = np.bincount(parents, weights=f, minlength=n).astype(np.int64)
+        mn = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(mn, parents, f)
+        keep = n_bg > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().filter(pa.array(keep)),
+                "n_bigrams": pa.array(n_bg[keep]),
+                "sum_bg_freq": pa.array(s[keep]),
+                "min_bg_freq": pa.array(mn[keep]),
+                "avg_bg_freq": pa.array(
+                    s[keep].astype(np.float64) / n_bg[keep]
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
 # ------------------------------------------------------------- BPE learning
 
 

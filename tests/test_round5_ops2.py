@@ -1,0 +1,136 @@
+"""Round-5 batch-2 operator unit tests: BM25 ranking, bigram-LM
+scoring, URL-canonical dedup (the oracle sweep in test_queries_oracle
+covers end-to-end exactness; these pin internals and edge cases)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_batch_bigrams_boundaries():
+    from naer_ray.stages.text import _batch_bigrams, _string_array
+
+    txt = _string_array(
+        pa.chunked_array(
+            [pa.array(["a b c", "solo", "", "x  y"], pa.string())]
+        )
+    )
+    bg, parents, n = _batch_bigrams(txt)
+    assert n == 4
+    # doc 0 -> "a b","b c"; doc 1/2 -> none; doc 3 -> "x y" (double
+    # space collapses, no empty-token bigram)
+    assert bg.to_pylist() == ["a b", "b c", "x y"]
+    assert parents.tolist() == [0, 0, 3]
+
+
+def test_batch_bigrams_never_crosses_docs():
+    from naer_ray.stages.text import _batch_bigrams, _string_array
+
+    bg, parents, _ = _batch_bigrams(
+        _string_array(pa.array(["end", "start next"], pa.string()))
+    )
+    # "end start" must NOT appear (adjacent docs, not adjacent tokens)
+    assert bg.to_pylist() == ["start next"]
+    assert parents.tolist() == [1]
+
+
+def test_bigram_lm_drops_sub2_token_docs(ray_session):
+    import ray.data
+
+    from naer_ray.stages.text import bigram_lm_score
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b"},
+            {"doc_id": 1, "text": "only"},
+            {"doc_id": 2, "text": "a b"},
+        ]
+    )
+    out = (
+        bigram_lm_score(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 has no bigram -> dropped (SQL inner-join parity)
+    assert out["doc_id"].tolist() == [0, 2]
+    # corpus: "a b" x3, "b a" x1 -> doc 0 freqs [3,1,3], doc 2 [3]
+    assert out["n_bigrams"].tolist() == [3, 1]
+    assert out["sum_bg_freq"].tolist() == [7, 3]
+    assert out["min_bg_freq"].tolist() == [1, 3]
+    assert out["avg_bg_freq"].tolist() == [7 / 3, 3.0]
+
+
+def test_bm25_score_matches_closed_form(ray_session):
+    from naer_ray.pipelines.queries import x02_bm25_topk
+
+    out = x02_bm25_topk(SF)
+    assert list(out.columns) == ["rnk", "doc_id"]
+    assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+    assert out["doc_id"].is_unique
+    assert len(out) == 10
+
+    # recompute the winner's score single-process and confirm it is the
+    # max over a brute-force pass
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = [t.split(" ") for t in tbl["text"].to_pylist()]
+    toks = [[x for x in ts if x] for ts in toks]
+    ids = tbl["doc_id"].to_pylist()
+    dls = {i: len(ts) for i, ts in zip(ids, toks) if ts}
+    n, total = len(dls), sum(dls.values())
+    avgdl = total / n
+    scores = {}
+    for q in ("hash", "vector"):
+        df = sum(1 for ts in toks if q in ts)
+        idf = math.log((n - df + 0.5) / (df + 0.5))
+        for i, ts in zip(ids, toks):
+            tf = ts.count(q)
+            if tf:
+                w = idf * (
+                    (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * (dls[i] / avgdl)))
+                )
+                scores[i] = scores.get(i, 0.0) + w
+    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert out["doc_id"].tolist() == [i for i, _ in best]
+
+
+def test_url_canonical_dedup_keep_rule(ray_session):
+    from naer_ray.pipelines.queries import d17_url_canonical_dedup
+
+    out = d17_url_canonical_dedup(SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    # every canonical URL appears once; doc counts partition the corpus
+    assert out["url_key"].is_unique
+    assert int(out["n_docs"].sum()) == 500
+    assert out["url_key"].str.startswith("https://").all()
+    # no tracking params or ports survive canonicalization
+    assert not out["url_key"].str.contains("utm_|:443|[?]", regex=True).any()
+
+
+def test_url_canonical_dedup_tie_breaks():
+    """The keep rule (len DESC, doc_id ASC) inside one bucket kernel."""
+    from naer_ray.pipelines.queries import d17_url_canonical_dedup  # noqa: F401
+
+    g = pd.DataFrame(
+        {
+            "url_key": ["u", "u", "u", "v"],
+            "doc_id": [7, 3, 5, 9],
+            "len": [4, 9, 9, 2],
+            "n": [1, 1, 2, 1],
+        }
+    )
+    g = g.sort_values(["len", "doc_id"], ascending=[False, True])
+    best = g.groupby("url_key", as_index=False, sort=False).agg(
+        kept_doc_id=("doc_id", "first"), n_docs=("n", "sum")
+    )
+    best = best.sort_values("url_key").reset_index(drop=True)
+    assert best["kept_doc_id"].tolist() == [3, 9]  # len 9 tie -> id 3
+    assert best["n_docs"].tolist() == [4, 1]
