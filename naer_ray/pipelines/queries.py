@@ -7373,6 +7373,60 @@ WHERE rn = 1
 """
 
 
+def g05_connected_components(sf_dir: str):
+    """Standalone connected-components over the shared co-purchase
+    graph (stages/dedup.connected_components — the distributed
+    min-label propagation d04/d10/c01 ride internally, surfaced as a
+    first-class graph query with its own driver oracle): per node, the
+    component label = min node id of its component.
+
+    Ray shape: the shared ``_copurchase_edges`` derivation, then CC's
+    two-bucketed-shuffle rounds (Arrow-native; small graphs take the
+    driver union-find fast path, tests force the distributed path with
+    ``driver_threshold=0``).  The SQL oracle is a recursive-CTE
+    reachability closure (min label over all nodes that can reach each
+    node) — exact, no iteration-count assumption."""
+    from ..stages.dedup import connected_components
+
+    edges = _copurchase_edges(sf_dir)
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(batch["u"], pa.int64()),
+                "id_b": pc.cast(batch["v"], pa.int64()),
+            }
+        )
+
+    out = (
+        connected_components(edges.map_batches(as_pairs, batch_format="pyarrow"))
+        .to_pandas()
+        .rename(columns={"label": "component"})
+        .astype({"node": "int64", "component": "int64"})
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+G05_SQL = """
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM und
+  UNION
+  SELECT w.v AS node, walk.lbl
+  FROM walk JOIN und w ON w.u = walk.node)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MIN(lbl) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7502,4 +7556,5 @@ REGISTRY: dict[str, tuple] = {
     "x02_bm25_topk": (x02_bm25_topk, X02_SQL),
     "t15_bigram_lm": (t15_bigram_lm, T15_SQL),
     "d17_url_canonical_dedup": (d17_url_canonical_dedup, D17_SQL),
+    "g05_connected_components": (g05_connected_components, G05_SQL),
 }

@@ -134,3 +134,39 @@ def test_url_canonical_dedup_tie_breaks():
     best = best.sort_values("url_key").reset_index(drop=True)
     assert best["kept_doc_id"].tolist() == [3, 9]  # len 9 tie -> id 3
     assert best["n_docs"].tolist() == [4, 1]
+
+
+def test_g05_distributed_path_matches_fast_path(ray_session):
+    """CC through the forced distributed rounds == the g05 result
+    (which takes the driver union-find fast path at this scale)."""
+    import pyarrow.compute as pc
+
+    from naer_ray.pipelines.queries import (
+        _copurchase_edges,
+        g05_connected_components,
+    )
+    from naer_ray.stages.dedup import connected_components
+
+    fast = g05_connected_components(SF)
+    edges = _copurchase_edges(SF)
+    pairs = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["u"], pa.int64()),
+                "id_b": pc.cast(b["v"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dist = (
+        connected_components(pairs, driver_threshold=0)
+        .to_pandas()
+        .rename(columns={"label": "component"})
+        .astype({"node": "int64", "component": "int64"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, fast, check_exact=True)
+    # labels are component minima: every label is a node and <= its node
+    assert (dist["component"] <= dist["node"]).all()
+    assert set(dist["component"]).issubset(set(dist["node"]))
