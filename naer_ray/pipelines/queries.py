@@ -7427,6 +7427,101 @@ FROM walk GROUP BY node
 """
 
 
+def d18_neardup_dedup_apply(sf_dir: str, threshold: float = 0.6):
+    """Fuzzy-dedup APPLY — the end-to-end near-duplicate removal rule
+    web-scale curation pipelines actually run (Brown 2020 / Rae 2021
+    shape): find all document pairs with word-trigram set Jaccard >=
+    ``threshold`` (prefix-filtered exact set-similarity SELF-join),
+    union them into clusters (connected components), and map EVERY doc
+    to its cluster canonical (min doc_id; singletons map to
+    themselves).  Downstream, keep rows where doc_id == canonical_id.
+
+    Ray shape: stages/joins.set_similarity_join with the corpus on
+    both sides (a dedicated self-join kernel would halve the prefix
+    work; the cross form reuses the verified operator), directed-pair
+    collapse to u < v edges, stages/dedup.connected_components, then a
+    broadcast label map over one final corpus scan (near-dup clusters
+    are a small fraction of the corpus; the documented co-partition
+    fallback is the g01 pattern).  The oracle re-derives pairs by
+    brute-force trigram join AND the closure by recursive CTE, so the
+    candidate generation, exact verify, CC and apply are all checked
+    at once."""
+    import ray
+
+    from ..stages.dedup import connected_components
+    from ..stages.joins import set_similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = set_similarity_join(ds, ds, threshold=threshold)
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = a < b  # drops self-pairs and one direction of each dup
+        return pa.table(
+            {
+                "id_a": pa.array(a[m], pa.int64()),
+                "id_b": pa.array(b[m], pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(undirected, batch_format="pyarrow")
+    labels = connected_components(edges).to_pandas()
+    nodes = labels["node"].to_numpy(np.int64)
+    labs = labels["label"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    lbl_ref = ray.put((nodes[order], labs[order]))
+
+    def apply_map(batch: pa.Table) -> pa.Table:
+        nodes_s, labs_s = ray.get(lbl_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = ids.copy()
+        if len(nodes_s):
+            pos = np.searchsorted(nodes_s, ids)
+            pos_c = np.clip(pos, 0, len(nodes_s) - 1)
+            hit = nodes_s[pos_c] == ids
+            canon[hit] = labs_s[pos_c[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        apply_map, batch_format="pyarrow"
+    )
+
+
+D18_SQL = """
+WITH RECURSIVE tri AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+n AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+e AS (
+  SELECT id_a, id_b FROM inter
+  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6),
+und AS (SELECT id_a AS u, id_b AS v FROM e
+        UNION ALL SELECT id_b AS u, id_a AS v FROM e),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM und
+  UNION
+  SELECT w.v AS node, walk.lbl FROM walk JOIN und w ON w.u = walk.node),
+lab AS (SELECT node, MIN(lbl) AS lbl FROM walk GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(lab.lbl, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7557,4 +7652,5 @@ REGISTRY: dict[str, tuple] = {
     "t15_bigram_lm": (t15_bigram_lm, T15_SQL),
     "d17_url_canonical_dedup": (d17_url_canonical_dedup, D17_SQL),
     "g05_connected_components": (g05_connected_components, G05_SQL),
+    "d18_neardup_dedup_apply": (d18_neardup_dedup_apply, D18_SQL),
 }

