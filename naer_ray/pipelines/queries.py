@@ -7522,6 +7522,56 @@ FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
 """
 
 
+def w09_windowed_dedup(
+    sf_dir: str, window_us: int = 3_600_000_000, n_buckets: int = 64
+):
+    """Time-windowed event dedup (the crawl-recapture / telemetry
+    throttle rule: drop an event when the SAME key fired within the
+    last hour).  Key = (user_id, event_type); the gap is measured to
+    the immediately preceding capture (raw-LAG semantics, exactly what
+    SQL's LAG window expresses), deterministic order (ts, event_id).
+
+    Ray shape: ONE user-hash bucket shuffle (keys never straddle
+    buckets), in-kernel lexsort + vectorized shift/diff — no per-row
+    Python, no global sort."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array((u % n_buckets).astype(np.int32), pa.int32())
+        )
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        drop = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            drop[1:] = same & ((ts[1:] - ts[:-1]) <= window_us)
+        out = g.loc[~drop, ["event_id", "user_id", "event_type"]]
+        return out.astype({"event_id": "int64", "user_id": "int64"})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(kern, batch_format="pandas")
+    )
+
+
+W09_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, event_type,
+         ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM o WHERE gap IS NULL OR gap > INTERVAL 1 HOUR
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7653,4 +7703,5 @@ REGISTRY: dict[str, tuple] = {
     "d17_url_canonical_dedup": (d17_url_canonical_dedup, D17_SQL),
     "g05_connected_components": (g05_connected_components, G05_SQL),
     "d18_neardup_dedup_apply": (d18_neardup_dedup_apply, D18_SQL),
+    "w09_windowed_dedup": (w09_windowed_dedup, W09_SQL),
 }

@@ -184,3 +184,37 @@ def test_d18_apply_properties(ray_session):
     assert all(m[c] == c for c in set(out["canonical_id"]))
     # canonical <= member (min-label rule)
     assert (out["canonical_id"] <= out["doc_id"]).all()
+
+
+def test_w09_raw_lag_chain_semantics(ray_session):
+    """Gap is measured to the immediately preceding CAPTURE (raw LAG),
+    not the last kept event: 0, +30min, +61min keeps only the first."""
+    import ray.data
+
+    from naer_ray.pipelines.queries import w09_windowed_dedup  # noqa: F401
+
+    g = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [5, 5, 5, 5],
+            "event_type": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:30:00",
+                    "2024-01-01 01:01:00",  # 31min after #2 -> dropped
+                    "2024-01-01 00:00:01",  # other key -> kept
+                ]
+            ).astype("datetime64[us]"),  # parquet ts is us, not ns
+        }
+    )
+    # run the bucket kernel logic single-process (same code path shape)
+    g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+    ts = g["ts"].astype("int64").to_numpy()
+    uid = g["user_id"].to_numpy()
+    et = g["event_type"].to_numpy()
+    drop = np.zeros(len(g), bool)
+    same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+    drop[1:] = same & ((ts[1:] - ts[:-1]) <= 3_600_000_000)
+    kept = g.loc[~drop, "event_id"].tolist()
+    assert kept == [1, 4]
