@@ -7436,36 +7436,23 @@ def d18_neardup_dedup_apply(sf_dir: str, threshold: float = 0.6):
     to its cluster canonical (min doc_id; singletons map to
     themselves).  Downstream, keep rows where doc_id == canonical_id.
 
-    Ray shape: stages/joins.set_similarity_join with the corpus on
-    both sides (a dedicated self-join kernel would halve the prefix
-    work; the cross form reuses the verified operator), directed-pair
-    collapse to u < v edges, stages/dedup.connected_components, then a
-    broadcast label map over one final corpus scan (near-dup clusters
-    are a small fraction of the corpus; the documented co-partition
-    fallback is the g01 pattern).  The oracle re-derives pairs by
-    brute-force trigram join AND the closure by recursive CTE, so the
-    candidate generation, exact verify, CC and apply are all checked
-    at once."""
+    Ray shape: stages/joins.set_similarity_self_join (ONE prefix pass,
+    upper-triangle candidates — half the exchange and verify volume of
+    the cross form on duplicated sides), then
+    stages/dedup.connected_components, then a broadcast label map over
+    one final corpus scan (near-dup clusters are a small fraction of
+    the corpus; the documented co-partition fallback is the g01
+    pattern).  The oracle re-derives pairs by brute-force trigram join
+    AND the closure by recursive CTE, so the candidate generation,
+    exact verify, CC and apply are all checked at once."""
     import ray
 
     from ..stages.dedup import connected_components
-    from ..stages.joins import set_similarity_join
+    from ..stages.joins import set_similarity_self_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = set_similarity_join(ds, ds, threshold=threshold)
-
-    def undirected(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = a < b  # drops self-pairs and one direction of each dup
-        return pa.table(
-            {
-                "id_a": pa.array(a[m], pa.int64()),
-                "id_b": pa.array(b[m], pa.int64()),
-            }
-        )
-
-    edges = pairs.map_batches(undirected, batch_format="pyarrow")
+    pairs = set_similarity_self_join(ds, threshold=threshold)
+    edges = pairs.select_columns(["id_a", "id_b"])  # already id_a < id_b
     labels = connected_components(edges).to_pandas()
     nodes = labels["node"].to_numpy(np.int64)
     labs = labels["label"].to_numpy(np.int64)

@@ -461,6 +461,65 @@ def _setsim_candidates(tok, side, ids, ns, pos, threshold, max_group):
     )
 
 
+def _setsim_self_candidates(tok, ids, ns, pos, threshold, max_group):
+    """Upper-triangle (id_a < id_b) candidate pairs from the sorted
+    prefix rows of ONE side — the SELF-join variant of
+    :func:`_setsim_candidates`, same length and PPJoin positional
+    filters.  Ids are distinct within a token group (shingles are
+    per-record-deduped), and rows sort by id within the group, so the
+    strict upper triangle IS the a < b pair set — no mirrors, no
+    self-pairs."""
+    order = np.lexsort((ids, tok))
+    tok, ids, ns, pos = tok[order], ids[order], ns[order], pos[order]
+    change = np.flatnonzero(np.diff(tok) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(tok)]))
+    t_lo = threshold - _SETSIM_EPS
+    out_a, out_b = [], []
+    capped = 0
+    for gi in range(len(starts)):
+        s, e = starts[gi], ends[gi]
+        if e - s < 2:
+            continue
+        idx = np.arange(s, e)
+        if len(idx) > max_group:
+            capped += len(idx) - max_group
+            idx = idx[:max_group]  # sorted by id within the run
+        na = ns[idx][:, None]
+        nb = ns[idx][None, :]
+        ok = (t_lo * na <= nb) & (t_lo * nb <= na)
+        ok &= np.tri(len(idx), k=-1, dtype=bool).T  # strict upper triangle
+        if ok.any():
+            pa_ = pos[idx][:, None].astype(np.int64)
+            pb_ = pos[idx][None, :].astype(np.int64)
+            need = np.ceil(t_lo * (na + nb) / (1.0 + t_lo) - _SETSIM_EPS)
+            ok &= (1 + np.minimum(na - pa_ - 1, nb - pb_ - 1)) >= need
+        ii, jj = np.nonzero(ok)
+        if ii.size:
+            out_a.append(ids[idx[ii]])
+            out_b.append(ids[idx[jj]])
+    if capped:
+        import warnings
+
+        warnings.warn(
+            f"set-similarity self-join: {capped} prefix rows beyond "
+            f"max_group={max_group} in degenerate token groups lose "
+            "candidate pairs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if not out_a:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def _setsim_gram_set(text, ngram: int) -> frozenset:
     """The sharp verify's shingle set: word ``ngram`` tuples over a
     plain ``split(" ")`` — ONE definition shared by the broadcast and
@@ -754,6 +813,78 @@ def set_similarity_join(
         return _empty_setsim_result()
     return _setsim_verify(
         distinct, r_ds, s_ds, threshold, ngram, id_col, text_col, n_buckets,
+        strategy, broadcast_max_pairs,
+    )
+
+
+def set_similarity_self_join(
+    ds,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_buckets: int = 64,
+    max_group: int = 2048,
+    strategy: str = "auto",
+    broadcast_max_pairs: int = 50_000,
+):
+    """Exact set-similarity SELF-join — the dedup shape: emit
+    ``(id_a < id_b, jaccard)`` for every pair within ONE corpus whose
+    distinct word ``ngram``-shingle sets reach ``threshold``.
+
+    Equivalent to ``set_similarity_join(ds, ds, t)`` filtered to
+    ``id_a < id_b``, at roughly half the cost: ONE token-frequency
+    source, ONE prefix-emission pass over the corpus (the cross form
+    tags it twice), and upper-triangle candidate generation inside
+    each token group — no (b, a) mirrors, no self-pairs — so the
+    distinct-pair exchange and the exact verify carry about half the
+    rows.  The verify reuses the size-gated planner with the single
+    corpus on both lookup sides."""
+    from .agg import bucketed_sum
+
+    freq = _token_freqs([ds], text_col, ngram)
+    rank_ref = _freq_rank_ref(freq)
+
+    tagged = ds.map_batches(
+        _prefix_rows_fn(rank_ref, threshold, id_col, text_col, ngram, None),
+        batch_format="pyarrow",
+    )
+
+    def tok_bucketize(batch: pa.Table) -> pa.Table:
+        h = batch["tok"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        )
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return _setsim_self_candidates(
+            g["tok"].to_numpy(zero_copy_only=False),
+            g["id"].to_numpy(zero_copy_only=False),
+            g["n"].to_numpy(zero_copy_only=False),
+            g["pos"].to_numpy(zero_copy_only=False),
+            threshold,
+            max_group,
+        )
+
+    cands = (
+        tagged.map_batches(tok_bucketize, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(cand_bucket, batch_format="pyarrow")
+    )
+    distinct = (
+        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
+        .drop_columns(["c"])
+        .materialize()
+    )
+    if distinct.count() == 0:
+        return _empty_setsim_result()
+    return _setsim_verify(
+        distinct, ds, ds, threshold, ngram, id_col, text_col, n_buckets,
         strategy, broadcast_max_pairs,
     )
 

@@ -218,3 +218,48 @@ def test_w09_raw_lag_chain_semantics(ray_session):
     drop[1:] = same & ((ts[1:] - ts[:-1]) <= 3_600_000_000)
     kept = g.loc[~drop, "event_id"].tolist()
     assert kept == [1, 4]
+
+
+def test_setsim_self_join_equals_filtered_cross(ray_session):
+    """self-join == cross(ds, ds) filtered to id_a < id_b, and both
+    verify strategies of the self form agree (forced, the j02 gate)."""
+    import ray.data
+
+    from naer_ray.stages.joins import (
+        set_similarity_join,
+        set_similarity_self_join,
+    )
+
+    def load():
+        return ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(8)
+
+    cross = set_similarity_join(load(), load(), 0.6).to_pandas()
+    cross = (
+        cross[cross.id_a < cross.id_b]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    for strat in ("broadcast", "copartition"):
+        selfj = (
+            set_similarity_self_join(load(), 0.6, strategy=strat)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(cross, selfj, check_exact=True)
+
+
+def test_setsim_self_candidates_triangle():
+    """Upper triangle only: no self-pairs, no mirrors, a < b always."""
+    from naer_ray.stages.joins import _setsim_self_candidates
+
+    tok = np.array([7, 7, 7, 9, 9], np.uint64)
+    ids = np.array([3, 1, 2, 1, 3], np.int64)
+    ns = np.array([10, 10, 10, 10, 10], np.int64)
+    pos = np.zeros(5, np.int32)
+    t = _setsim_self_candidates(tok, ids, ns, pos, 0.5, 2048)
+    pairs = sorted(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert pairs == [(1, 2), (1, 3), (1, 3), (2, 3)]  # (1,3) via both toks
+    assert all(a < b for a, b in pairs)
