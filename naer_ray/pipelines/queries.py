@@ -7373,6 +7373,95 @@ WHERE rn = 1
 """
 
 
+def d19_soft_dedup(sf_dir: str, threshold: float = 0.6):
+    """Soft deduplication — near-dups are DOWN-WEIGHTED instead of
+    removed (the SoftDeDup idea, She et al. 2024: keep every document
+    but train each duplicate cluster with total weight 1): every doc
+    gets ``weight = 1 / n_cluster`` where the cluster is d18's
+    trigram-Jaccard connected component (singletons weigh 1.0).
+
+    Ray shape: the shared d18 derivation (setsim self-join -> CC),
+    then cluster sizes reduce on the DRIVER over the dup-set-sized
+    label frame (a tiny groupby — clusters are a small corpus
+    fraction) and broadcast alongside the label map into one final
+    corpus scan.  Exactness: n_cluster is an exact integer count;
+    weight is ONE double division of exact ints on both sides."""
+    import ray
+
+    labels = _neardup_labels(sf_dir, threshold)
+    sizes = labels.groupby("label")["node"].size()
+    labels = labels.assign(n=labels["label"].map(sizes).astype(np.int64))
+    nodes = labels["node"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    lbl_ref = ray.put(
+        (
+            nodes[order],
+            labels["label"].to_numpy(np.int64)[order],
+            labels["n"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def weight_map(batch: pa.Table) -> pa.Table:
+        nodes_s, labs_s, ns_s = ray.get(lbl_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        n_cluster = np.ones(len(ids), np.int64)
+        if len(nodes_s):
+            pos = np.searchsorted(nodes_s, ids)
+            pos_c = np.clip(pos, 0, len(nodes_s) - 1)
+            hit = nodes_s[pos_c] == ids
+            cluster[hit] = labs_s[pos_c[hit]]
+            n_cluster[hit] = ns_s[pos_c[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "n_cluster": pa.array(n_cluster, pa.int64()),
+                "weight": pa.array(
+                    np.float64(1.0) / n_cluster, pa.float64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        weight_map, batch_format="pyarrow"
+    )
+
+
+D19_SQL = """
+WITH RECURSIVE tri AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+n AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+e AS (
+  SELECT id_a, id_b FROM inter
+  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6),
+und AS (SELECT id_a AS u, id_b AS v FROM e
+        UNION ALL SELECT id_b AS u, id_a AS v FROM e),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM und
+  UNION
+  SELECT w.v AS node, walk.lbl FROM walk JOIN und w ON w.u = walk.node),
+lab AS (SELECT node, MIN(lbl) AS lbl FROM walk GROUP BY node),
+m AS (
+  SELECT d.doc_id, CAST(COALESCE(lab.lbl, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+c AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+      FROM m GROUP BY cluster_id)
+SELECT m.doc_id, m.cluster_id, c.n_cluster,
+       CAST(1 AS DOUBLE) / c.n_cluster AS weight
+FROM m JOIN c USING (cluster_id)
+"""
+
+
 def g05_connected_components(sf_dir: str):
     """Standalone connected-components over the shared co-purchase
     graph (stages/dedup.connected_components — the distributed
@@ -7427,6 +7516,20 @@ FROM walk GROUP BY node
 """
 
 
+def _neardup_labels(sf_dir: str, threshold: float) -> pd.DataFrame:
+    """Shared d18/d19 cluster derivation: exact set-similarity
+    SELF-join (trigram Jaccard >= threshold) -> connected components.
+    Returns the (node, label) frame for every doc incident to a
+    near-dup edge (dup-set-sized; singletons are absent)."""
+    from ..stages.dedup import connected_components
+    from ..stages.joins import set_similarity_self_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = set_similarity_self_join(ds, threshold=threshold)
+    edges = pairs.select_columns(["id_a", "id_b"])  # already id_a < id_b
+    return connected_components(edges).to_pandas()
+
+
 def d18_neardup_dedup_apply(sf_dir: str, threshold: float = 0.6):
     """Fuzzy-dedup APPLY — the end-to-end near-duplicate removal rule
     web-scale curation pipelines actually run (Brown 2020 / Rae 2021
@@ -7447,13 +7550,7 @@ def d18_neardup_dedup_apply(sf_dir: str, threshold: float = 0.6):
     exact verify, CC and apply are all checked at once."""
     import ray
 
-    from ..stages.dedup import connected_components
-    from ..stages.joins import set_similarity_self_join
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = set_similarity_self_join(ds, threshold=threshold)
-    edges = pairs.select_columns(["id_a", "id_b"])  # already id_a < id_b
-    labels = connected_components(edges).to_pandas()
+    labels = _neardup_labels(sf_dir, threshold)
     nodes = labels["node"].to_numpy(np.int64)
     labs = labels["label"].to_numpy(np.int64)
     order = np.argsort(nodes)
@@ -7691,4 +7788,5 @@ REGISTRY: dict[str, tuple] = {
     "g05_connected_components": (g05_connected_components, G05_SQL),
     "d18_neardup_dedup_apply": (d18_neardup_dedup_apply, D18_SQL),
     "w09_windowed_dedup": (w09_windowed_dedup, W09_SQL),
+    "d19_soft_dedup": (d19_soft_dedup, D19_SQL),
 }

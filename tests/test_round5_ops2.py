@@ -263,3 +263,17 @@ def test_setsim_self_candidates_triangle():
     pairs = sorted(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     assert pairs == [(1, 2), (1, 3), (1, 3), (2, 3)]  # (1,3) via both toks
     assert all(a < b for a, b in pairs)
+
+
+def test_d19_soft_dedup_invariants(ray_session):
+    """SoftDeDup invariant: every cluster's member weights sum to
+    exactly 1 (n * (1/n)), so total weight == number of clusters."""
+    from naer_ray.pipelines.queries import d19_soft_dedup
+
+    out = d19_soft_dedup(SF).to_pandas()
+    assert len(out) == 500 and out["doc_id"].is_unique
+    assert (out["weight"] == 1.0 / out["n_cluster"]).all()
+    per_cluster = out.groupby("cluster_id")["weight"].sum()
+    # n * (1/n) is not exactly 1.0 in floats for every n; allow 1 ulp
+    assert np.allclose(per_cluster, 1.0, rtol=0, atol=1e-12)
+    assert (out.groupby("cluster_id")["n_cluster"].nunique() == 1).all()
