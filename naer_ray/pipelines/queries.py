@@ -7656,6 +7656,101 @@ FROM o WHERE gap IS NULL OR gap > INTERVAL 1 HOUR
 """
 
 
+def x03_phrase_search(sf_dir: str, phrase: str = "hash vector"):
+    """Exact PHRASE search (the positional-index query x01's
+    bag-of-words probe cannot answer: the terms must be ADJACENT and in
+    order): per-doc occurrence count of a two-word phrase, docs with
+    >= 1 hit.  Ray shape: one shuffle-free streaming pass — the t15
+    bigram kernel (split/flatten/shift, doc-boundary masked) +
+    pc.equal + one bincount per batch; no per-row Python.  (A standing
+    corpus persists positional postings; single-pass is the index-free
+    shape, the x02 note.)"""
+    from ..stages.text import _batch_bigrams, _string_array
+
+    def count_phrase(batch: pa.Table) -> pa.Table:
+        bg, parents, n = _batch_bigrams(_string_array(batch["text"]))
+        if len(bg):
+            eq = pc.equal(bg, phrase).to_numpy(zero_copy_only=False)
+            cnt = np.bincount(parents[eq], minlength=n).astype(np.int64)
+        else:
+            cnt = np.zeros(n, np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().filter(pa.array(keep)),
+                "n_occurrences": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(count_phrase, batch_format="pyarrow")
+
+
+X03_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM l WHERE len(toks) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bg WHERE b = 'hash vector' GROUP BY doc_id
+"""
+
+
+def m12_audio_decimate(sf_dir: str, factor: int = 2):
+    """Audio sample-rate reduction by decimation (the resample stage of
+    a speech pipeline, naive keep-every-``factor``-th form so the
+    output is closed-form deterministic): the m04 WAV payloads decoded
+    for REAL (RIFF walk + PCM), decimated, then integer energy / peak
+    over the surviving samples.  Actor-pool map_batches like the other
+    decode stages; the SQL oracle re-derives the kept samples (j %
+    factor = 0) from the generator arithmetic, so decode, decimation
+    phase and the feature math are all checked."""
+    from ..stages.multimodal import decode_wav, synth_wav_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "n_samples": [], "sum_abs": [], "peak_abs": []}
+        for i in batch["doc_id"].to_pylist():
+            _rate, s = decode_wav(synth_wav_payload(i))
+            a = np.abs(s[::factor].astype(np.int64))
+            out["media_id"].append(f"a{i:07d}")
+            out["n_samples"].append(len(a))
+            out["sum_abs"].append(int(a.sum()))
+            out["peak_abs"].append(int(a.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "sum_abs": pa.array(out["sum_abs"], pa.int64()),
+                "peak_abs": pa.array(out["peak_abs"], pa.int32()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=256)
+
+
+M12_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + (doc_id * 89) % 193 AS n FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(range(0, n)) AS j,
+         abs(((doc_id * 31 + unnest(range(0, n)) * 57) % 2048) - 1024) AS a
+  FROM dims)
+SELECT printf('a%07d', doc_id) AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(a) AS BIGINT) AS sum_abs,
+       CAST(MAX(a) AS INTEGER) AS peak_abs
+FROM s WHERE j % 2 = 0 GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7789,4 +7884,6 @@ REGISTRY: dict[str, tuple] = {
     "d18_neardup_dedup_apply": (d18_neardup_dedup_apply, D18_SQL),
     "w09_windowed_dedup": (w09_windowed_dedup, W09_SQL),
     "d19_soft_dedup": (d19_soft_dedup, D19_SQL),
+    "x03_phrase_search": (x03_phrase_search, X03_SQL),
+    "m12_audio_decimate": (m12_audio_decimate, M12_SQL),
 }
