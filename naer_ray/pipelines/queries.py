@@ -7751,6 +7751,99 @@ FROM s WHERE j % 2 = 0 GROUP BY doc_id
 """
 
 
+def j04_interval_join(sf_dir: str, window_us: int = 21_600_000_000, n_buckets: int = 64):
+    """Stream-stream event-time INTERVAL join (Flink's interval join —
+    the attribution query: every purchase by the same user within 6
+    hours AFTER a click), a distinct join class from q23/j01 (as-of:
+    nearest one) and q26 (value-range): ALL matches inside the time
+    bound, keyed by user.
+
+    Ray shape: one streaming pass filters both sides and buckets by
+    user hash (co-partition — a user's clicks and purchases land in
+    the same bucket, nothing broadcast); the per-bucket kernel is
+    fully vectorized — purchases sort once by (user, ts), each side
+    maps to a composite int64 key ``user * span + ts_offset`` (span
+    bound asserted against int64), two ``np.searchsorted`` calls give
+    every click's match range, and the ragged ranges expand with the
+    repeat/cumsum trick.  No per-row or per-user Python loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pc.is_in(
+                batch["event_type"],
+                value_set=pa.array(["click", "purchase"], pa.string()),
+            )
+        )
+        u = keep["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return keep.append_column(
+            "bucket", pa.array((u % n_buckets).astype(np.int32), pa.int32())
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.Series([], dtype="int64"),
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64"),
+            }
+        )
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"]
+        if not len(c) or not len(p):
+            return empty
+        ts_all = g["ts"].astype("int64")
+        tmin = int(ts_all.min())
+        span = int(ts_all.max()) - tmin + window_us + 2
+        p = p.sort_values(["user_id", "ts", "event_id"])
+        pu = p["user_id"].to_numpy(np.int64)
+        pt = p["ts"].astype("int64").to_numpy() - tmin
+        cu = c["user_id"].to_numpy(np.int64)
+        ct = c["ts"].astype("int64").to_numpy() - tmin
+        assert (int(max(pu.max(), cu.max())) + 1) * span < 2**63, (
+            "interval-join composite key would overflow int64; shrink the "
+            "bucket time span or key range"
+        )
+        key_p = pu * span + pt  # ascending: sorted by (user, ts), pt < span
+        lo = np.searchsorted(key_p, cu * span + ct, side="left")
+        hi = np.searchsorted(key_p, cu * span + ct + window_us, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        pidx = starts + offs
+        cids = np.repeat(c["event_id"].to_numpy(np.int64), cnt)
+        return pd.DataFrame(
+            {
+                "click_id": cids,
+                "purchase_id": p["event_id"].to_numpy(np.int64)[pidx],
+                "user_id": np.repeat(cu, cnt),
+                "gap_us": pt[pidx] - np.repeat(ct, cnt),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+J04_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7886,4 +7979,5 @@ REGISTRY: dict[str, tuple] = {
     "d19_soft_dedup": (d19_soft_dedup, D19_SQL),
     "x03_phrase_search": (x03_phrase_search, X03_SQL),
     "m12_audio_decimate": (m12_audio_decimate, M12_SQL),
+    "j04_interval_join": (j04_interval_join, J04_SQL),
 }

@@ -277,3 +277,60 @@ def test_d19_soft_dedup_invariants(ray_session):
     # n * (1/n) is not exactly 1.0 in floats for every n; allow 1 ulp
     assert np.allclose(per_cluster, 1.0, rtol=0, atol=1e-12)
     assert (out.groupby("cluster_id")["n_cluster"].nunique() == 1).all()
+
+
+def _brute_interval_pairs(df, window_us):
+    out = []
+    c = df[df.event_type == "click"]
+    p = df[df.event_type == "purchase"]
+    for _, cr in c.iterrows():
+        for _, pr in p.iterrows():
+            gap = int((pr.ts - cr.ts) // pd.Timedelta(microseconds=1))
+            if pr.user_id == cr.user_id and 0 <= gap <= window_us:
+                out.append((cr.event_id, pr.event_id, cr.user_id, gap))
+    return sorted(out)
+
+
+def test_j04_interval_join_matches_brute_force(ray_session):
+    """Randomized property: the bucketed composite-key kernel == the
+    O(n^2) definition, including window boundary inclusivity."""
+    import ray.data
+
+    rng = np.random.RandomState(42)
+    for seed in (1, 9):
+        rng = np.random.RandomState(seed)
+        n = 120
+        w = 500_000_000  # 500 s
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 6, n).astype(np.int64),
+                "event_type": rng.choice(
+                    ["click", "purchase", "view"], n
+                ),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 2000, n), unit="s"
+                ).astype("datetime64[us]"),
+            }
+        )
+        from naer_ray.pipelines.queries import j04_interval_join  # noqa: F401
+        from naer_ray.pipelines import queries as q
+
+        # drive the kernel through the real bucketed Dataset path
+        import pyarrow.parquet as pq_
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            pq_.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(td, "events.parquet"),
+            )
+            got = (
+                q.j04_interval_join(td, window_us=w, n_buckets=4)
+                .to_pandas()
+                .sort_values(["click_id", "purchase_id"])
+            )
+        got_pairs = sorted(
+            zip(got.click_id, got.purchase_id, got.user_id, got.gap_us)
+        )
+        assert got_pairs == _brute_interval_pairs(df, w)
