@@ -7844,6 +7844,88 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def i03_late_events(sf_dir: str, n_buckets: int = 64):
+    """Watermark / late-event classification (the out-of-order-arrival
+    concern of §2.9 streaming semantics, surfaced as its own operator):
+    events arrive shard-interleaved — arrival order is
+    ``(event_id % 7, event_id)``, the round-robin merge of 7 source
+    shards, so event time is genuinely out of order; a per-user
+    watermark is the running max event-time seen so far, and an event
+    is LATE when its ts is strictly below the watermark of the events
+    that arrived before it.  Output: per user, total events, late count, and the
+    max lateness in microseconds (0 when none).
+
+    Ray shape: ONE user-hash bucket shuffle; the kernel sorts each
+    bucket by (user_id, event_id) and computes the exclusive running
+    max via a shifted ``np.maximum.accumulate`` per user run — all
+    vectorized, run boundaries handled by resetting the shifted value
+    at run starts."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array((u % n_buckets).astype(np.int32), pa.int32())
+        )
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_shard=g["event_id"].to_numpy(np.int64) % 7)
+        g = g.sort_values(["user_id", "_shard", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ts = pd.Series(g["ts"].astype("int64").to_numpy())
+        # exclusive per-user running max (the watermark): grouped shift
+        # + grouped cummax, both pandas C kernels; run starts get
+        # int64.min so they can never be late
+        prev = (
+            ts.groupby(u)
+            .shift(1)
+            .fillna(np.iinfo(np.int64).min)
+            .astype(np.int64)
+        )
+        wm = prev.groupby(u).cummax().to_numpy()
+        tsv = ts.to_numpy()
+        late = tsv < wm
+        lateness = np.where(late, wm - tsv, 0)
+        out = pd.DataFrame(
+            {"user_id": u, "late": late.astype(np.int64), "lateness": lateness}
+        )
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_events=("late", "size"),
+            n_late=("late", "sum"),
+            max_lateness_us=("lateness", "max"),
+        )
+        return agg.astype(
+            {
+                "n_events": "int64",
+                "n_late": "int64",
+                "max_lateness_us": "int64",
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(kern, batch_format="pandas")
+    )
+
+
+I03_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY event_id % 7, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN t < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN t < wm THEN wm - t END), 0) AS BIGINT)
+           AS max_lateness_us
+FROM w GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -7980,4 +8062,5 @@ REGISTRY: dict[str, tuple] = {
     "x03_phrase_search": (x03_phrase_search, X03_SQL),
     "m12_audio_decimate": (m12_audio_decimate, M12_SQL),
     "j04_interval_join": (j04_interval_join, J04_SQL),
+    "i03_late_events": (i03_late_events, I03_SQL),
 }

@@ -334,3 +334,35 @@ def test_j04_interval_join_matches_brute_force(ray_session):
             zip(got.click_id, got.purchase_id, got.user_id, got.gap_us)
         )
         assert got_pairs == _brute_interval_pairs(df, w)
+
+
+def test_i03_watermark_semantics(ray_session):
+    """Hand-built shard-interleaved arrival: the watermark is the
+    exclusive running max in arrival order (event_id % 7, event_id)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from naer_ray.pipelines import queries as q
+
+    # user 1: arrival order by (id%7, id) = ids [7, 14, 3] ->
+    # ts 100, 50 (late by 50), 80 (late by 20)
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([7, 14, 3], np.int64),
+            "user_id": np.array([1, 1, 1], np.int64),
+            "ts": pd.to_datetime([100, 50, 80], unit="us").astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq_.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(td, "events.parquet"),
+        )
+        out = q.i03_late_events(td, n_buckets=2).to_pandas()
+    assert out["n_events"].tolist() == [3]
+    assert out["n_late"].tolist() == [2]
+    assert out["max_lateness_us"].tolist() == [50]
