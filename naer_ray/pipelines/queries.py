@@ -7926,6 +7926,91 @@ FROM w GROUP BY user_id
 """
 
 
+def t16_token_drift(sf_dir: str, k: int = 25):
+    """Token-distribution drift between two corpus slices (the
+    data-monitoring pass a curation pipeline runs when a new crawl
+    snapshot lands): token counts in slice A (even doc_id) vs slice B
+    (odd doc_id), ranked by the EXACT integer cross-product divergence
+    ``|c_a * n_b - c_b * n_a|`` (sign-free numerator of the rate
+    difference c_a/n_a - c_b/n_b over the common denominator — no
+    float ratios, so ranking and hash are bit-stable).  Top-k most
+    drifted tokens with both counts.
+
+    Ray shape: one pass emits per-batch (token, side) count partials
+    (np.unique per side), ONE token-hash bucketed sum, slice totals
+    ride as two scalar partial sums; the divergence and top-k run on
+    the vocabulary-sized result (driver pull bounded by Heaps' law,
+    the t11 assumption)."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.text import _flat_nonempty, _string_array, _RE2_SPACE_CLASS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = _string_array(batch["text"])
+        flat, parents, _ = _flat_nonempty(
+            pc.split_pattern_regex(txt, _RE2_SPACE_CLASS), len(txt)
+        )
+        even = (ids[parents] % 2 == 0) if len(parents) else np.empty(0, bool)
+        toks = flat.to_numpy(zero_copy_only=False)
+        out_t, out_a, out_b = [], [], []
+        for side, mask in ((0, even), (1, ~even)):
+            u, c = np.unique(toks[mask], return_counts=True)
+            out_t.append(u)
+            out_a.append(c if side == 0 else np.zeros(len(u), np.int64))
+            out_b.append(c if side == 1 else np.zeros(len(u), np.int64))
+        return pa.table(
+            {
+                "token": pa.array(np.concatenate(out_t), pa.string()),
+                "c_a": pa.array(
+                    np.concatenate(out_a).astype(np.int64), pa.int64()
+                ),
+                "c_b": pa.array(
+                    np.concatenate(out_b).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    vocab = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        ["c_a", "c_b"],
+    ).to_pandas()
+    n_a = int(vocab["c_a"].sum())
+    n_b = int(vocab["c_b"].sum())
+    div = (
+        vocab["c_a"].to_numpy(np.int64) * n_b
+        - vocab["c_b"].to_numpy(np.int64) * n_a
+    )
+    vocab["divergence"] = np.abs(div)
+    out = vocab.sort_values(
+        ["divergence", "token"], ascending=[False, True]
+    ).head(k)
+    return out[["token", "c_a", "c_b", "divergence"]].reset_index(drop=True)
+
+
+T16_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+c AS (
+  SELECT t AS token,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_a,
+         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_b
+  FROM tok GROUP BY t),
+n AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM c)
+SELECT token, c_a, c_b,
+       CAST(abs(c_a * n.n_b - c_b * n.n_a) AS BIGINT) AS divergence
+FROM c CROSS JOIN n
+ORDER BY divergence DESC, token LIMIT 25
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -8063,4 +8148,5 @@ REGISTRY: dict[str, tuple] = {
     "m12_audio_decimate": (m12_audio_decimate, M12_SQL),
     "j04_interval_join": (j04_interval_join, J04_SQL),
     "i03_late_events": (i03_late_events, I03_SQL),
+    "t16_token_drift": (t16_token_drift, T16_SQL),
 }
