@@ -7706,10 +7706,11 @@ def m12_audio_decimate(sf_dir: str, factor: int = 2):
     a speech pipeline, naive keep-every-``factor``-th form so the
     output is closed-form deterministic): the m04 WAV payloads decoded
     for REAL (RIFF walk + PCM), decimated, then integer energy / peak
-    over the surviving samples.  Actor-pool map_batches like the other
-    decode stages; the SQL oracle re-derives the kept samples (j %
-    factor = 0) from the generator arithmetic, so decode, decimation
-    phase and the feature math are all checked."""
+    over the surviving samples.  Stateless map_batches (decode_wav is
+    a pure function, no per-actor state to amortize); the SQL oracle
+    re-derives the kept samples (j % factor = 0) from the generator
+    arithmetic, so decode, decimation phase and the feature math are
+    all checked."""
     from ..stages.multimodal import decode_wav, synth_wav_payload
 
     ds = _read(sf_dir, "documents", ["doc_id"])
@@ -7801,10 +7802,11 @@ def j04_interval_join(sf_dir: str, window_us: int = 21_600_000_000, n_buckets: i
         pt = p["ts"].astype("int64").to_numpy() - tmin
         cu = c["user_id"].to_numpy(np.int64)
         ct = c["ts"].astype("int64").to_numpy() - tmin
-        assert (int(max(pu.max(), cu.max())) + 1) * span < 2**63, (
-            "interval-join composite key would overflow int64; shrink the "
-            "bucket time span or key range"
-        )
+        if (int(max(pu.max(), cu.max())) + 1) * span >= 2**63:
+            raise ValueError(
+                "interval-join composite key would overflow int64; shrink "
+                "the bucket time span or key range"
+            )
         key_p = pu * span + pt  # ascending: sorted by (user, ts), pt < span
         lo = np.searchsorted(key_p, cu * span + ct, side="left")
         hi = np.searchsorted(key_p, cu * span + ct + window_us, side="right")
@@ -7979,11 +7981,18 @@ def t16_token_drift(sf_dir: str, k: int = 25):
     ).to_pandas()
     n_a = int(vocab["c_a"].sum())
     n_b = int(vocab["c_b"].sum())
-    div = (
-        vocab["c_a"].to_numpy(np.int64) * n_b
-        - vocab["c_b"].to_numpy(np.int64) * n_a
-    )
-    vocab["divergence"] = np.abs(div)
+    ca = vocab["c_a"].to_numpy(np.int64)
+    cb = vocab["c_b"].to_numpy(np.int64)
+    if len(vocab) and max(
+        int(ca.max()) * n_b, int(cb.max()) * n_a
+    ) >= 2**62:
+        # int64 would wrap where DuckDB's HUGEINT stays exact: fall back
+        # to Python ints on the (vocab-sized, driver-side) frame
+        vocab["divergence"] = [
+            abs(int(a) * n_b - int(b) * n_a) for a, b in zip(ca, cb)
+        ]
+    else:
+        vocab["divergence"] = np.abs(ca * n_b - cb * n_a)
     out = vocab.sort_values(
         ["divergence", "token"], ascending=[False, True]
     ).head(k)
