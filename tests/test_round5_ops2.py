@@ -366,3 +366,25 @@ def test_i03_watermark_semantics(ray_session):
     assert out["n_events"].tolist() == [3]
     assert out["n_late"].tolist() == [2]
     assert out["max_lateness_us"].tolist() == [50]
+
+
+def test_new_ops_partitioning_invariance(ray_session):
+    """d17/w09/i03/j04 results must be identical under a different
+    bucket count (the repo's partitioning-invariance gate for every
+    bucketed kernel)."""
+    from naer_ray.pipelines import queries as q
+
+    for fn, kwargs, sort_cols in (
+        (q.d17_url_canonical_dedup, {"n_buckets": 3}, ["url_key"]),
+        (q.w09_windowed_dedup, {"n_buckets": 3}, ["event_id"]),
+        (q.i03_late_events, {"n_buckets": 3}, ["user_id"]),
+        (q.j04_interval_join, {"n_buckets": 3}, ["click_id", "purchase_id"]),
+    ):
+        a = fn(SF).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        b = (
+            fn(SF, **kwargs)
+            .to_pandas()
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
