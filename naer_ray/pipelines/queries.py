@@ -8020,6 +8020,78 @@ ORDER BY divergence DESC, token LIMIT 25
 """
 
 
+def s06_schema_evolution(sf_dir: str):
+    """Schema-evolution reader (the source-side concern of a long-lived
+    corpus store: snapshot generations add and drop columns): two
+    staged parquet generations — gen 1 carries (doc_id, lang), gen 2
+    (ids + 1M) was written after ``lang`` was dropped — are each read
+    and normalized to the superset schema with typed-null fill
+    (sources/transcripts.conform_batch), unioned as ONE streaming
+    Dataset, and aggregated per COALESCE'd lang.  The oracle re-derives
+    the union with NULL lang for gen 2, so the fill, the union and the
+    null-aware groupby are all checked."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from ..sources.transcripts import conform_batch
+
+    stage = (
+        "/tmp/naer_schema_evo/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    src = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    _pq.write_table(src, f"{stage}/gen1.parquet")
+    _pq.write_table(
+        pa.table(
+            {"doc_id": pc.add(src["doc_id"], pa.scalar(1_000_000, pa.int64()))}
+        ),
+        f"{stage}/gen2.parquet",
+    )
+
+    superset = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lang", pa.string())]
+    )
+
+    def conform(batch: pa.Table) -> pa.Table:
+        return conform_batch(batch, superset)
+
+    ds = ray.data.read_parquet(f"{stage}/gen1.parquet").map_batches(
+        conform, batch_format="pyarrow"
+    ).union(
+        ray.data.read_parquet(f"{stage}/gen2.parquet").map_batches(
+            conform, batch_format="pyarrow"
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = pc.fill_null(batch["lang"], "<missing>")
+        t = pa.table({"lang": lang}).group_by("lang").aggregate([("lang", "count")])
+        return t.rename_columns(["lang", "n"])
+
+    from ..stages.agg import bucketed_sum
+
+    out = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"], ["n"]
+    ).to_pandas()
+    shutil.rmtree(stage, ignore_errors=True)
+    return out.astype({"n": "int64"}).sort_values("lang").reset_index(drop=True)
+
+
+S06_SQL = """
+WITH u AS (
+  SELECT lang FROM documents
+  UNION ALL
+  SELECT NULL AS lang FROM documents)
+SELECT COALESCE(lang, '<missing>') AS lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -8158,4 +8230,5 @@ REGISTRY: dict[str, tuple] = {
     "j04_interval_join": (j04_interval_join, J04_SQL),
     "i03_late_events": (i03_late_events, I03_SQL),
     "t16_token_drift": (t16_token_drift, T16_SQL),
+    "s06_schema_evolution": (s06_schema_evolution, S06_SQL),
 }

@@ -159,6 +159,21 @@ def read_transcripts_jsonl(
     )
 
 
+def conform_batch(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Normalize one batch to ``schema``: missing columns become typed
+    nulls, present columns cast to the target type, extras drop — the
+    schema-evolution rule for reading a corpus whose snapshots were
+    written under different generations of the table schema (the JSONL
+    reader's normalize step, generalized to any target schema)."""
+    arrays = []
+    for field in schema:
+        if field.name not in batch.column_names:
+            arrays.append(pa.nulls(len(batch), field.type))
+        else:
+            arrays.append(pc.cast(batch[field.name], field.type))
+    return pa.table(dict(zip(schema.names, arrays)))
+
+
 def validity_mask(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
     """Boolean mask: trimmed text non-empty and ends in [.!?] (reference :76-100)."""
     trimmed = pc.utf8_trim_whitespace(batch["text"])

@@ -388,3 +388,18 @@ def test_new_ops_partitioning_invariance(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_conform_batch_fill_cast_drop():
+    from naer_ray.sources.transcripts import conform_batch
+
+    schema = pa.schema(
+        [pa.field("a", pa.int64()), pa.field("b", pa.string())]
+    )
+    batch = pa.table(
+        {"a": pa.array([1, 2], pa.int32()), "extra": pa.array(["x", "y"])}
+    )
+    out = conform_batch(batch, schema)
+    assert out.schema == schema  # cast a, drop extra
+    assert out["a"].to_pylist() == [1, 2]
+    assert out["b"].null_count == 2  # typed-null fill
