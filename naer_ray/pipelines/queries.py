@@ -6855,29 +6855,11 @@ FROM s ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
-def x01_inverted_index_search(sf_dir: str):
-    """Inverted-index build + conjunctive probe (Zobel & Moffat 2006,
-    "Inverted files for text search engines"): BUILD tokenizes the
-    corpus once, derives per-(doc, token) term frequencies inside each
-    batch (docs are row-local, so tf needs no shuffle), and writes
-    postings as hive-partitioned Parquet sharded by fnv64(token) % 16
-    — the persisted-index family (d11 / a08 / j03).  PROBE reads ONLY
-    the query tokens' shards (partition-pruned + token-filtered),
-    joins the posting lists on doc_id with one doc-hash bucket-run
-    (conjunctive AND), scores tf('hash') + tf('vector') and returns
-    the top 10 by (score DESC, doc_id)."""
-    import os as _os
-    import shutil
-
+def _postings_fn(n_shards: int):
+    """Per-batch (token, doc_id, tf, shard) posting rows — docs are
+    row-local so term frequencies need no shuffle; shared by the x01
+    batch build and the x04 incremental delta."""
     from ..stages.dedup import _fnv64_arr
-
-    n_shards = 16
-    q_tokens = ["hash", "vector"]
-    path = (
-        "/tmp/naer_inverted_index/"
-        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
 
     def postings(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch["text"], " ")
@@ -6923,28 +6905,33 @@ def x01_inverted_index_search(sf_dir: str):
             }
         )
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    docs.map_batches(postings, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["shard"]
-    )
+    return postings
 
-    # --- probe: read only the query tokens' shards
-    import ray.data
 
-    q_arr = pa.array(q_tokens, pa.string())
-    shards = sorted(
-        {int(s) for s in _fnv64_arr(q_arr) % np.uint64(n_shards)}
-    )
+def _read_index_shards(path: str, q_tokens, n_shards: int):
+    """Partition-pruned posting read: only the query tokens' shards."""
     import glob as _glob
 
+    import ray.data
+
+    from ..stages.dedup import _fnv64_arr
+
+    q_arr = pa.array(list(q_tokens), pa.string())
+    shards = sorted({int(s) for s in _fnv64_arr(q_arr) % np.uint64(n_shards)})
     shard_files = [
         f
         for s in shards
         for f in sorted(_glob.glob(f"{path}/shard={s}/*.parquet"))
     ]
-    probe = ray.data.read_parquet(
+    return ray.data.read_parquet(
         shard_files, columns=["token", "doc_id", "tf"]
-    ).filter(expr=f"token in {q_tokens!r}")
+    ).filter(expr=f"token in {list(q_tokens)!r}")
+
+
+def _conjunctive_topk(probe, q_tokens, k: int = 10) -> pd.DataFrame:
+    """Conjunctive-AND score over a posting Dataset: one doc-hash
+    bucket-run keeps docs holding ALL query tokens, sums tf, top-k by
+    (score DESC, doc_id)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -6961,7 +6948,7 @@ def x01_inverted_index_search(sf_dir: str):
         g = g[g["nt"] == len(q_tokens)].reset_index()
         g = g.sort_values(
             ["score", "doc_id"], ascending=[False, True]
-        ).head(10)
+        ).head(k)
         return g[["doc_id", "score"]]
 
     out = (
@@ -6970,13 +6957,91 @@ def x01_inverted_index_search(sf_dir: str):
         .map_groups(conj_topk, batch_format="pandas")
         .to_pandas()
     )
-    out = (
+    return (
         out.astype({"doc_id": "int64", "score": "int64"})
         .sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(10)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def x01_inverted_index_search(sf_dir: str):
+    """Inverted-index build + conjunctive probe (Zobel & Moffat 2006,
+    "Inverted files for text search engines"): BUILD tokenizes the
+    corpus once, derives per-(doc, token) term frequencies inside each
+    batch (docs are row-local, so tf needs no shuffle), and writes
+    postings as hive-partitioned Parquet sharded by fnv64(token) % 16
+    — the persisted-index family (d11 / a08 / j03).  PROBE reads ONLY
+    the query tokens' shards (partition-pruned + token-filtered),
+    joins the posting lists on doc_id with one doc-hash bucket-run
+    (conjunctive AND), scores tf('hash') + tf('vector') and returns
+    the top 10 by (score DESC, doc_id)."""
+    import os as _os
+    import shutil
+
+    n_shards = 16
+    q_tokens = ["hash", "vector"]
+    path = (
+        "/tmp/naer_inverted_index/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    return out.reset_index(drop=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs.map_batches(
+        _postings_fn(n_shards), batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["shard"])
+
+    probe = _read_index_shards(path, q_tokens, n_shards)
+    out = _conjunctive_topk(probe, q_tokens)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def x04_inverted_incremental(sf_dir: str):
+    """INCREMENTAL inverted-index search (the x01 counterpart of
+    d11/j03's incremental family): the even-id documents are indexed
+    ONCE (hive-sharded postings on disk); the odd-id delta is
+    tokenized on the fly and its query-token postings UNION with the
+    partition-pruned persisted shards — no index rebuild — before the
+    same conjunctive top-10.  Index ∪ delta covers the whole corpus,
+    so x01's full-corpus SQL oracle applies unchanged: batch and
+    incremental must answer identically."""
+    import os as _os
+    import shutil
+
+    n_shards = 16
+    q_tokens = ["hash", "vector"]
+    path = (
+        "/tmp/naer_inverted_index/"
+        f"{_os.getpid()}-inc-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(want_even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 2 == 0) if want_even else (ids % 2 == 1)
+            return batch.filter(pa.array(m))
+
+        return f
+
+    docs.map_batches(half(True), batch_format="pyarrow").map_batches(
+        _postings_fn(n_shards), batch_format="pyarrow"
+    ).write_parquet(path, partition_cols=["shard"])
+
+    delta = (
+        docs.map_batches(half(False), batch_format="pyarrow")
+        .map_batches(_postings_fn(n_shards), batch_format="pyarrow")
+        .filter(expr=f"token in {q_tokens!r}")
+        .select_columns(["token", "doc_id", "tf"])
+    )
+    probe = _read_index_shards(path, q_tokens, n_shards).union(delta)
+    out = _conjunctive_topk(probe, q_tokens)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 X01_SQL = """
@@ -8231,4 +8296,5 @@ REGISTRY: dict[str, tuple] = {
     "i03_late_events": (i03_late_events, I03_SQL),
     "t16_token_drift": (t16_token_drift, T16_SQL),
     "s06_schema_evolution": (s06_schema_evolution, S06_SQL),
+    "x04_inverted_incremental": (x04_inverted_incremental, X01_SQL),
 }
