@@ -8157,6 +8157,85 @@ FROM u GROUP BY 1
 """
 
 
+def m13_image_downsample(sf_dir: str):
+    """REAL image downsampling (closes the resample step m02's plan
+    left as the stubbed codec stage): each doc's P6 PPM payload is
+    REALLY decoded (stages/multimodal.decode_ppm), 2x2 area-averaged
+    with integer floor division (odd edge rows/cols crop, the standard
+    pooling rule), and summarized as (out_w, out_h, checksum = sum of
+    all downsampled channel values) — exact integers, so the SQL
+    oracle re-derives every output pixel from the generator
+    arithmetic and the hash verifies decode, layout (j = y*w + x),
+    pooling and crop at once."""
+    from ..stages.multimodal import decode_ppm, synth_ppm_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def down(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "out_w": [], "out_h": [], "checksum": []}
+        for i in batch["doc_id"].to_pylist():
+            w, h, pix = decode_ppm(synth_ppm_payload(i))
+            arr = pix.reshape(h, w, 3).astype(np.int64)
+            oh, ow = h // 2, w // 2
+            a = arr[: oh * 2, : ow * 2]
+            pooled = (
+                a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2]
+            ) // 4
+            out["doc_id"].append(i)
+            out["out_w"].append(ow)
+            out["out_h"].append(oh)
+            out["checksum"].append(int(pooled.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "out_w": pa.array(out["out_w"], pa.int64()),
+                "out_h": pa.array(out["out_h"], pa.int64()),
+                "checksum": pa.array(out["checksum"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(down, batch_format="pyarrow", batch_size=256)
+
+
+M13_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 131) % 29 AS w,
+         4 + (doc_id * 197) % 31 AS h
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         unnest(range(0, w // 2)) AS ux
+  FROM dims),
+grid AS (
+  SELECT doc_id, w, h, ux, unnest(range(0, h // 2)) AS uy FROM cells),
+px AS (
+  SELECT doc_id, w, h, ux, uy,
+         (2 * uy) * w + 2 * ux AS j00,
+         (2 * uy) * w + 2 * ux + 1 AS j01,
+         (2 * uy + 1) * w + 2 * ux AS j10,
+         (2 * uy + 1) * w + 2 * ux + 1 AS j11
+  FROM grid),
+m AS (
+  SELECT doc_id, w, h,
+         (((doc_id * 7 + j00 * 13) % 256) + ((doc_id * 7 + j01 * 13) % 256)
+          + ((doc_id * 7 + j10 * 13) % 256)
+          + ((doc_id * 7 + j11 * 13) % 256)) // 4 AS r,
+         (((doc_id * 11 + j00 * 17) % 256) + ((doc_id * 11 + j01 * 17) % 256)
+          + ((doc_id * 11 + j10 * 17) % 256)
+          + ((doc_id * 11 + j11 * 17) % 256)) // 4 AS g,
+         (((doc_id * 13 + j00 * 23) % 256) + ((doc_id * 13 + j01 * 23) % 256)
+          + ((doc_id * 13 + j10 * 23) % 256)
+          + ((doc_id * 13 + j11 * 23) % 256)) // 4 AS b
+  FROM px)
+SELECT doc_id,
+       CAST(MIN(w) // 2 AS BIGINT) AS out_w,
+       CAST(MIN(h) // 2 AS BIGINT) AS out_h,
+       CAST(SUM(r + g + b) AS BIGINT) AS checksum
+FROM m GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -8297,4 +8376,5 @@ REGISTRY: dict[str, tuple] = {
     "t16_token_drift": (t16_token_drift, T16_SQL),
     "s06_schema_evolution": (s06_schema_evolution, S06_SQL),
     "x04_inverted_incremental": (x04_inverted_incremental, X01_SQL),
+    "m13_image_downsample": (m13_image_downsample, M13_SQL),
 }
