@@ -8236,6 +8236,339 @@ FROM m GROUP BY doc_id
 """
 
 
+def r04_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority)) — the non-rollup,
+    non-cube member of the multi-granularity family (r01/r02): exactly
+    the requested grouping sets, no finest level, no grand total.
+
+    Scale shape: ONE distributed finest-level pass over
+    (o_orderstatus, o_orderpriority) — per-batch combiner partials +
+    one cardinality-sized bucket shuffle — then each requested set is
+    derived from the (statuses x priorities)-sized finest result on
+    the driver.  No second scan of orders; money through the
+    integer-cents trick."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": _cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+
+    fine = bucketed_sum(
+        ds.map_batches(to_int, batch_format="pandas", batch_size=65536),
+        ["o_orderstatus", "o_orderpriority"],
+        ["cents"],
+        count_col="n_rows",
+    ).to_pandas()
+
+    sets = []
+    for keep in (["o_orderstatus"], ["o_orderpriority"]):
+        lvl = fine.groupby(keep, as_index=False)[["cents", "n_rows"]].sum()
+        for k in ("o_orderstatus", "o_orderpriority"):
+            if k not in keep:
+                lvl[k] = None
+        sets.append(lvl[["o_orderstatus", "o_orderpriority", "cents", "n_rows"]])
+    out = pd.concat(sets, ignore_index=True)
+    out["sum_cents"] = out.pop("cents").astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+R04_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def r05_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long): lineitem's four per-row measures melt
+    into (l_returnflag, metric) long rows, aggregated in the same
+    pass.  The melt happens INSIDE each batch (per-batch combiner
+    emits one row per flag x metric), so the exchange carries
+    O(flags x metrics x batches) partials — never the unpivoted
+    row-level long table (4x the fact table at 100 TB).  Measures go
+    through the integer-cents trick."""
+    from ..stages.agg import bucketed_sum
+
+    METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"] + METRICS)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for m in METRICS:
+            g = pd.DataFrame(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "cents": _cents(batch[m].to_numpy()),
+                }
+            ).groupby("l_returnflag", as_index=False)["cents"].agg(["sum", "size"])
+            g.columns = ["l_returnflag", "s", "n"]
+            g["metric"] = m
+            parts.append(g)
+        return pd.concat(parts, ignore_index=True)
+
+    out = bucketed_sum(
+        ds.map_batches(melt, batch_format="pandas", batch_size=65536),
+        ["l_returnflag", "metric"],
+        ["s", "n"],
+    ).to_pandas()
+    out["sum_cents"] = out.pop("s").astype("int64")
+    out["n_rows"] = out.pop("n").astype("int64")
+    return out.sort_values(["l_returnflag", "metric"]).reset_index(drop=True)
+
+
+R05_SQL = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS cents FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice',
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount',
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax',
+         CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) FROM lineitem)
+SELECT l_returnflag, metric,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM long GROUP BY l_returnflag, metric
+"""
+
+
+def q34_exists_filter(sf_dir: str):
+    """Correlated EXISTS + NOT EXISTS in one pass: orders that have at
+    least one deeply-discounted line (l_discount >= 0.08) and NO bulk
+    line (l_quantity >= 45), counted per o_orderpriority.
+
+    Scale shape: the two existence predicates reduce to per-orderkey
+    indicator SUMS — one lineitem scan with per-batch combiner
+    partials and ONE orderkey-hash bucket shuffle (never a correlated
+    per-order probe); the surviving key set joins orders through the
+    native partitioned hash join (both sides large at 100 TB), and the
+    final per-priority aggregate is combiner + tiny shuffle."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount", "l_quantity"])
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "n_disc": (batch["l_discount"].to_numpy() >= 0.08).astype("int64"),
+                "n_bulk": (batch["l_quantity"].to_numpy() >= 45).astype("int64"),
+            }
+        )
+
+    per_order = bucketed_sum(
+        li.map_batches(flags, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        ["n_disc", "n_bulk"],
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(batch["n_disc"], 0), pc.equal(batch["n_bulk"], 0)
+        )
+        return batch.filter(m).select(["l_orderkey"])
+
+    keys = per_order.map_batches(keep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = keys.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        bucketed_sum(joined, ["o_orderpriority"], [], count_col="n_orders")
+        .to_pandas()
+        .astype({"n_orders": "int64"})
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q34_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q35_salted_skew_agg(sf_dir: str):
+    """Hot-key aggregation through the SALTED two-round reduce: events
+    has only 5 event_type values, so every key holds ~20% of all rows
+    — the pathological skew case where a plain key-hash shuffle lands
+    the whole table on 5 reducers.  ``bucketed_sum(salt=8)`` spreads
+    each key's partials over 8 sub-buckets in round one and re-merges
+    in a tiny second round; sums are associative so the result is
+    bit-identical to the unsalted plan (the oracle checks exactly
+    that).  Event values go through the integer-mills trick."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "mils": np.floor(
+                    batch["value"].to_numpy() * 1000 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    out = bucketed_sum(
+        ds.map_batches(to_int, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        ["mils"],
+        count_col="n_events",
+        salt=8,
+    ).to_pandas()
+    out["sum_mils"] = out.pop("mils").astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q35_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_mils,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def w10_window_topn(sf_dir: str):
+    """Top-N per window (the streaming-analytics staple q24's global
+    grouped top-k does not cover): within each tumbling hour, the top
+    2 event_types by count, ties broken by event_type ascending.
+
+    Scale shape: per-batch (hour, type) combiner partials + ONE
+    cardinality-sized bucket shuffle; the rank runs on the
+    (windows x 5 types)-sized count table, never on events.  At 100 TB
+    the count table grows with the time span, not the data volume."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": batch["ts"].dt.floor("h"),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    counts = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["window_start", "event_type"],
+        [],
+        count_col="n",
+    ).to_pandas()
+    counts["n"] = counts["n"].astype("int64")
+    top = (
+        counts.sort_values(
+            ["window_start", "n", "event_type"], ascending=[True, False, True]
+        )
+        .groupby("window_start", as_index=False, sort=False)
+        .head(2)
+        .reset_index(drop=True)
+    )
+    return top[["window_start", "event_type", "n"]]
+
+
+W10_SQL = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS rn
+  FROM counts)
+SELECT window_start, event_type, n FROM ranked WHERE rn <= 2
+"""
+
+
+def v02_fd_violations(sf_dir: str):
+    """Functional-dependency audit (profiling / data-quality pass):
+    for each candidate FD X -> Y over documents, the number of
+    distinct determinant values and how many of them violate the
+    dependency (map to more than one distinct Y).
+
+    Scale shape: ONE distinct-pair reduce per FD — per-batch
+    ``drop_duplicates`` combiner + one bucket shuffle sized by the
+    distinct (X, Y) cardinality (langs x sources here), never by rows;
+    the violation count runs on that tiny result."""
+    from ..stages.agg import bucketed_sum
+
+    FDS = [("lang", "source"), ("source", "lang")]
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["lang", "source"]].drop_duplicates()
+
+    distinct = bucketed_sum(
+        ds.map_batches(pairs, batch_format="pandas", batch_size=65536),
+        ["lang", "source"],
+        [],
+        count_col="n",
+    ).to_pandas()
+
+    rows = []
+    for det, dep in FDS:
+        per_key = distinct.groupby(det)[dep].nunique()
+        rows.append(
+            {
+                "fd": f"{det}->{dep}",
+                "n_keys": np.int64(len(per_key)),
+                "n_violating_keys": np.int64(int((per_key > 1).sum())),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_keys": "int64", "n_violating_keys": "int64"}
+    )
+
+
+V02_SQL = """
+WITH ls AS (
+  SELECT lang AS det, COUNT(DISTINCT source) AS nd FROM documents GROUP BY lang),
+sl AS (
+  SELECT source AS det, COUNT(DISTINCT lang) AS nd FROM documents GROUP BY source)
+SELECT 'lang->source' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys
+FROM ls
+UNION ALL
+SELECT 'source->lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM sl
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -8377,4 +8710,10 @@ REGISTRY: dict[str, tuple] = {
     "s06_schema_evolution": (s06_schema_evolution, S06_SQL),
     "x04_inverted_incremental": (x04_inverted_incremental, X01_SQL),
     "m13_image_downsample": (m13_image_downsample, M13_SQL),
+    "r04_grouping_sets": (r04_grouping_sets, R04_SQL),
+    "r05_unpivot": (r05_unpivot, R05_SQL),
+    "q34_exists_filter": (q34_exists_filter, Q34_SQL),
+    "q35_salted_skew_agg": (q35_salted_skew_agg, Q35_SQL),
+    "w10_window_topn": (w10_window_topn, W10_SQL),
+    "v02_fd_violations": (v02_fd_violations, V02_SQL),
 }

@@ -1,0 +1,133 @@
+"""Round-5 batch-3 operator unit tests: grouping sets, unpivot,
+EXISTS/NOT-EXISTS pushdown, salted skew agg, per-window top-N, FD
+audit (the parametrized oracle sweep in test_queries_oracle covers
+end-to-end exactness; these pin the semantics the hash alone could
+mask)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grouping_sets_levels_and_sentinels(ray_session):
+    """r04 must emit EXACTLY the two requested sets — no finest level,
+    no grand total — with None in the grouped-out key."""
+    from naer_ray.pipelines.queries import r04_grouping_sets
+
+    out = r04_grouping_sets(SF)
+    by_status = out[out["o_orderpriority"].isna()]
+    by_prio = out[out["o_orderstatus"].isna()]
+    # every row belongs to exactly one set
+    assert len(by_status) + len(by_prio) == len(out)
+    assert (~out["o_orderstatus"].isna() | ~out["o_orderpriority"].isna()).all()
+    # both sets total the same row count (each partitions all orders)
+    assert by_status["n_rows"].sum() == by_prio["n_rows"].sum()
+    assert by_status["sum_cents"].sum() == by_prio["sum_cents"].sum()
+
+
+def test_unpivot_metric_coverage(ray_session):
+    from naer_ray.pipelines.queries import r05_unpivot
+
+    out = r05_unpivot(SF)
+    metrics = set(out["metric"])
+    assert metrics == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    }
+    # every metric's long slice covers the whole fact table
+    per_metric = out.groupby("metric")["n_rows"].sum()
+    assert per_metric.nunique() == 1
+
+
+def test_salted_equals_unsalted(ray_session):
+    """The salt only changes shuffle distribution, never the result."""
+    from naer_ray.stages.agg import bucketed_sum
+    from naer_ray.pipelines.queries import _read
+
+    ds = _read(SF, "events", ["event_type"])
+    a = (
+        bucketed_sum(ds, ["event_type"], [], count_col="n")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ds2 = _read(SF, "events", ["event_type"])
+    b = (
+        bucketed_sum(ds2, ["event_type"], [], count_col="n", salt=8)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_window_topn_rank_and_tiebreak(ray_session):
+    from naer_ray.pipelines.queries import w10_window_topn
+
+    out = w10_window_topn(SF)
+    # at most 2 rows per window, ordered (n desc, event_type asc)
+    for _, g in out.groupby("window_start"):
+        assert len(g) <= 2
+        rows = list(zip(-g["n"].to_numpy(), g["event_type"]))
+        assert rows == sorted(rows)
+
+
+def test_exists_filter_matches_pandas_reference(ray_session):
+    """q34 vs a direct single-process re-derivation of the two
+    existence predicates (independent of the SQL oracle)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import q34_exists_filter
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_discount", "l_quantity"],
+    ).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).to_pandas()
+    g = li.groupby("l_orderkey").agg(
+        disc=("l_discount", lambda s: (s >= 0.08).any()),
+        bulk=("l_quantity", lambda s: (s >= 45).any()),
+    )
+    keys = g[g["disc"] & ~g["bulk"]].index
+    ref = (
+        orders[orders["o_orderkey"].isin(keys)]
+        .groupby("o_orderpriority", as_index=False)
+        .size()
+        .rename(columns={"size": "n_orders"})
+        .astype({"n_orders": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out = q34_exists_filter(SF)
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def test_fd_violations_planted(ray_session, tmp_path):
+    """A hand-built table with one violating determinant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import v02_fd_violations
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "en", "de", "fr"]),
+            "source": pa.array(["web", "book", "web", "web"]),
+            "text": pa.array(["x", "x", "x", "x"]),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = v02_fd_violations(str(tmp_path)).set_index("fd")
+    # lang 'en' maps to {web, book} -> 1 violation of 3 langs
+    assert out.loc["lang->source", "n_keys"] == 3
+    assert out.loc["lang->source", "n_violating_keys"] == 1
+    # source 'web' maps to {en, de, fr} -> 1 violation of 2 sources
+    assert out.loc["source->lang", "n_keys"] == 2
+    assert out.loc["source->lang", "n_violating_keys"] == 1
