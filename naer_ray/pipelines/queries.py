@@ -8569,6 +8569,394 @@ FROM sl
 """
 
 
+def x05_proximity_search(sf_dir: str, window: int = 3):
+    """Proximity search (the positional-query family member x03's
+    exact-adjacency phrase search doesn't cover): count, per document,
+    the ('hash', 'vector') position pairs within ``window`` tokens of
+    each other — order-free nearness, the "terms NEAR each other"
+    operator of web search — and return the top 10 docs by
+    (pair count DESC, doc_id).
+
+    Scale shape: docs are row-local, so per-doc pair counts need NO
+    shuffle — one streaming pass with a per-batch double
+    ``np.searchsorted`` over offset-separated global positions, a
+    LOCAL top-10 per batch, and a blocks x 10 driver merge (the x02
+    bounded-merge pattern)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prox(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        n_docs = len(batch)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if not len(flat):
+            return empty
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        big = np.int64(lens.max() + 2 * window + 2)
+        gpos = parents.astype(np.int64) * big + pos
+        a_mask = pc.equal(flat, "hash").to_numpy(zero_copy_only=False)
+        b_mask = pc.equal(flat, "vector").to_numpy(zero_copy_only=False)
+        a_g, b_g = gpos[a_mask], gpos[b_mask]
+        if not len(a_g) or not len(b_g):
+            return empty
+        per_a = np.searchsorted(b_g, a_g + window, "right") - np.searchsorted(
+            b_g, a_g - window, "left"
+        )
+        per_doc = np.bincount(
+            parents[a_mask], weights=per_a, minlength=n_docs
+        ).astype(np.int64)
+        keep = per_doc > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        cnt = per_doc[keep]
+        # local top-10 (n desc, doc_id asc) — bounds the driver merge
+        order = np.lexsort((ids, -cnt))[:10]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_pairs": pa.array(cnt[order], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(prox, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(
+        ["n_pairs", "doc_id"], ascending=[False, True]
+    ).head(10)
+    return top.reset_index(drop=True)
+
+
+X05_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos AS (SELECT doc_id,
+         list_filter(range(1, len(tk)+1), i -> tk[i] = 'hash') AS ph,
+         list_filter(range(1, len(tk)+1), i -> tk[i] = 'vector') AS pv
+        FROM tok),
+cnt AS (SELECT doc_id,
+         COALESCE(list_sum(list_transform(ph,
+            a -> len(list_filter(pv, b -> abs(a - b) <= 3)))), 0) AS n_pairs
+        FROM pos)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM cnt WHERE n_pairs > 0 ORDER BY n_pairs DESC, doc_id LIMIT 10
+"""
+
+
+def g06_friends_of_friends(sf_dir: str, n_buckets: int = 64, seed_max: int = 20):
+    """Two-hop neighborhood (friends-of-friends recommendation) over
+    the SPARSE co-order part graph — parts are adjacent when they
+    appear in the same order (the part↔supplier graph g01-g05 use is
+    near-complete, so 2-hop counts there are degenerate).  For each
+    seed part (partkey <= seed_max): the number of distinct parts
+    exactly two hops away — reachable through a co-ordered part but
+    not co-ordered with the seed itself, and not the seed.
+
+    Scale shape: edge derivation is ONE orderkey-hash bucket-run whose
+    per-order self-merge is a single vectorized pandas join (orders
+    hold <= 7 lines, so the per-order cross is bounded); the seed
+    adjacency (seeds x degree, tiny) broadcasts via ``ray.put`` and
+    the FoF expansion + direct-neighbor anti-join run vectorized
+    inside one more pass over the edge stream; the final distinct
+    (seed, part) reduce is a cardinality-sized bucket shuffle."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["l_orderkey"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return (
+            m[["l_partkey_x", "l_partkey_y"]]
+            .drop_duplicates()
+            .rename(columns={"l_partkey_x": "pa", "l_partkey_y": "pb"})
+        )
+
+    edges = li.map_batches(
+        bucketize, batch_format="pandas", batch_size=65536
+    ).groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    # seed adjacency: seeds x degree rows — driver-sized by construction
+    seed_edges = (
+        edges.map_batches(
+            lambda b: b[b["pa"] <= seed_max],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    seed_ref = ray.put(seed_edges)
+
+    def fof(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(seed_ref)
+        # expand: edge (mid, b) matched to every seed with direct mid
+        out = batch.merge(
+            d.rename(columns={"pa": "seed", "pb": "pa"}), on="pa"
+        )[["seed", "pb"]]
+        out = out[out["pb"] != out["seed"]].drop_duplicates()
+        # anti-join the seed's direct neighbors
+        out = out.merge(
+            d.rename(columns={"pa": "seed"}),
+            on=["seed", "pb"],
+            how="left",
+            indicator=True,
+        )
+        return out[out["_merge"] == "left_only"][["seed", "pb"]]
+
+    cand = edges.map_batches(fof, batch_format="pandas", batch_size=65536)
+    distinct = bucketed_sum(cand, ["seed", "pb"], [], count_col="c").to_pandas()
+    out = (
+        distinct.groupby("seed", as_index=False)["pb"]
+        .nunique()
+        .rename(columns={"seed": "p_partkey", "pb": "n_fof"})
+        .astype({"p_partkey": "int64", "n_fof": "int64"})
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+G06_SQL = """
+WITH pairs AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+               FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+fof AS (SELECT p1.pa seed, p2.pb f FROM pairs p1 JOIN pairs p2 ON p1.pb = p2.pa
+        WHERE p1.pa <= 20 AND p2.pb <> p1.pa),
+kept AS (SELECT f.seed, f.f FROM fof f
+         LEFT JOIN pairs d ON d.pa = f.seed AND d.pb = f.f WHERE d.pb IS NULL)
+SELECT seed AS p_partkey, CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fof
+FROM kept GROUP BY 1
+"""
+
+
+def m14_gray_histogram(sf_dir: str):
+    """Grayscale luminance histogram over REAL image decodes: each
+    doc's P6 PPM payload decodes for real, every pixel maps to integer
+    luma ``(r*299 + g*587 + b*114) // 1000`` and a 4-bin histogram
+    (``luma // 64``) — the brightness-profile feature a curation
+    pipeline uses to drop over/under-exposed images.  All-integer, so
+    the SQL oracle re-derives every pixel from the generator
+    arithmetic and checks decode + luma + binning at once."""
+    from ..stages.multimodal import decode_ppm, synth_ppm_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = {"doc_id": ids, "b0": [], "b1": [], "b2": [], "b3": []}
+        for i in ids:
+            _w, _h, pix = decode_ppm(synth_ppm_payload(i))
+            p = pix.astype(np.int64)
+            luma = (p[:, 0] * 299 + p[:, 1] * 587 + p[:, 2] * 114) // 1000
+            counts = np.bincount(luma // 64, minlength=4)
+            for k in range(4):
+                out[f"b{k}"].append(int(counts[k]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                **{
+                    f"b{k}": pa.array(out[f"b{k}"], pa.int64())
+                    for k in range(4)
+                },
+            }
+        )
+
+    return ds.map_batches(hist, batch_format="pyarrow", batch_size=256)
+
+
+M14_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 131) % 29 AS w,
+         4 + (doc_id * 197) % 31 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, unnest(range(0, w * h)) AS j FROM dims),
+luma AS (
+  SELECT doc_id,
+         (((doc_id * 7 + j * 13) % 256) * 299
+          + ((doc_id * 11 + j * 17) % 256) * 587
+          + ((doc_id * 13 + j * 23) % 256) * 114) // 1000 AS v
+  FROM px)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+FROM luma GROUP BY doc_id
+"""
+
+
+def j05_star_join(sf_dir: str):
+    """Multiway star join: orders (fact) ⋈ customer (large dim, native
+    partitioned hash join — at 100 TB the customer table is itself
+    sharded) ⋈ nation (tiny dim, ``ray.put`` broadcast lookup inside
+    the aggregation pass — never a shuffle).  Revenue per
+    (nation, market segment) through the integer-cents trick."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nmap_ref)
+        return pd.DataFrame(
+            {
+                "n_name": batch["c_nationkey"].map(nmap),
+                "c_mktsegment": batch["c_mktsegment"],
+                "cents": _cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+
+    out = bucketed_sum(
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["n_name", "c_mktsegment"],
+        ["cents"],
+        count_col="n_orders",
+    ).to_pandas()
+    out["sum_cents"] = out.pop("cents").astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["n_name", "c_mktsegment"]).reset_index(drop=True)
+
+
+J05_SQL = """
+SELECT n.n_name, c.c_mktsegment,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+def _s07_write_pass(sf_dir: str, root: str, n_buckets: int) -> int:
+    """One resumable write pass: reduce (bucket, lang) counts and write
+    each bucket's parquet ATOMICALLY, skipping buckets the manifest
+    already marks complete.  Returns how many buckets were written
+    this pass (0 on a fully-resumed rerun)."""
+    from ..state.checkpoint import (
+        Manifest,
+        finalize_bucket,
+        make_bucket_writer,
+        sweep_orphan_tmpdirs,
+    )
+
+    sweep_orphan_tmpdirs(root)
+    manifest = Manifest(root)
+    done = manifest.done_buckets("lang_counts")
+    if len(done) >= n_buckets:
+        return 0
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            bucket=(batch["doc_id"].to_numpy() % n_buckets).astype("int32"),
+            n=np.int64(1),
+        )
+        g = batch.groupby(["bucket", "lang"], as_index=False)["n"].sum()
+        return g[~g["bucket"].isin(list(done))] if done else g
+
+    writer = make_bucket_writer(root, "lang_counts")
+
+    def reduce_and_write(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby(
+            ["bucket", "lang"], as_index=False
+        )["n"].sum()
+        return writer(pa.Table.from_pandas(df, preserve_index=False))
+
+    summary = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(reduce_and_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for row in summary.itertuples():
+        finalize_bucket(root, "lang_counts", int(row.bucket), row.tmp, int(row.rows))
+        manifest.mark_bucket("lang_counts", int(row.bucket), int(row.rows))
+    return len(summary)
+
+
+def s07_resumable_write(sf_dir: str, n_buckets: int = 8):
+    """Resumable partitioned sink (the north rule's "failed run skips
+    finished partitions" requirement surfaced as a first-class op):
+    per-bucket (doc_id % n_buckets) language counts write as one
+    parquet directory per bucket with atomic temp-dir renames and a
+    manifest of completed buckets; the pass runs TWICE — the second
+    run reads the manifest and writes NOTHING — then the bucket files
+    read back through Ray and re-aggregate to per-lang totals the
+    SQL oracle checks.  Each bucket is written by the worker holding
+    it (distributed map_groups), never through the driver."""
+    import os as _os
+    import shutil
+
+    import ray.data
+
+    root = (
+        "/tmp/naer_resumable/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    first = _s07_write_pass(sf_dir, root, n_buckets)
+    second = _s07_write_pass(sf_dir, root, n_buckets)
+    if first == 0 or second != 0:
+        raise RuntimeError(
+            f"resume contract violated: first pass wrote {first} buckets, "
+            f"rerun wrote {second} (expected > 0 then 0)"
+        )
+
+    from ..stages.agg import bucketed_sum
+
+    back = ray.data.read_parquet(f"{root}/lang_counts/")
+    out = (
+        bucketed_sum(back, ["lang"], ["n"])
+        .to_pandas()
+        .astype({"n": "int64"})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+S07_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -8716,4 +9104,9 @@ REGISTRY: dict[str, tuple] = {
     "q35_salted_skew_agg": (q35_salted_skew_agg, Q35_SQL),
     "w10_window_topn": (w10_window_topn, W10_SQL),
     "v02_fd_violations": (v02_fd_violations, V02_SQL),
+    "x05_proximity_search": (x05_proximity_search, X05_SQL),
+    "g06_friends_of_friends": (g06_friends_of_friends, G06_SQL),
+    "m14_gray_histogram": (m14_gray_histogram, M14_SQL),
+    "j05_star_join": (j05_star_join, J05_SQL),
+    "s07_resumable_write": (s07_resumable_write, S07_SQL),
 }

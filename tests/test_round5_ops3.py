@@ -131,3 +131,65 @@ def test_fd_violations_planted(ray_session, tmp_path):
     # source 'web' maps to {en, de, fr} -> 1 violation of 2 sources
     assert out.loc["source->lang", "n_keys"] == 2
     assert out.loc["source->lang", "n_violating_keys"] == 1
+
+
+def test_proximity_window_semantics(ray_session, tmp_path):
+    """Hand-built docs: pair counting, window edge, order-free."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x05_proximity_search
+
+    docs = [
+        (1, "hash a b vector"),          # dist 3 -> 1 pair
+        (2, "hash a b c vector"),        # dist 4 -> 0
+        (3, "vector hash"),              # order-free, dist 1 -> 1
+        (4, "hash vector hash"),         # 2 pairs
+        (5, "hash hash"),                # no vector -> 0
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = x05_proximity_search(str(tmp_path)).set_index("doc_id")
+    assert out["n_pairs"].to_dict() == {4: 2, 1: 1, 3: 1}
+
+
+def test_fof_bucket_invariance(ray_session):
+    from naer_ray.pipelines.queries import g06_friends_of_friends
+
+    a = g06_friends_of_friends(SF)
+    b = g06_friends_of_friends(SF, n_buckets=7)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_gray_histogram_bins_cover_all_pixels(ray_session):
+    from naer_ray.pipelines.queries import m14_gray_histogram
+
+    out = m14_gray_histogram(SF).to_pandas()
+    w = 4 + (out["doc_id"] * 131) % 29
+    h = 4 + (out["doc_id"] * 197) % 31
+    assert (
+        out[["b0", "b1", "b2", "b3"]].sum(axis=1).to_numpy() == (w * h).to_numpy()
+    ).all()
+
+
+def test_resumable_write_second_pass_skips(ray_session, tmp_path):
+    """The manifest makes the rerun a no-op: pass 1 writes all buckets,
+    pass 2 writes none; a partially-complete manifest resumes only the
+    missing buckets."""
+    from naer_ray.pipelines.queries import _s07_write_pass
+    from naer_ray.state.checkpoint import Manifest
+
+    root = str(tmp_path / "ckpt")
+    assert _s07_write_pass(SF, root, 4) == 4
+    assert _s07_write_pass(SF, root, 4) == 0
+
+    # simulate a crash that lost bucket 2: unmark it, rerun resumes it
+    m = Manifest(root)
+    del m.stage("lang_counts")["buckets"]["2"]
+    m._flush()
+    assert _s07_write_pass(SF, root, 4) == 1
