@@ -8957,6 +8957,254 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
 """
 
 
+def _docs_with_quotes(sf_dir: str):
+    """documents ∪ planted quote docs (doc_id + 1_000_000): the quote
+    is the first ``max(3, ceil(0.4 * n_tokens))`` tokens of its
+    original — an exact prefix excerpt, so containment(quote→orig) is
+    exactly 1.0 while Jaccard(quote, orig) ≈ 0.4 stays far below any
+    near-dup threshold.  The cut uses INTEGER ceil ((2n + 4) // 5) on
+    both sides — float 0.4*n rounds wrong at n = 15."""
+    ds = _read_wide(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_quotes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_ids = list(ids)
+        out_texts = list(texts)
+        for i, t in zip(ids, texts):
+            ws = t.split(" ")
+            k = max(3, (2 * len(ws) + 4) // 5)
+            out_ids.append(i + 1_000_000)
+            out_texts.append(" ".join(ws[:k]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(add_quotes, batch_format="pyarrow", batch_size=None)
+
+
+def d20_containment_pairs(sf_dir: str):
+    """Near-subset detection via the exact containment join (stages/
+    joins.containment_join): over documents ∪ planted prefix-excerpt
+    quotes, every ordered pair (a, b) where >= 4/5 of a's word
+    trigrams appear in b — the quote/excerpt duplicates a Jaccard
+    near-dup pass structurally misses.  The SQL oracle re-derives the
+    full trigram-intersection join brute-force."""
+    from ..stages.joins import containment_join
+
+    corpus = _docs_with_quotes(sf_dir)
+    return containment_join(corpus, corpus, 4, 5)
+
+
+D20_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(ws[1 : GREATEST(3, (2 * len(ws) + 4) // 5)], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+tri AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+n AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b FROM inter
+JOIN n na ON na.doc_id = id_a
+WHERE 5 * i >= 4 * na.n
+"""
+
+
+def a09_radius_search(sf_dir: str, num: int = 1, den: int = 4):
+    """Radius (range) similarity search — the "everything within
+    cosine >= τ of the query" retrieval mode top-k (a01-a08) cannot
+    express.  EXACT under the integer-quantization contract: vectors
+    quantize to ``floor(x*100 + 0.5)`` int64 and the predicate
+    ``cos >= num/den`` becomes the pure integer comparison
+    ``den² · dot² >= num² · |v|² · |q|²  (dot > 0)`` — no float
+    boundary can flip between Ray and the oracle (a05's int-dot
+    discipline; magnitudes bounded so int64 never overflows).
+
+    Scale shape: the 3-query int matrix broadcasts once; each batch is
+    ONE int64 matmul + vectorized predicate, emitting only matches —
+    a streaming pass with no shuffle at all."""
+    import ray
+
+    from ..stages.ann import _as_matrix
+
+    q = _point_read_embeddings(sf_dir, [0, 1, 2])
+    qm = np.floor(_as_matrix(q["embedding"]) * 100 + 0.5).astype(np.int64)
+    qids = q["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q2 = (qm * qm).sum(axis=1)
+    q_ref = ray.put((qm, qids, q2))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qm_, qids_, q2_ = ray.get(q_ref)
+        v = np.floor(_as_matrix(batch["embedding"]) * 100 + 0.5).astype(
+            np.int64
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dots = v @ qm_.T  # (n, 3)
+        n2 = (v * v).sum(axis=1)
+        ok = (dots > 0) & (
+            den * den * dots * dots >= num * num * n2[:, None] * q2_[None, :]
+        )
+        r, c = np.nonzero(ok)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[c], pa.int64()),
+                "vec_id": pa.array(ids[r], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+A09_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+u AS (SELECT qid, e.vec_id,
+  list_sum(list_transform(range(1, len(e.embedding) + 1),
+     i -> CAST(FLOOR(e.embedding[i] * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(qv[i] * 100 + 0.5) AS BIGINT))) AS dot,
+  list_sum(list_transform(e.embedding,
+     x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(x * 100 + 0.5) AS BIGINT))) AS n2,
+  list_sum(list_transform(qv,
+     x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(x * 100 + 0.5) AS BIGINT))) AS q2
+ FROM embeddings e CROSS JOIN q)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id
+FROM u WHERE dot > 0 AND 16 * dot * dot >= n2 * q2
+"""
+
+
+def t17_ngram_novelty(sf_dir: str, ngram: int = 3, n_buckets: int = 64):
+    """N-gram novelty scoring (corpus-curation signal: how much of a
+    document is text the corpus has not seen in any EARLIER document):
+    per doc, the count of distinct word trigrams and how many of them
+    first appear in THIS doc (global min doc_id owns the gram).
+
+    Scale shape: distinct (gram, doc) rows derive batch-locally
+    (Arrow-vectorized, string grams so the result is exact in string
+    space — no hash-collision caveat); ONE gram-hash bucket shuffle
+    co-locates each gram's postings, the per-bucket kernel computes
+    min-doc and per-doc (total, novel) counts vectorized, and a
+    second doc-keyed bucketed sum merges per-bucket partials.  Gram
+    strings ride the first shuffle; at corpus scale swap the key to
+    the FNV64 hash and verify novel counts per collision bucket."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr, _word_ngram_strings
+
+    docs = _read_wide(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        grams, parents = _word_ngram_strings(batch, "text", ngram)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(grams):
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        df = pd.DataFrame(
+            {"g": grams.to_pandas(), "doc_id": ids[parents]}
+        ).drop_duplicates()
+        h = _fnv64_arr(pa.array(df["g"], pa.string()))
+        return pa.table(
+            {
+                "g": pa.array(df["g"], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["g", "doc_id"])
+        md = g.groupby("g")["doc_id"].transform("min")
+        out = g.assign(novel=(g["doc_id"] == md).astype("int64"), n=np.int64(1))
+        return out.groupby("doc_id", as_index=False)[["n", "novel"]].sum()
+
+    parts = docs.map_batches(gram_rows, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(per_bucket, batch_format="pandas")
+    out = bucketed_sum(parts, ["doc_id"], ["n", "novel"]).to_pandas()
+    out = out.rename(columns={"n": "n_grams", "novel": "n_novel"}).astype(
+        {"n_grams": "int64", "n_novel": "int64"}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+T17_SQL = """
+WITH tri AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' '
+           || ws[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+m AS (SELECT g, MIN(doc_id) AS md FROM tri GROUP BY g)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN m.md = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM tri t JOIN m ON m.g = t.g
+GROUP BY t.doc_id
+"""
+
+
+def n03_group_percentiles(sf_dir: str):
+    """EXACT grouped percentiles (p50/p90 of n_chars per lang) via the
+    value-histogram reduce — the exact counterpart of q31's sketch:
+    per-batch (lang, n_chars) count partials, ONE cardinality-sized
+    bucket shuffle, then percentile_disc on the driver-side cumulative
+    counts.  Exact whenever the VALUE CARDINALITY is bounded (doc
+    lengths, scores, ages — the common case); unbounded-cardinality
+    columns take q31's sketch instead.  percentile_disc rule: smallest
+    value whose cumulative count >= ceil(p * n), integer arithmetic."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    counts = bucketed_sum(ds, ["lang", "n_chars"], [], count_col="c").to_pandas()
+
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["n_chars"].to_numpy()
+        picks = {}
+        for name, pnum, pden in (("p50", 1, 2), ("p90", 9, 10)):
+            rank = -(-pnum * n // pden)  # ceil(p*n) integer-exact
+            picks[name] = int(vals[np.searchsorted(cum, rank)])
+        rows.append({"lang": lang, **picks})
+    return pd.DataFrame(rows).astype({"p50": "int64", "p90": "int64"})
+
+
+N03_SQL = """
+SELECT lang,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p50,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p90
+FROM documents GROUP BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -9109,4 +9357,8 @@ REGISTRY: dict[str, tuple] = {
     "m14_gray_histogram": (m14_gray_histogram, M14_SQL),
     "j05_star_join": (j05_star_join, J05_SQL),
     "s07_resumable_write": (s07_resumable_write, S07_SQL),
+    "d20_containment_pairs": (d20_containment_pairs, D20_SQL),
+    "a09_radius_search": (a09_radius_search, A09_SQL),
+    "t17_ngram_novelty": (t17_ngram_novelty, T17_SQL),
+    "n03_group_percentiles": (n03_group_percentiles, N03_SQL),
 }

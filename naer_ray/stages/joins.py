@@ -1133,3 +1133,201 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
         distinct, old_texts, new_ds, threshold, ngram, id_col, text_col,
         n_buckets, strategy, broadcast_max_pairs,
     )
+
+
+def containment_join(
+    a_ds,
+    b_ds,
+    num: int,
+    den: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_shards: int = 32,
+):
+    """Exact SET-CONTAINMENT join: ordered pairs ``(id_a, id_b)``,
+    ``a != b``, with ``den * |G(a) ∩ G(b)| >= num * |G(a)|`` over word
+    ``ngram`` shingle sets — the near-SUBSET detector (quotes,
+    excerpts, doc-inside-doc) that a Jaccard join structurally cannot
+    express (a small doc inside a big one has high containment but
+    arbitrarily low Jaccard).  Threshold is the RATIONAL ``num/den``
+    so the verify predicate is a pure integer comparison — bit-stable
+    and identical to the SQL oracle's.
+
+    Candidate generation (prefix lemma for containment, Chaudhuri
+    2006 §4 adapted): if B contains >= ceil(t*n) of A's n grams, B
+    misses at most n - ceil(t*n) of them, so B shares at least one of
+    ANY n - ceil(t*n) + 1 grams of A.  A-side therefore emits its
+    k = n - ceil(num*n/den) + 1 RAREST gram hashes (global rarity
+    order from one corpus frequency pass); B-side emits ALL gram
+    hashes — containment puts no bound on |B|, so the B index is the
+    full postings list (the x01 inverted-index shape, hive-sharded by
+    gram hash).  One gram-hash shard exchange + per-shard vectorized
+    pair merge; FNV64 collisions only ADD candidates (they merge
+    grams), never drop a true pair — false candidates die at the
+    string-space verify.
+
+    Verify: exact string gram sets (``_setsim_gram_set``) for the
+    deduped candidate pairs, texts fetched by semi-join on the pair
+    ids and broadcast (pair volume here is bounded by the prefix
+    filter; at corpus scale swap in the co-partition verify exactly as
+    ``set_similarity_join`` does).
+    """
+    import ray
+
+    from .agg import bucketed_sum
+
+    freq = _token_freqs([a_ds, b_ds], text_col, ngram)
+    rank_ref = _freq_rank_ref(freq)
+
+    def a_prefix(batch: pa.Table) -> pa.Table:
+        keys, ranks = ray.get(rank_ref)
+        hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_i, out_n = [], [], []
+        if len(hh) and len(keys):
+            pos = np.minimum(np.searchsorted(keys, hh), len(keys) - 1)
+            rk = np.where(keys[pos] == hh, ranks[pos], 0)
+        else:
+            rk = np.zeros(len(hh), np.int64)
+        for r in range(batch.num_rows):
+            lo, hi = offs[r], offs[r + 1]
+            n = int(hi - lo)
+            if n == 0:
+                continue
+            k = n - (-(-num * n // den)) + 1  # n - ceil(num*n/den) + 1
+            if k <= 0:
+                k = 1
+            sel = np.argsort(rk[lo:hi], kind="stable")[:k]
+            out_t.append(hh[lo:hi][sel])
+            out_i.append(np.full(len(sel), ids[r], np.int64))
+            out_n.append(np.full(len(sel), n, np.int64))
+        if not out_t:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        t = np.concatenate(out_t)
+        return pa.table(
+            {
+                "tok": pa.array(t.view(np.int64), pa.int64()),
+                "id_a": pa.array(np.concatenate(out_i), pa.int64()),
+                "na": pa.array(np.concatenate(out_n), pa.int64()),
+                "shard": pa.array(
+                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def b_all(batch: pa.Table) -> pa.Table:
+        hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(batch.num_rows), np.diff(offs))
+        return pa.table(
+            {
+                "tok": pa.array(hh.view(np.int64), pa.int64()),
+                "id_b": pa.array(ids[parents], pa.int64()),
+                "shard": pa.array(
+                    (hh % np.uint64(n_shards)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    a_rows = a_ds.map_batches(a_prefix, batch_format="pyarrow").materialize()
+    b_rows = b_ds.map_batches(b_all, batch_format="pyarrow")
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {
+                "tok": batch["tok"],
+                "id": batch["id_a" if side == 0 else "id_b"],
+                "na": batch["na"]
+                if side == 0
+                else pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+                "side": pa.array(
+                    np.full(len(batch), side, np.int8), pa.int8()
+                ),
+                "shard": batch["shard"],
+            }
+            return pa.table(cols)
+
+        return f
+
+    both = a_rows.map_batches(tag(0), batch_format="pyarrow").union(
+        b_rows.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[group["side"] == 0][["tok", "id", "na"]].rename(
+            columns={"id": "id_a"}
+        )
+        b = group[group["side"] == 1][["tok", "id"]].rename(
+            columns={"id": "id_b"}
+        )
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int64"),
+                }
+            )
+        m = a.merge(b, on="tok")
+        m = m[m["id_a"] != m["id_b"]]
+        return m[["id_a", "id_b", "na"]].drop_duplicates(["id_a", "id_b"])
+
+    cand = both.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    # global distinct (pairs repeat across shards via different grams)
+    distinct = bucketed_sum(cand, ["id_a", "id_b", "na"], [], count_col="c")
+
+    # ---- exact string-space verify (broadcast texts for pair ids) ----
+    pairs_df = distinct.to_pandas()
+    if pairs_df.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+    wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
+    wanted_ref = ray.put(wanted)
+    text_map: dict = {}
+    for side_ds in (a_ds, b_ds):
+        got = side_ds.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    np.isin(
+                        b[id_col].to_numpy(zero_copy_only=False),
+                        np.fromiter(ray.get(wanted_ref), np.int64),
+                    )
+                )
+            ).select([id_col, text_col]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        text_map.update(dict(zip(got[id_col], got[text_col])))
+
+    keep_a, keep_b = [], []
+    gram_cache: dict = {}
+
+    def gset(i):
+        if i not in gram_cache:
+            gram_cache[i] = _setsim_gram_set(text_map.get(i, ""), ngram)
+        return gram_cache[i]
+
+    for row in pairs_df.itertuples():
+        ga, gb = gset(row.id_a), gset(row.id_b)
+        if ga and den * len(ga & gb) >= num * len(ga):
+            keep_a.append(row.id_a)
+            keep_b.append(row.id_b)
+    out = pd.DataFrame(
+        {
+            "id_a": pd.Series(keep_a, dtype="int64"),
+            "id_b": pd.Series(keep_b, dtype="int64"),
+        }
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -193,3 +193,128 @@ def test_resumable_write_second_pass_skips(ray_session, tmp_path):
     del m.stage("lang_counts")["buckets"]["2"]
     m._flush()
     assert _s07_write_pass(SF, root, 4) == 1
+
+
+def test_containment_join_hand_built(ray_session, tmp_path):
+    """Quote-in-document detection: subset passes in its direction
+    only; unrelated docs never pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from naer_ray.stages.joins import containment_join
+
+    docs = [
+        (1, "a b c d e f g h i j"),   # 8 trigrams
+        (2, "a b c d e"),             # 3 trigrams, all in doc 1
+        (3, "x y z w v u"),           # unrelated
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    out = containment_join(ds, ds, 4, 5)
+    assert list(map(tuple, out.to_numpy())) == [(2, 1)]
+
+
+def test_d20_planted_quotes_all_found(ray_session):
+    from naer_ray.pipelines.queries import d20_containment_pairs
+
+    out = d20_containment_pairs(SF)
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    # every planted quote is contained in its original...
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    missing = [i for i in ids if (i + 1_000_000, i) not in pairs]
+    assert not missing
+    # ...and no original is contained in its (shorter) quote
+    assert not any((i, i + 1_000_000) in pairs for i in ids)
+
+
+def test_radius_search_integer_boundary(ray_session, tmp_path):
+    """cos = 0.5 exactly at the boundary must be INCLUDED (>=), and a
+    negative-dot vector excluded even with large magnitude."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import a09_radius_search
+
+    # query ids 0,1,2 are required by the op; make 0 the probe axis
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+        10: [1.0, 1.0, 1.0, 1.0],   # cos to q0 = 0.5 exactly -> in (num/den=1/2)
+        11: [-1.0, 5.0, 5.0, 5.0],  # dot < 0 -> out
+        12: [1.0, 9.0, 0.0, 0.0],   # cos to q0 ~ 0.11 -> out at 1/2
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(list(vecs.values()), pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = a09_radius_search(str(tmp_path), num=1, den=2)
+    got = set(map(tuple, out.to_numpy()))
+    assert (0, 10) in got and (0, 0) in got
+    # vs q0: vec 11 has dot < 0, vec 12 has cos ~ 0.11 — both out
+    q0 = {v for q, v in got if q == 0}
+    assert 11 not in q0 and 12 not in q0
+
+
+def test_ngram_novelty_hand_built(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import t17_ngram_novelty
+
+    docs = [
+        (1, "a b c d"),       # grams: abc, bcd -> both novel
+        (2, "a b c x"),       # abc (seen in 1), bcx (novel)
+        (3, "a b c d"),       # both seen
+        (4, "q r"),           # too short -> absent
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = t17_ngram_novelty(str(tmp_path)).set_index("doc_id")
+    assert out["n_grams"].to_dict() == {1: 2, 2: 2, 3: 2}
+    assert out["n_novel"].to_dict() == {1: 2, 2: 1, 3: 0}
+
+
+def test_group_percentiles_rank_rule(ray_session, tmp_path):
+    """percentile_disc = smallest value with cum count >= ceil(p*n)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import n03_group_percentiles
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 10, 10]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals)), pa.int64()),
+            "lang": pa.array(["en"] * len(vals)),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = n03_group_percentiles(str(tmp_path))
+    ref = duckdb.sql(
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) p50,"
+        "       percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) p90 "
+        f"FROM read_parquet('{tmp_path}/documents.parquet')"
+    ).fetchone()
+    assert (out.loc[0, "p50"], out.loc[0, "p90"]) == ref
