@@ -9205,6 +9205,333 @@ FROM documents GROUP BY lang
 """
 
 
+def e05_window_cooccurrence(sf_dir: str, window: int = 2, n_buckets: int = 64):
+    """Cross-turn entity co-occurrence (the temporal-context relation
+    q16's same-turn co-occurrence cannot see): for each entity pair
+    (a < b), the number of (conv, turn_a, turn_b) combinations where a
+    and b are mentioned in DIFFERENT turns of the same conversation at
+    most ``window`` turns apart — the "discussed in the same breath"
+    signal a KG uses to weight associative edges.
+
+    Scale shape: mention rows (conv, turn, entity) derive vectorized
+    per batch; ONE conv-hash bucket shuffle co-locates conversations;
+    the per-bucket window pair join is a single vectorized self-merge
+    (mentions per conversation are bounded by turns x K entities);
+    pair counts pre-aggregate per bucket and merge through a tiny
+    K²-sized bucketed sum."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _derive_transcripts(sf_dir)
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        idx = pa.array(r)
+        conv = batch["conv_id"].combine_chunks().take(idx)
+        t = pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": batch["turn_idx"].combine_chunks().take(idx),
+                "entity": pa.array(ents_sorted[c], pa.string()),
+            }
+        )
+        from ..stages.dedup import _fnv64_arr
+
+        b = (_fnv64_arr(t["conv_id"]) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["conv_id", "turn_idx", "entity"]]
+        j = m.merge(m, on="conv_id")
+        d = (j["turn_idx_x"] - j["turn_idx_y"]).abs()
+        j = j[(j["entity_x"] < j["entity_y"]) & (d >= 1) & (d <= window)]
+        out = j.groupby(["entity_x", "entity_y"], as_index=False).size()
+        return out.rename(
+            columns={"entity_x": "subj", "entity_y": "obj", "size": "w"}
+        )
+
+    parts = ds.map_batches(mentions, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(window_pairs, batch_format="pandas")
+    out = bucketed_sum(parts, ["subj", "obj"], ["w"]).to_pandas()
+    out["w"] = out["w"].astype("int64")
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+E05_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+m AS (
+  SELECT t.conv_id, t.turn_idx, d.entity
+  FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity))
+SELECT a.entity AS subj, b.entity AS obj, CAST(COUNT(*) AS BIGINT) AS w
+FROM m a JOIN m b
+  ON a.conv_id = b.conv_id AND a.entity < b.entity
+ AND abs(a.turn_idx - b.turn_idx) BETWEEN 1 AND 2
+GROUP BY 1, 2
+"""
+
+
+def i04_incremental_agg(sf_dir: str):
+    """Incremental AGGREGATE maintenance (the aggregation member of
+    the incremental family d11/j03/x04): the even-event_id half of
+    events is aggregated ONCE into a persisted per-type state table
+    (the prior snapshot's materialized aggregate); when the odd-id
+    delta arrives, only the DELTA is scanned — its combiner partials
+    union with the persisted state and one tiny merge yields exactly
+    the full-corpus aggregate (sums/counts are associative), which the
+    unchanged full-scan oracle checks.  At 100 TB this is the
+    difference between re-reading the corpus and reading yesterday's
+    K-row state + today's delta."""
+    import os as _os
+    import shutil
+
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+
+    state_dir = (
+        "/tmp/naer_agg_state/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "mils": np.floor(
+                    batch["value"].to_numpy() * 1000 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    def half(parity: int):
+        ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["event_id"], 1), parity)
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow").map_batches(
+            to_int, batch_format="pandas", batch_size=65536
+        )
+
+    # snapshot pass (runs once, persists K-row state)
+    bucketed_sum(
+        half(0).drop_columns(["event_id"]),
+        ["event_type"],
+        ["mils"],
+        count_col="n_events",
+    ).write_parquet(state_dir)
+
+    # delta pass: scans ONLY the delta, unions with the persisted state
+    state = ray.data.read_parquet(state_dir)
+    delta = half(1).drop_columns(["event_id"])
+
+    def delta_partial(batch: pd.DataFrame) -> pa.Table:
+        batch = batch.assign(n_events=np.int64(1))
+        g = batch.groupby("event_type", as_index=False)[
+            ["mils", "n_events"]
+        ].sum()
+        # arrow block: the union's other arm (parquet state) is arrow,
+        # and one task must not see mixed block types
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = bucketed_sum(
+        state.union(
+            delta.map_batches(
+                delta_partial, batch_format="pandas", batch_size=65536
+            )
+        ),
+        ["event_type"],
+        ["mils", "n_events"],
+    ).to_pandas()
+    shutil.rmtree(state_dir, ignore_errors=True)
+    merged["sum_mils"] = merged.pop("mils").astype("int64")
+    merged["n_events"] = merged["n_events"].astype("int64")
+    return merged.sort_values("event_type").reset_index(drop=True)
+
+
+I04_SQL = Q35_SQL
+
+
+def w11_rolling_window(sf_dir: str, n_buckets: int = 64):
+    """Rolling fixed-size window aggregate (w03's cumulative running
+    sum can't express "the last 3 events"): per event, the sum of the
+    current + 2 preceding event values within its user's (ts,
+    event_id)-ordered history.  ONE user-hash bucket shuffle; the
+    roll itself is pandas' C rolling kernel per bucket — no per-row
+    Python, no global sort.  Values in integer mills."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "mils": np.floor(
+                    batch["value"].to_numpy() * 1000 + 0.5
+                ).astype("int64"),
+                "bucket": (
+                    batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+                ).astype("int32"),
+            }
+        )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        r = (
+            g.groupby("user_id")["mils"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .to_numpy()
+            .astype("int64")
+        )
+        return pd.DataFrame({"event_id": g["event_id"], "roll3_mils": r})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(roll, batch_format="pandas")
+    )
+    return out
+
+
+W11_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_mils
+FROM events
+"""
+
+
+def x06_fuzzy_search(sf_dir: str, max_candidates: int = 100_000):
+    """Fuzzy-term search via the symmetric-delete (SymSpell) index:
+    query terms match vocabulary terms at edit distance <= 1, then
+    matching docs score by total tf of matched terms — the typo-
+    tolerant retrieval x01's exact-token probe cannot answer.
+
+    Scale shape: pass 1 reduces the corpus to its distinct-term
+    vocabulary (vocabulary-sized driver pull, the t16 contract — at
+    web scale this stays sharded and the deletion index persists like
+    x01's postings); the deletion-neighborhood candidate test
+    (D<=1(term) ∩ D<=1(query) != ∅) runs on the vocabulary, exact
+    Levenshtein verifies the few candidates (symmetric-delete
+    overmatches e.g. 'ab'~'ba', which share deletions at distance 2);
+    the verified term set broadcasts into ONE scoring scan with a
+    local top-10 per batch + bounded driver merge."""
+    import ray
+
+    queries = ["vektor", "sow"]
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        u = pc.unique(flat)
+        return pa.table({"term": u.filter(pc.not_equal(u, ""))})
+
+    vocab = set(
+        docs.map_batches(vocab_partial, batch_format="pyarrow")
+        .to_pandas()["term"]
+        .unique()
+    )
+
+    def dels(w: str) -> set[str]:
+        return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+    def lev1(a: str, b: str) -> bool:
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if a == b:
+            return True
+        # one pass: skip the first mismatch per the length relation
+        if len(a) < len(b):
+            a, b = b, a
+        i = j = diff = 0
+        while i < len(a) and j < len(b):
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+                continue
+            diff += 1
+            if diff > 1:
+                return False
+            i += 1
+            if len(a) == len(b):
+                j += 1
+        return diff + (len(a) - i) <= 1
+
+    matched: dict[str, list[str]] = {}
+    for q in queries:
+        qd = dels(q)
+        cand = [t for t in vocab if dels(t) & qd]
+        matched[q] = sorted(t for t in cand if lev1(q, t))
+    match_ref = ray.put(matched)
+
+    def score(batch: pa.Table) -> pa.Table:
+        mm = ray.get(match_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        for q, terms in mm.items():
+            if not terms:
+                continue
+            hit = pc.is_in(
+                flat, value_set=pa.array(terms, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            per_doc = np.bincount(
+                parents[hit], minlength=batch.num_rows
+            ).astype(np.int64)
+            keep = per_doc > 0
+            kid, ks = ids[keep], per_doc[keep]
+            order = np.lexsort((kid, -ks))[:10]  # local top-10
+            out_q.extend([q] * len(order))
+            out_i.extend(kid[order])
+            out_s.extend(ks[order])
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.string()),
+                "doc_id": pa.array(np.array(out_i, np.int64), pa.int64()),
+                "score": pa.array(np.array(out_s, np.int64), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["q", "score", "doc_id"], ascending=[True, False, True])
+        .groupby("q", as_index=False, sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["q", "doc_id", "score"]]
+
+
+X06_SQL = """
+WITH qs(q) AS (VALUES ('vektor'), ('sow')),
+v AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term FROM documents),
+m AS (SELECT qs.q, v.term FROM qs JOIN v ON levenshtein(qs.q, v.term) <= 1),
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+s AS (SELECT m.q, tok.doc_id, COUNT(*) AS score
+      FROM tok JOIN m ON tok.t = m.term GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                   ORDER BY score DESC, doc_id) AS rn FROM s)
+SELECT q, doc_id, CAST(score AS BIGINT) AS score FROM r WHERE rn <= 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -9361,4 +9688,8 @@ REGISTRY: dict[str, tuple] = {
     "a09_radius_search": (a09_radius_search, A09_SQL),
     "t17_ngram_novelty": (t17_ngram_novelty, T17_SQL),
     "n03_group_percentiles": (n03_group_percentiles, N03_SQL),
+    "e05_window_cooccurrence": (e05_window_cooccurrence, E05_SQL),
+    "i04_incremental_agg": (i04_incremental_agg, I04_SQL),
+    "w11_rolling_window": (w11_rolling_window, W11_SQL),
+    "x06_fuzzy_search": (x06_fuzzy_search, X06_SQL),
 }

@@ -318,3 +318,112 @@ def test_group_percentiles_rank_rule(ray_session, tmp_path):
         f"FROM read_parquet('{tmp_path}/documents.parquet')"
     ).fetchone()
     assert (out.loc[0, "p50"], out.loc[0, "p90"]) == ref
+
+
+def test_window_cooccurrence_excludes_same_turn(ray_session, tmp_path):
+    """Entities in the SAME turn never pair (q16's territory); pairs
+    within the ±2 window count once per (turn_a, turn_b) combination."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import e05_window_cooccurrence
+
+    # 10-word turns derive from documents: craft a 30-word doc =
+    # 3 turns: turn0 has spark+join (same turn), turn1 has spark,
+    # turn2 has join
+    filler = ["a"] * 8
+    words = (
+        ["spark", "join"] + filler          # turn 0
+        + ["spark"] + ["a"] * 9             # turn 1
+        + ["join"] + ["a"] * 9              # turn 2
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([" ".join(words)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = e05_window_cooccurrence(str(tmp_path))
+    # qualifying cross-turn pairs: (join@0, spark@1) d=1, (join@0, join@2)
+    # same entity -> no, (spark@0, join@2) d=2, (spark@1, join@2) d=1,
+    # (spark@0,spark@1) same entity -> no => w = 3
+    assert out.to_dict("records") == [{"subj": "join", "obj": "spark", "w": 3}]
+
+
+def test_incremental_agg_state_not_rescanned(ray_session):
+    """The merged incremental result equals the full-scan aggregate."""
+    from naer_ray.pipelines.queries import i04_incremental_agg, q35_salted_skew_agg
+
+    inc = i04_incremental_agg(SF)
+    full = q35_salted_skew_agg(SF)
+    pd.testing.assert_frame_equal(
+        inc[["event_type", "sum_mils", "n_events"]],
+        full[["event_type", "sum_mils", "n_events"]],
+        check_exact=True,
+    )
+
+
+def test_rolling_window_hand_built(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w11_rolling_window
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([10, 20, 30, 40, 10], unit="us"),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        w11_rolling_window(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["roll3_mils"].tolist() == [1000, 3000, 6000, 9000, 9000]
+
+
+def test_fuzzy_search_rejects_symmetric_delete_overmatch(
+    ray_session, tmp_path
+):
+    """'ab' and 'ba' share a deletion (candidate overmatch) but sit at
+    edit distance 2 — the exact verify must drop the pair, while true
+    distance-1 terms (substitution / insertion / deletion) survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x06_fuzzy_search
+
+    # queries are ('vektor', 'sow'); plant each match class for 'sow':
+    #   'sw' (deletion), 'sol' (substitution), 'sown' (insertion),
+    #   'ows' (shares deletions with 'sow' but distance 2 -> must drop),
+    #   'vector' for the other query
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                ["sw sw", "sol", "sown", "ows ows ows", "vector"]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = x06_fuzzy_search(str(tmp_path))
+    by_q = {q: set(g["doc_id"]) for q, g in out.groupby("q")}
+    assert by_q["sow"] == {1, 2, 3}  # never doc 4 ('ows')
+    assert by_q["vektor"] == {5}
+
+
+def test_fuzzy_search_matches_expected_terms(ray_session):
+    from naer_ray.pipelines.queries import x06_fuzzy_search
+
+    out = x06_fuzzy_search(SF)
+    assert set(out["q"]) == {"vektor", "sow"}
+    assert (out.groupby("q")["doc_id"].count() <= 10).all()
