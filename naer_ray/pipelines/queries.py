@@ -9532,6 +9532,263 @@ SELECT q, doc_id, CAST(score AS BIGINT) AS score FROM r WHERE rn <= 10
 """
 
 
+def m15_audio_segments(sf_dir: str, threshold: int = 512):
+    """Activity-segment detection over REAL audio decodes (the
+    VAD-shaped op of an audio curation pipeline): each doc's RIFF/WAVE
+    payload decodes for real, samples classify active when
+    ``|s| >= threshold``, and maximal runs of consecutive active
+    samples become segments — per doc: active-sample count, segment
+    count, and the longest segment.  All-integer; the SQL oracle
+    re-derives every sample from the generator arithmetic and finds
+    the runs with the gaps-and-islands window pattern."""
+    from ..stages.multimodal import decode_wav, synth_wav_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def segments(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = {"doc_id": ids, "n_active": [], "n_segments": [], "max_seg": []}
+        for i in ids:
+            _rate, samples = decode_wav(synth_wav_payload(i))
+            act = np.abs(samples.astype(np.int64)) >= threshold
+            n_active = int(act.sum())
+            # run-length encode the active mask
+            if n_active:
+                d = np.diff(act.astype(np.int8))
+                starts = int(act[0]) + int((d == 1).sum())
+                # segment lengths via boundaries
+                idx = np.flatnonzero(
+                    np.diff(np.concatenate(([0], act.view(np.int8), [0])))
+                )
+                lens = idx[1::2] - idx[0::2]
+                out["n_segments"].append(starts)
+                out["max_seg"].append(int(lens.max()))
+            else:
+                out["n_segments"].append(0)
+                out["max_seg"].append(0)
+            out["n_active"].append(n_active)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_active": pa.array(out["n_active"], pa.int64()),
+                "n_segments": pa.array(out["n_segments"], pa.int64()),
+                "max_seg": pa.array(out["max_seg"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(segments, batch_format="pyarrow", batch_size=256)
+
+
+M15_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + (doc_id * 89) % 193 AS n FROM documents),
+s AS (
+  SELECT doc_id, unnest(range(0, n)) AS j,
+         abs(((doc_id * 31 + unnest(range(0, n)) * 57) % 2048) - 1024) AS a
+  FROM dims),
+act AS (SELECT doc_id, j FROM s WHERE a >= 512),
+isl AS (
+  SELECT doc_id,
+         j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS island
+  FROM act),
+seg AS (
+  SELECT doc_id, island, COUNT(*) AS seg_len
+  FROM isl GROUP BY doc_id, island)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(seg_len), 0) AS BIGINT) AS n_active,
+       CAST(COUNT(seg_len) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MAX(seg_len), 0) AS BIGINT) AS max_seg
+FROM dims d LEFT JOIN seg ON seg.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def x07_prefix_search(sf_dir: str, prefix: str = "sp"):
+    """Prefix (wildcard 'sp*') search — the leading-edge range query a
+    sorted term dictionary answers: per doc, the total tf of tokens
+    starting with the prefix; top 10 by (tf DESC, doc_id).  Docs are
+    row-local: ONE streaming pass (vectorized ``starts_with`` +
+    bincount), local top-10 per batch, bounded driver merge — zero
+    shuffles."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.starts_with(flat, prefix).to_numpy(zero_copy_only=False)
+        per_doc = np.bincount(
+            parents[hit], minlength=batch.num_rows
+        ).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = per_doc > 0
+        kid, ks = ids[keep], per_doc[keep]
+        order = np.lexsort((kid, -ks))[:10]
+        return pa.table(
+            {
+                "doc_id": pa.array(kid[order], pa.int64()),
+                "score": pa.array(ks[order], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+X07_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+s AS (SELECT doc_id, COUNT(*) AS score FROM tok
+      WHERE t LIKE 'sp%' GROUP BY doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q36_top_percent(sf_dir: str):
+    """Relative top-k (top 1% of orders by price — "the head of the
+    distribution", not a fixed count): pass 1 reduces the EXACT price
+    histogram in integer cents (distinct-value-sized, never row-sized
+    on the exchange); the 99th-percentile threshold derives from the
+    cumulative counts with n03's percentile_disc rank rule; pass 2
+    re-scans with the broadcast threshold and aggregates survivors per
+    priority.  Ties at the threshold are all included (>=), so the
+    result is deterministic with no arbitrary cut."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cents": _cents(batch["o_totalprice"].to_numpy())})
+
+    hist = bucketed_sum(
+        ds.map_batches(to_cents, batch_format="pandas", batch_size=65536),
+        ["cents"],
+        [],
+        count_col="c",
+    ).to_pandas().sort_values("cents")
+    cum = hist["c"].cumsum().to_numpy()
+    n = int(cum[-1])
+    rank = -(-99 * n // 100)  # ceil(0.99 * n)
+    thr = int(hist["cents"].to_numpy()[np.searchsorted(cum, rank)])
+
+    full = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(batch["o_totalprice"].to_numpy())
+        keep = cents >= thr
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_numpy()[keep],
+                "cents": cents[keep],
+            }
+        )
+
+    out = bucketed_sum(
+        full.map_batches(survivors, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        ["cents"],
+        count_col="n_orders",
+    ).to_pandas()
+    out["sum_cents"] = out.pop("cents").astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q36_SQL = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+thr AS (
+  SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS t FROM c)
+SELECT o_orderpriority,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c, thr WHERE cents >= thr.t
+GROUP BY o_orderpriority
+"""
+
+
+def w12_gap_stats(sf_dir: str, n_buckets: int = 64):
+    """Time-series densification audit (the gap-fill planning pass):
+    per user, the span of hourly slots between first and last event,
+    how many slots are active, and how many are GAPS a densification
+    join would have to fill.  Per-batch distinct (user, hour) combiner
+    partials, ONE user-hash bucket shuffle, vectorized per-bucket
+    min/max/distinct — the row volume on the exchange is bounded by
+    active (user, hour) slots, never raw events."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "hour": batch["ts"].dt.floor("h"),
+            }
+        ).drop_duplicates()
+
+    slots = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "hour"],
+        [],
+        count_col="c",
+    )
+
+    def per_user(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id")["hour"].agg(["min", "max", "nunique"])
+        span = (
+            (g["max"] - g["min"]) // pd.Timedelta(hours=1) + 1
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": g.index.to_numpy(),
+                "slots": span.to_numpy(),
+                "active": g["nunique"].astype("int64").to_numpy(),
+                "gaps": (span - g["nunique"]).astype("int64").to_numpy(),
+            }
+        )
+
+    # slots is already user-bucketed: one more tiny bucket-run keyed by
+    # user hash finishes min/max/distinct per user
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    out = (
+        slots.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    return out
+
+
+W12_SQL = """
+WITH h AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events),
+g AS (
+  SELECT user_id,
+         date_diff('hour', MIN(hour), MAX(hour)) + 1 AS slots,
+         COUNT(*) AS active
+  FROM h GROUP BY user_id)
+SELECT user_id, CAST(slots AS BIGINT) AS slots,
+       CAST(active AS BIGINT) AS active,
+       CAST(slots - active AS BIGINT) AS gaps
+FROM g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -9692,4 +9949,8 @@ REGISTRY: dict[str, tuple] = {
     "i04_incremental_agg": (i04_incremental_agg, I04_SQL),
     "w11_rolling_window": (w11_rolling_window, W11_SQL),
     "x06_fuzzy_search": (x06_fuzzy_search, X06_SQL),
+    "m15_audio_segments": (m15_audio_segments, M15_SQL),
+    "x07_prefix_search": (x07_prefix_search, X07_SQL),
+    "q36_top_percent": (q36_top_percent, Q36_SQL),
+    "w12_gap_stats": (w12_gap_stats, W12_SQL),
 }

@@ -427,3 +427,101 @@ def test_fuzzy_search_matches_expected_terms(ray_session):
     out = x06_fuzzy_search(SF)
     assert set(out["q"]) == {"vektor", "sow"}
     assert (out.groupby("q")["doc_id"].count() <= 10).all()
+
+
+def test_audio_segments_run_length_semantics(ray_session):
+    """Segment stats must be consistent: sum of segments' lengths =
+    n_active, and max_seg = 0 iff no segments; re-derive one doc's
+    runs directly from the decoder."""
+    from naer_ray.pipelines.queries import m15_audio_segments
+    from naer_ray.stages.multimodal import decode_wav, synth_wav_payload
+
+    out = m15_audio_segments(SF).to_pandas().set_index("doc_id")
+    assert ((out["n_segments"] == 0) == (out["max_seg"] == 0)).all()
+    assert (out["max_seg"] <= out["n_active"]).all()
+
+    _r, s = decode_wav(synth_wav_payload(7))
+    act = (np.abs(s.astype(np.int64)) >= 512).astype(int)
+    runs, cur = [], 0
+    for a in act:
+        if a:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    assert out.loc[7, "n_segments"] == len(runs)
+    assert out.loc[7, "n_active"] == sum(runs)
+    assert out.loc[7, "max_seg"] == (max(runs) if runs else 0)
+
+
+def test_prefix_search_counts_all_matching_terms(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x07_prefix_search
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["spark spin sp other", "spark", "nothing here"]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = x07_prefix_search(str(tmp_path)).set_index("doc_id")
+    assert out["score"].to_dict() == {1: 3, 2: 1}
+
+
+def test_top_percent_threshold_includes_ties(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import q36_top_percent
+
+    # 200 orders: 197 at 1.00, three at 9.99.  ceil(0.99*200) = 198
+    # lands past the 1.00 bucket (cum 197), so the threshold is 9.99
+    # and ALL THREE ties are included
+    prices = [1.0] * 197 + [9.99, 9.99, 9.99]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(200), pa.int64()),
+            "o_custkey": pa.array([1] * 200, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 200),
+            "o_totalprice": pa.array(prices),
+            "o_orderdate": pa.array(
+                pd.to_datetime([0] * 200, unit="us"), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 200),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = q36_top_percent(str(tmp_path))
+    assert out["n_orders"].tolist() == [3]
+    assert out["sum_cents"].tolist() == [2997]
+
+
+def test_gap_stats_hand_built(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w12_gap_stats
+
+    hours = [0, 0, 2, 5]  # user 1: hours {0,2,5} -> span 6, active 3, gaps 3
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([h * 3600_000_000 for h in hours], unit="us"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = w12_gap_stats(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"user_id": 1, "slots": 6, "active": 3, "gaps": 3}
+    ]
