@@ -9789,6 +9789,264 @@ FROM g
 """
 
 
+def s08_csv_roundtrip(sf_dir: str):
+    """CSV source plumbing end-to-end as a first-class query: documents
+    (pruned to id/lang/n_chars) write as sharded CSV under /tmp via the
+    distributed writer, stream back through ``ray.data.read_csv``, and
+    aggregate per lang — proving the non-Parquet ingest path (type
+    re-inference included) yields bit-identical aggregates.  CSV cannot
+    prune columns or push filters (the JSONL trade-off, documented at
+    sources/transcripts.read_transcripts_jsonl), so Parquet remains the
+    scale path; this query is the FORMAT-COMPATIBILITY gate."""
+    import os as _os
+    import shutil
+
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+
+    stage = (
+        "/tmp/naer_csv_roundtrip/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_csv(stage)
+
+    back = ray.data.read_csv(stage)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(n=np.int64(1))
+        return batch.groupby("lang", as_index=False)[["n_chars", "n"]].sum()
+
+    out = bucketed_sum(
+        back.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["lang"],
+        ["n_chars", "n"],
+    ).to_pandas()
+    shutil.rmtree(stage, ignore_errors=True)
+    out = out.rename(columns={"n_chars": "sum_n_chars"}).astype(
+        {"sum_n_chars": "int64", "n": "int64"}
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+S08_SQL = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang
+"""
+
+
+def g07_copurchase_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """"Frequently bought together": the top part pairs by the number
+    of ORDERS containing both (the weighted bipartite projection g06's
+    reachability query does not compute).  One orderkey-hash
+    bucket-run derives each order's distinct (a < b) pairs via a
+    single vectorized self-merge; pair weights reduce through one
+    cardinality-sized bucketed sum; top-k with the (w DESC, pa, pb)
+    deterministic tie-break."""
+    from ..stages.agg import bucketed_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["l_orderkey"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return m.rename(
+            columns={"l_partkey_x": "pa", "l_partkey_y": "pb"}
+        )[["pa", "pb"]]
+
+    pairs = li.map_batches(
+        bucketize, batch_format="pandas", batch_size=65536
+    ).groupby("bucket").map_groups(order_pairs, batch_format="pandas")
+    w = bucketed_sum(pairs, ["pa", "pb"], [], count_col="w").to_pandas()
+    w["w"] = w["w"].astype("int64")
+    top = w.sort_values(
+        ["w", "pa", "pb"], ascending=[False, True, True]
+    ).head(k)
+    return top.reset_index(drop=True)
+
+
+G07_SQL = """
+WITH p AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey pa, b.l_partkey pb
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS w
+FROM p GROUP BY pa, pb
+ORDER BY w DESC, pa, pb LIMIT 20
+"""
+
+
+def x08_more_like_this(sf_dir: str, query_doc: int = 42):
+    """"More like this" document similarity search: the top 10 docs by
+    word-BIGRAM Jaccard against a query document.  Output carries the
+    EXACT integer (intersection, union) pair; the ranking float is one
+    IEEE division of identical integers on both sides (x02's rank-only
+    discipline), tie-broken by doc_id.
+
+    Scale shape: the query doc's bigram set broadcasts once (point
+    read + ``ray.put``); each batch derives its docs' distinct bigrams
+    vectorized, intersects via one ``isin`` pass, keeps a LOCAL top-10
+    — zero shuffles, blocks x 10 driver merge."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..stages.text import _batch_bigrams, _string_array
+
+    qt = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") == query_doc
+    )
+    qtext = qt["text"][0].as_py()
+    ws = qtext.split(" ")
+    qset = {f"{a} {b}" for a, b in zip(ws, ws[1:]) if a and b}
+    q_ref = ray.put(qset)
+    nq = len(qset)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        bg, parents, n_docs = _batch_bigrams(_string_array(batch["text"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+            }
+        )
+        if not len(bg):
+            return empty
+        # distinct bigrams per doc
+        df = pd.DataFrame(
+            {"g": bg.to_pandas(), "p": parents}
+        ).drop_duplicates()
+        nd = np.bincount(df["p"].to_numpy(), minlength=n_docs).astype(np.int64)
+        hit = df["g"].isin(qs).to_numpy()
+        inter = np.bincount(
+            df["p"].to_numpy()[hit], minlength=n_docs
+        ).astype(np.int64)
+        uni = nd + nq - inter
+        keep = (inter > 0) & (ids != query_doc)
+        kid, ki, ku = ids[keep], inter[keep], uni[keep]
+        jac = ki / ku  # one IEEE division, rank key only
+        order = np.lexsort((kid, -jac))[:10]
+        return pa.table(
+            {
+                "doc_id": pa.array(kid[order], pa.int64()),
+                "inter": pa.array(ki[order], pa.int64()),
+                "uni": pa.array(ku[order], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    jac = parts["inter"] / parts["uni"]
+    parts = parts.assign(_j=jac)
+    top = parts.sort_values(["_j", "doc_id"], ascending=[False, True]).head(10)
+    return top.drop(columns=["_j"]).reset_index(drop=True)
+
+
+X08_SQL = """
+WITH bi AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+q AS (SELECT g FROM bi WHERE doc_id = 42),
+nq AS (SELECT COUNT(*) AS n FROM q),
+n AS (SELECT doc_id, COUNT(*) AS n FROM bi GROUP BY doc_id),
+i AS (SELECT b.doc_id, COUNT(*) AS c FROM bi b JOIN q ON b.g = q.g
+      WHERE b.doc_id <> 42 GROUP BY b.doc_id)
+SELECT i.doc_id, CAST(i.c AS BIGINT) AS inter,
+       CAST(n.n + nq.n - i.c AS BIGINT) AS uni
+FROM i JOIN n ON n.doc_id = i.doc_id CROSS JOIN nq
+ORDER BY CAST(i.c AS DOUBLE) / (n.n + nq.n - i.c) DESC, i.doc_id
+LIMIT 10
+"""
+
+
+def k02_kmeans_assign_persisted(sf_dir: str):
+    """Persisted-model scoring for clustering (the a08/x04 incremental
+    contract applied to k-means): centroids fit ONCE and save to disk;
+    a separate scoring pass reloads them — no refit — and assigns the
+    corpus in one broadcast scan.  Gate: persisted-path assignments
+    must equal the single-process reference exactly (k01's literal-
+    gate pattern for non-SQL-expressible ops)."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..stages.cluster import kmeans_fit, kmeans_reference
+
+    k = 8
+    path = (
+        "/tmp/naer_kmeans_model/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids, _assign_fn = kmeans_fit(ds, "vec_id", "embedding", k=k, n_iter=5)
+    np.save(f"{path}/centroids.npy", centroids)
+
+    # ---- scoring job: reload, broadcast, one assignment scan ----
+    from ..stages.ann import _as_matrix
+    from ..stages.cluster import _assign
+
+    loaded = np.load(f"{path}/centroids.npy")
+    cref = ray.put(loaded)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _as_matrix(batch["embedding"])
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(_assign(mat, c), pa.int64()),
+            }
+        )
+
+    got = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+
+    ref_tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = ref_tbl["vec_id"].to_numpy()
+    mat = np.array(ref_tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    want = kmeans_reference(ids[order], mat[order], k=k, n_iter=5)
+    match = bool((got["cluster"].to_numpy() == want).all())
+    shutil.rmtree(path, ignore_errors=True)
+
+    out = pd.DataFrame({"cluster_id": range(k)})
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["persisted_assign_match"] = match
+    return out
+
+
+K02_SQL = """
+SELECT CAST(range AS BIGINT) AS cluster_id, TRUE AS persisted_assign_match
+FROM range(8)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -9953,4 +10211,8 @@ REGISTRY: dict[str, tuple] = {
     "x07_prefix_search": (x07_prefix_search, X07_SQL),
     "q36_top_percent": (q36_top_percent, Q36_SQL),
     "w12_gap_stats": (w12_gap_stats, W12_SQL),
+    "s08_csv_roundtrip": (s08_csv_roundtrip, S08_SQL),
+    "g07_copurchase_topk": (g07_copurchase_topk, G07_SQL),
+    "x08_more_like_this": (x08_more_like_this, X08_SQL),
+    "k02_kmeans_assign_persisted": (k02_kmeans_assign_persisted, K02_SQL),
 }

@@ -525,3 +525,49 @@ def test_gap_stats_hand_built(ray_session, tmp_path):
     assert out.to_dict("records") == [
         {"user_id": 1, "slots": 6, "active": 3, "gaps": 3}
     ]
+
+
+def test_copurchase_pair_weight_counts_orders_once(ray_session, tmp_path):
+    """A pair appearing twice in ONE order counts once; across two
+    orders counts twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import g07_copurchase_topk
+
+    rows = [
+        (100, 1), (100, 2), (100, 2),   # order 100: pair (1,2) once
+        (200, 1), (200, 2),             # order 200: pair (1,2) again
+        (300, 3), (300, 4),             # order 300: pair (3,4)
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+            "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = g07_copurchase_topk(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"pa": 1, "pb": 2, "w": 2},
+        {"pa": 3, "pb": 4, "w": 1},
+    ]
+
+
+def test_more_like_this_excludes_query_doc(ray_session):
+    from naer_ray.pipelines.queries import x08_more_like_this
+
+    out = x08_more_like_this(SF)
+    assert 42 not in set(out["doc_id"])
+    assert len(out) == 10
+    # ranking is by jaccard desc
+    jac = (out["inter"] / out["uni"]).to_numpy()
+    assert (np.diff(jac) <= 1e-15).all()
+
+
+def test_kmeans_persisted_assign_gate(ray_session):
+    from naer_ray.pipelines.queries import k02_kmeans_assign_persisted
+
+    out = k02_kmeans_assign_persisted(SF)
+    assert out["persisted_assign_match"].all()
+    assert len(out) == 8
