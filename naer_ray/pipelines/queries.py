@@ -10047,6 +10047,195 @@ FROM range(8)
 """
 
 
+def j06_bloom_semi_join(sf_dir: str):
+    """Bloom-accelerated semi join (the filter-pushdown optimization a
+    shuffle join plans at scale): orders ⋉ BUILDING-segment customers
+    through ``stages/bloom.bloom_flag_membership`` — the broadcast
+    Bloom resolves most non-members EXACTLY to false before the
+    shuffle, so only Bloom-positive rows enter the key-hash
+    co-partition for the exact verdict.  The result is bit-identical
+    to the plain semi join (false positives die at the exact stage —
+    the oracle checks precisely that), only the exchange volume
+    changes.  Survivors aggregate per priority in integer cents."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.bloom import bloom_flag_membership
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    flagged = bloom_flag_membership(
+        orders,
+        keys,
+        left_col="o_custkey",
+        key_col="c_custkey",
+        n_expected=200_000,
+    )
+
+    def survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["in_right"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_numpy()[keep],
+                "cents": _cents(batch["o_totalprice"].to_numpy()[keep]),
+            }
+        )
+
+    out = bucketed_sum(
+        flagged.map_batches(survivors, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        ["cents"],
+        count_col="n_orders",
+    ).to_pandas()
+    out["sum_cents"] = out.pop("cents").astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+J06_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+GROUP BY o.o_orderpriority
+"""
+
+
+def v03_schema_drift(sf_dir: str):
+    """Schema-drift monitor (the detection side of s06's conforming
+    reader): two staged snapshot generations — gen 2 drops ``lang``,
+    adds ``source2`` and narrows ``doc_id`` to int32 — are compared by
+    their parquet FOOTERS alone (metadata-only reads: at 100 TB the
+    drift report never touches data) and classified per column:
+    kept / dropped / added / type_changed."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    stage = (
+        "/tmp/naer_schema_drift/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    src = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    _pq.write_table(src, f"{stage}/gen1.parquet")
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pc.cast(src["doc_id"], pa.int32()),
+                "source": src["source"],
+                "source2": src["source"],
+            }
+        ),
+        f"{stage}/gen2.parquet",
+    )
+
+    s1 = _pq.read_schema(f"{stage}/gen1.parquet")
+    s2 = _pq.read_schema(f"{stage}/gen2.parquet")
+    d1 = {f.name: str(f.type) for f in s1}
+    d2 = {f.name: str(f.type) for f in s2}
+    rows = []
+    for col in sorted(set(d1) | set(d2)):
+        if col in d1 and col in d2:
+            status = "kept" if d1[col] == d2[col] else "type_changed"
+        elif col in d1:
+            status = "dropped"
+        else:
+            status = "added"
+        rows.append(
+            {
+                "col": col,
+                "status": status,
+                "old_type": d1.get(col, ""),
+                "new_type": d2.get(col, ""),
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return pd.DataFrame(rows)
+
+
+V03_SQL = """
+SELECT * FROM (VALUES
+  ('doc_id', 'type_changed', 'int64', 'int32'),
+  ('lang', 'dropped', 'string', ''),
+  ('source', 'kept', 'string', 'string'),
+  ('source2', 'added', '', 'string'))
+AS t(col, status, old_type, new_type)
+"""
+
+
+def m16_frame_diff(sf_dir: str):
+    """Inter-frame difference profile over REAL video decodes (the
+    scene-cut signal of a video curation pipeline): each doc's
+    MJPEG/AVI clip fully decodes (container walk + per-frame baseline
+    JPEG), and consecutive frames diff on the luma plane — per doc:
+    frame count and the total absolute Y difference across all frame
+    transitions.  Exact integers (flat DC-only blocks decode to the
+    closed-form Y), so the SQL oracle re-derives every per-block
+    transition from the generator arithmetic."""
+    from ..stages.multimodal import decode_mjpeg_avi, synth_mjpeg_avi_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).repartition(32)
+
+    def diff(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = {"doc_id": ids, "n_frames": [], "total_ydiff": []}
+        for i in ids:
+            frames = decode_mjpeg_avi(synth_mjpeg_avi_payload(i))
+            ys = [f[3][:, 0].astype(np.int64) for f in frames]  # luma plane
+            total = 0
+            for a, b in zip(ys, ys[1:]):
+                total += int(np.abs(b - a).sum())
+            out["n_frames"].append(len(frames))
+            out["total_ydiff"].append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "total_ydiff": pa.array(out["total_ydiff"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(diff, batch_format="pyarrow", batch_size=64)
+
+
+M16_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS nf,
+         1 + (doc_id * 7) % 4 AS bw,
+         1 + (doc_id * 11) % 4 AS bh
+  FROM documents),
+tr AS (
+  SELECT doc_id, nf, bw, bh, unnest(range(0, nf - 1)) AS f FROM dims),
+blk AS (
+  SELECT doc_id, nf, bw, bh, f, unnest(range(0, bw * bh)) AS i FROM tr),
+d AS (
+  SELECT doc_id, nf,
+         64 * abs(((doc_id * 5 + (f + 1) * 13 + i * 37) % 256)
+                  - ((doc_id * 5 + f * 13 + i * 37) % 256)) AS ydiff
+  FROM blk)
+SELECT dims.doc_id,
+       CAST(dims.nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(d.ydiff), 0) AS BIGINT) AS total_ydiff
+FROM dims LEFT JOIN d ON d.doc_id = dims.doc_id
+GROUP BY dims.doc_id, dims.nf
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10215,4 +10404,7 @@ REGISTRY: dict[str, tuple] = {
     "g07_copurchase_topk": (g07_copurchase_topk, G07_SQL),
     "x08_more_like_this": (x08_more_like_this, X08_SQL),
     "k02_kmeans_assign_persisted": (k02_kmeans_assign_persisted, K02_SQL),
+    "j06_bloom_semi_join": (j06_bloom_semi_join, J06_SQL),
+    "v03_schema_drift": (v03_schema_drift, V03_SQL),
+    "m16_frame_diff": (m16_frame_diff, M16_SQL),
 }

@@ -571,3 +571,56 @@ def test_kmeans_persisted_assign_gate(ray_session):
     out = k02_kmeans_assign_persisted(SF)
     assert out["persisted_assign_match"].all()
     assert len(out) == 8
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session):
+    """Bloom acceleration must never change the result — compare to a
+    direct pandas semi join."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import j06_bloom_semi_join, _cents
+
+    out = j06_bloom_semi_join(SF)
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = set(cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    kept = orders[orders["o_custkey"].isin(keys)].copy()
+    kept["cents"] = _cents(kept["o_totalprice"].to_numpy())
+    ref = (
+        kept.groupby("o_orderpriority", as_index=False)
+        .agg(sum_cents=("cents", "sum"), n_orders=("cents", "size"))
+        .astype({"sum_cents": "int64", "n_orders": "int64"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["o_orderpriority", "sum_cents", "n_orders"]], ref,
+        check_exact=True,
+    )
+
+
+def test_schema_drift_classes(ray_session):
+    from naer_ray.pipelines.queries import v03_schema_drift
+
+    out = v03_schema_drift(SF).set_index("col")
+    assert out.loc["doc_id", "status"] == "type_changed"
+    assert out.loc["lang", "status"] == "dropped"
+    assert out.loc["source", "status"] == "kept"
+    assert out.loc["source2", "status"] == "added"
+
+
+def test_frame_diff_single_frame_is_zero(ray_session):
+    """Docs whose clip has one frame have no transitions."""
+    from naer_ray.pipelines.queries import m16_frame_diff
+
+    out = m16_frame_diff(SF).to_pandas()
+    single = out[out["n_frames"] == 1]
+    assert len(single) > 0
+    assert (single["total_ydiff"] == 0).all()
+    multi = out[out["n_frames"] > 1]
+    assert (multi["total_ydiff"] > 0).all()
