@@ -10236,6 +10236,282 @@ GROUP BY dims.doc_id, dims.nf
 """
 
 
+def a10_filtered_vector_search(sf_dir: str, num: int = 1, den: int = 5):
+    """FILTERED vector search (the vector-DB staple: similarity under
+    a metadata predicate — "nearest docs WHERE lang = 'en'"): radius
+    search at cosine >= num/den restricted to vectors whose paired
+    document is English.  The attribute filter co-partitions with the
+    vectors through the native hash join (both tables corpus-sized at
+    100 TB — never a broadcast of the filter side), then a09's exact
+    integer-quantized predicate scans the surviving stream with zero
+    further shuffles."""
+    import ray
+
+    from ..stages.ann import _as_matrix
+
+    q = _point_read_embeddings(sf_dir, [0, 1, 2])
+    qm = np.floor(_as_matrix(q["embedding"]) * 100 + 0.5).astype(np.int64)
+    qids = q["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q2 = (qm * qm).sum(axis=1)
+    q_ref = ray.put((qm, qids, q2))
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        # dot/norm metrics BEFORE the join: the exchange then carries
+        # 5 int64 columns per vector instead of the raw embedding
+        # (which acero joins also reject as a list payload)
+        qm_, _qids, _q2 = ray.get(q_ref)
+        v = np.floor(_as_matrix(batch["embedding"]) * 100 + 0.5).astype(
+            np.int64
+        )
+        dots = v @ qm_.T
+        n2 = (v * v).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "d0": pa.array(dots[:, 0], pa.int64()),
+                "d1": pa.array(dots[:, 1], pa.int64()),
+                "d2": pa.array(dots[:, 2], pa.int64()),
+                "n2": pa.array(n2, pa.int64()),
+            }
+        )
+
+    en_docs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    filtered = vecs.map_batches(metrics, batch_format="pyarrow").join(
+        en_docs,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+
+    def predicate(batch: pa.Table) -> pa.Table:
+        _qm, qids_, q2_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dots = np.stack(
+            [
+                batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ("d0", "d1", "d2")
+            ],
+            axis=1,
+        )
+        n2 = batch["n2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (dots > 0) & (
+            den * den * dots * dots >= num * num * n2[:, None] * q2_[None, :]
+        )
+        r, c = np.nonzero(ok)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[c], pa.int64()),
+                "vec_id": pa.array(ids[r], pa.int64()),
+            }
+        )
+
+    out = filtered.map_batches(predicate, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+A10_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+u AS (SELECT qid, e.vec_id,
+  list_sum(list_transform(range(1, len(e.embedding) + 1),
+     i -> CAST(FLOOR(e.embedding[i] * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(qv[i] * 100 + 0.5) AS BIGINT))) AS dot,
+  list_sum(list_transform(e.embedding,
+     x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(x * 100 + 0.5) AS BIGINT))) AS n2,
+  list_sum(list_transform(qv,
+     x -> CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+          * CAST(FLOOR(x * 100 + 0.5) AS BIGINT))) AS q2
+ FROM embeddings e JOIN en ON en.doc_id = e.vec_id CROSS JOIN q)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id
+FROM u WHERE dot > 0 AND 25 * dot * dot >= n2 * q2
+"""
+
+
+def i05_snapshot_diff(sf_dir: str, n_buckets: int = 64):
+    """Table diff between snapshot generations (the lakehouse
+    reconciliation op): gen 2 drops every doc_id % 20 == 0, adds ids
+    +2M for % 7 == 0, and rewrites n_chars (+1) for % 3 == 0 — the
+    diff classifies every key as added / removed / changed / unchanged
+    and reports the four counts.
+
+    Scale shape: both generations stream as (id, fingerprint) rows —
+    the fingerprint here is the compared column, at width W it's a
+    hash — through ONE id-hash bucket-run full-outer compare; counts
+    pre-aggregate per bucket and one tiny sum finishes.  Neither
+    generation is ever driver-resident."""
+    from ..stages.agg import bucketed_sum
+
+    base = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def gen1(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch["doc_id"],
+                "v": batch["n_chars"],
+                "side": pa.array(np.zeros(len(batch), np.int8), pa.int8()),
+            }
+        )
+
+    def gen2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).copy()
+        keep = ids % 20 != 0
+        ids_k, v_k = ids[keep], v[keep]
+        v_k = np.where(ids_k % 3 == 0, v_k + 1, v_k)
+        add = ids[ids % 7 == 0] + 2_000_000
+        out_ids = np.concatenate([ids_k, add])
+        out_v = np.concatenate([v_k, np.full(len(add), 1, np.int64)])
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "v": pa.array(out_v, pa.int64()),
+                "side": pa.array(np.ones(len(out_ids), np.int8), pa.int8()),
+            }
+        )
+
+    both = base.map_batches(gen1, batch_format="pyarrow").union(
+        base.map_batches(gen2, batch_format="pyarrow")
+    )
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["id"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index="id", columns="side", values="v", aggfunc="first"
+        )
+        has0 = p[0].notna() if 0 in p.columns else pd.Series(False, p.index)
+        has1 = p[1].notna() if 1 in p.columns else pd.Series(False, p.index)
+        added = int((~has0 & has1).sum())
+        removed = int((has0 & ~has1).sum())
+        b = has0 & has1
+        changed = int((b & (p[0] != p[1])).sum()) if b.any() else 0
+        unchanged = int(b.sum()) - changed
+        return pd.DataFrame(
+            {
+                "added": [np.int64(added)],
+                "removed": [np.int64(removed)],
+                "changed": [np.int64(changed)],
+                "unchanged": [np.int64(unchanged)],
+            }
+        )
+
+    parts = (
+        both.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame([parts.sum()]).astype("int64")
+    return out[["added", "removed", "changed", "unchanged"]]
+
+
+I05_SQL = """
+WITH g1 AS (SELECT doc_id AS id, n_chars AS v FROM documents),
+g2 AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END AS v
+  FROM documents WHERE doc_id % 20 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000, 1 FROM documents WHERE doc_id % 7 = 0),
+j AS (SELECT g1.id AS id1, g2.id AS id2, g1.v AS v1, g2.v AS v2
+      FROM g1 FULL OUTER JOIN g2 ON g1.id = g2.id)
+SELECT CAST(SUM(CASE WHEN id1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(SUM(CASE WHEN id2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+       CAST(SUM(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+                      AND v1 <> v2 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(SUM(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+                      AND v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+FROM j
+"""
+
+
+def b03_vocab_coverage(sf_dir: str, top_k: int = 20):
+    """Tokenizer-health audit: out-of-vocabulary rate per document
+    under a FROZEN top-K vocabulary (the coverage check run before
+    committing a tokenizer to a 100-TB corpus).  Pass 1 reduces the
+    global term histogram (vocabulary-sized, t16 contract) and freezes
+    the top-K by (count DESC, term) deterministic tie-break; pass 2
+    broadcasts the K terms and counts per-doc total vs OOV tokens
+    vectorized — integer-exact."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pa.table({"term": flat}).group_by("term").aggregate(
+            [("term", "count")]
+        )
+        return vc.rename_columns(["term", "c"])
+
+    hist = bucketed_sum(
+        docs.map_batches(term_counts, batch_format="pyarrow"),
+        ["term"],
+        ["c"],
+    ).to_pandas()
+    hist = hist.sort_values(["c", "term"], ascending=[False, True])
+    vocab = set(hist.head(top_k)["term"])
+    v_ref = ray.put(vocab)
+
+    docs2 = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        vs = pa.array(sorted(ray.get(v_ref)), pa.string())
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        known = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+        n = np.bincount(parents[nonempty], minlength=batch.num_rows)
+        oov = np.bincount(
+            parents[nonempty & ~known], minlength=batch.num_rows
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "n_oov": pa.array(oov.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs2.map_batches(coverage, batch_format="pyarrow")
+
+
+B03_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+hist AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM hist ORDER BY c DESC, t LIMIT 20)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM tok LEFT JOIN vocab v ON tok.t = v.t
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10407,4 +10683,7 @@ REGISTRY: dict[str, tuple] = {
     "j06_bloom_semi_join": (j06_bloom_semi_join, J06_SQL),
     "v03_schema_drift": (v03_schema_drift, V03_SQL),
     "m16_frame_diff": (m16_frame_diff, M16_SQL),
+    "a10_filtered_vector_search": (a10_filtered_vector_search, A10_SQL),
+    "i05_snapshot_diff": (i05_snapshot_diff, I05_SQL),
+    "b03_vocab_coverage": (b03_vocab_coverage, B03_SQL),
 }

@@ -624,3 +624,58 @@ def test_frame_diff_single_frame_is_zero(ray_session):
     assert (single["total_ydiff"] == 0).all()
     multi = out[out["n_frames"] > 1]
     assert (multi["total_ydiff"] > 0).all()
+
+
+def test_filtered_search_subset_of_unfiltered(ray_session):
+    """The filtered result must be exactly the unfiltered radius
+    result (at the same threshold) intersected with the en-doc ids."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import (
+        a09_radius_search,
+        a10_filtered_vector_search,
+    )
+
+    filt = a10_filtered_vector_search(SF)  # tau = 1/5
+    unfilt = a09_radius_search(SF, num=1, den=5)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    en = set(docs[docs["lang"] == "en"]["doc_id"])
+    want = unfilt[unfilt["vec_id"].isin(en)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(filt, want, check_exact=True)
+
+
+def test_snapshot_diff_hand_built_counts(ray_session):
+    """Re-derive the planted diff classes directly."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import i05_snapshot_diff
+
+    ids = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    removed = int((ids % 20 == 0).sum())
+    added = int((ids % 7 == 0).sum())
+    kept = ids[ids % 20 != 0]
+    changed = int((kept % 3 == 0).sum())
+    unchanged = len(kept) - changed
+    out = i05_snapshot_diff(SF).iloc[0]
+    assert (out["added"], out["removed"], out["changed"], out["unchanged"]) == (
+        added,
+        removed,
+        changed,
+        unchanged,
+    )
+
+
+def test_vocab_coverage_all_tokens_in_corpus_vocab(ray_session):
+    """The corpus vocabulary has ~31 terms; with top_k=40 every token
+    is in-vocab, with top_k=1 only the most frequent term is."""
+    from naer_ray.pipelines.queries import b03_vocab_coverage
+
+    full = b03_vocab_coverage(SF, top_k=40).to_pandas()
+    assert (full["n_oov"] == 0).all()
+    tiny = b03_vocab_coverage(SF, top_k=1).to_pandas()
+    assert (tiny["n_oov"] > 0).any()
+    assert (tiny["n_oov"] <= tiny["n_tokens"]).all()
