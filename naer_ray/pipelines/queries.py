@@ -8995,7 +8995,10 @@ def d20_containment_pairs(sf_dir: str):
     full trigram-intersection join brute-force."""
     from ..stages.joins import containment_join
 
-    corpus = _docs_with_quotes(sf_dir)
+    # materialize once: the derived corpus feeds the frequency pass,
+    # the postings pass and the verify semi-join — without this the
+    # quote derivation re-executes per consumer
+    corpus = _docs_with_quotes(sf_dir).materialize()
     return containment_join(corpus, corpus, 4, 5)
 
 

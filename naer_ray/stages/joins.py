@@ -1178,89 +1178,122 @@ def containment_join(
 
     from .agg import bucketed_sum
 
-    freq = _token_freqs([a_ds, b_ds], text_col, ngram)
+    self_join = a_ds is b_ds
+    # self-join: ONE frequency source (doubling every count preserves
+    # the (count, token) rarity order exactly, so ranks are identical)
+    freq = _token_freqs([a_ds] if self_join else [a_ds, b_ds], text_col, ngram)
     rank_ref = _freq_rank_ref(freq)
 
-    def a_prefix(batch: pa.Table) -> pa.Table:
-        keys, ranks = ray.get(rank_ref)
-        hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_t, out_i, out_n = [], [], []
-        if len(hh) and len(keys):
-            pos = np.minimum(np.searchsorted(keys, hh), len(keys) - 1)
-            rk = np.where(keys[pos] == hh, ranks[pos], 0)
-        else:
-            rk = np.zeros(len(hh), np.int64)
-        for r in range(batch.num_rows):
-            lo, hi = offs[r], offs[r + 1]
-            n = int(hi - lo)
-            if n == 0:
-                continue
-            k = n - (-(-num * n // den)) + 1  # n - ceil(num*n/den) + 1
-            if k <= 0:
-                k = 1
-            sel = np.argsort(rk[lo:hi], kind="stable")[:k]
-            out_t.append(hh[lo:hi][sel])
-            out_i.append(np.full(len(sel), ids[r], np.int64))
-            out_n.append(np.full(len(sel), n, np.int64))
-        if not out_t:
-            return pa.table(
+    def rows_fn(emit_prefix: bool, emit_all: bool):
+        """One shingling pass per side: every gram row is emitted once,
+        flagged ``pref`` when it belongs to the record's containment
+        prefix — the self-join derives BOTH sides from a single pass
+        over one materialized postings dataset (was: two independent
+        shingle passes)."""
+
+        def f(batch: pa.Table) -> pa.Table:
+            keys, ranks = ray.get(rank_ref)
+            hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            empty = pa.table(
                 {
                     "tok": pa.array([], pa.int64()),
-                    "id_a": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
                     "na": pa.array([], pa.int64()),
+                    "pref": pa.array([], pa.bool_()),
                     "shard": pa.array([], pa.int32()),
                 }
             )
-        t = np.concatenate(out_t)
-        return pa.table(
-            {
-                "tok": pa.array(t.view(np.int64), pa.int64()),
-                "id_a": pa.array(np.concatenate(out_i), pa.int64()),
-                "na": pa.array(np.concatenate(out_n), pa.int64()),
-                "shard": pa.array(
-                    (t % np.uint64(n_shards)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
-
-    def b_all(batch: pa.Table) -> pa.Table:
-        hh, offs = _shingle_hashes_per_row(batch, text_col, ngram)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        parents = np.repeat(np.arange(batch.num_rows), np.diff(offs))
-        return pa.table(
-            {
-                "tok": pa.array(hh.view(np.int64), pa.int64()),
-                "id_b": pa.array(ids[parents], pa.int64()),
-                "shard": pa.array(
-                    (hh % np.uint64(n_shards)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
-
-    a_rows = a_ds.map_batches(a_prefix, batch_format="pyarrow").materialize()
-    b_rows = b_ds.map_batches(b_all, batch_format="pyarrow")
-
-    def tag(side):
-        def f(batch: pa.Table) -> pa.Table:
-            cols = {
-                "tok": batch["tok"],
-                "id": batch["id_a" if side == 0 else "id_b"],
-                "na": batch["na"]
-                if side == 0
-                else pa.array(np.zeros(len(batch), np.int64), pa.int64()),
-                "side": pa.array(
-                    np.full(len(batch), side, np.int8), pa.int8()
-                ),
-                "shard": batch["shard"],
-            }
-            return pa.table(cols)
+            if not len(hh):
+                return empty
+            if len(keys):
+                pos = np.minimum(np.searchsorted(keys, hh), len(keys) - 1)
+                rk = np.where(keys[pos] == hh, ranks[pos], 0)
+            else:
+                rk = np.zeros(len(hh), np.int64)
+            parents = np.repeat(
+                np.arange(batch.num_rows), np.diff(offs)
+            )
+            ns = (offs[1:] - offs[:-1]).astype(np.int64)
+            pref = np.zeros(len(hh), bool)
+            if emit_prefix:
+                for r in range(batch.num_rows):
+                    lo, hi = offs[r], offs[r + 1]
+                    n = int(hi - lo)
+                    if n == 0:
+                        continue
+                    k = n - (-(-num * n // den)) + 1  # n - ceil(t*n) + 1
+                    if k <= 0:
+                        k = 1
+                    pref[lo + np.argsort(rk[lo:hi], kind="stable")[:k]] = True
+            keep = pref if not emit_all else np.ones(len(hh), bool)
+            hh_k, par_k, pref_k = hh[keep], parents[keep], pref[keep]
+            return pa.table(
+                {
+                    "tok": pa.array(hh_k.view(np.int64), pa.int64()),
+                    "id": pa.array(ids[par_k], pa.int64()),
+                    "na": pa.array(ns[par_k], pa.int64()),
+                    "pref": pa.array(pref_k, pa.bool_()),
+                    "shard": pa.array(
+                        (hh_k % np.uint64(n_shards)).astype(np.int32),
+                        pa.int32(),
+                    ),
+                }
+            )
 
         return f
 
-    both = a_rows.map_batches(tag(0), batch_format="pyarrow").union(
-        b_rows.map_batches(tag(1), batch_format="pyarrow")
-    )
+    if self_join:
+        # one pass emits all rows with the prefix flag; side-0 = the
+        # pref slice, side-1 = everything
+        # no materialize: the rows stream has exactly one consumer (the
+        # shard shuffle), so staging it in the object store is a whole
+        # wasted pipeline execution
+        rows = a_ds.map_batches(rows_fn(True, True), batch_format="pyarrow")
+
+        def tag_both(batch: pa.Table) -> pa.Table:
+            a_part = batch.filter(batch["pref"])
+            sides = np.concatenate(
+                [
+                    np.zeros(a_part.num_rows, np.int8),
+                    np.ones(batch.num_rows, np.int8),
+                ]
+            )
+            merged = pa.concat_tables([a_part, batch])
+            return pa.table(
+                {
+                    "tok": merged["tok"],
+                    "id": merged["id"],
+                    "na": merged["na"],
+                    "side": pa.array(sides, pa.int8()),
+                    "shard": merged["shard"],
+                }
+            )
+
+        both = rows.map_batches(tag_both, batch_format="pyarrow")
+    else:
+        a_rows = a_ds.map_batches(rows_fn(True, False), batch_format="pyarrow")
+        b_rows = b_ds.map_batches(rows_fn(False, True), batch_format="pyarrow")
+
+        def tag(side):
+            def f(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "tok": batch["tok"],
+                        "id": batch["id"],
+                        "na": batch["na"],
+                        "side": pa.array(
+                            np.full(len(batch), side, np.int8), pa.int8()
+                        ),
+                        "shard": batch["shard"],
+                    }
+                )
+
+            return f
+
+        both = a_rows.map_batches(tag(0), batch_format="pyarrow").union(
+            b_rows.map_batches(tag(1), batch_format="pyarrow")
+        )
 
     def shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a = group[group["side"] == 0][["tok", "id", "na"]].rename(
@@ -1282,11 +1315,15 @@ def containment_join(
         return m[["id_a", "id_b", "na"]].drop_duplicates(["id_a", "id_b"])
 
     cand = both.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
-    # global distinct (pairs repeat across shards via different grams)
-    distinct = bucketed_sum(cand, ["id_a", "id_b", "na"], [], count_col="c")
 
     # ---- exact string-space verify (broadcast texts for pair ids) ----
-    pairs_df = distinct.to_pandas()
+    # candidates are per-shard distinct already; cross-shard duplicates
+    # (a pair found via prefix grams in different shards) dedupe at the
+    # driver, which receives the pair list anyway for the verify — a
+    # separate distinct shuffle here was pure overhead (prefix pruning
+    # bounds the candidate volume at driver scale; a verify-at-scale
+    # deployment co-partitions instead, see set_similarity_join)
+    pairs_df = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
     if pairs_df.empty:
         return pd.DataFrame(
             {
@@ -1297,7 +1334,7 @@ def containment_join(
     wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
     wanted_ref = ray.put(wanted)
     text_map: dict = {}
-    for side_ds in (a_ds, b_ds):
+    for side_ds in ((a_ds,) if self_join else (a_ds, b_ds)):
         got = side_ds.map_batches(
             lambda b: b.filter(
                 pa.array(
