@@ -10515,6 +10515,55 @@ GROUP BY doc_id
 """
 
 
+def w13_running_distinct(sf_dir: str, n_buckets: int = 64):
+    """Running DISTINCT count (the streaming cardinality window SQL
+    engines famously refuse — COUNT(DISTINCT) OVER is unsupported in
+    most dialects): per event, how many distinct event_types its user
+    has produced up to and including that event, in (ts, event_id)
+    order.  ONE user-hash bucket shuffle; inside each bucket the
+    first-occurrence flag (pandas ``duplicated`` C kernel per
+    (user, type)) cumsums per user — no per-row Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        first = (~g.duplicated(["user_id", "event_type"])).astype("int64")
+        run = first.groupby(g["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_distinct_types": run.to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+W13_SQL = """
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+FROM r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10689,4 +10738,5 @@ REGISTRY: dict[str, tuple] = {
     "a10_filtered_vector_search": (a10_filtered_vector_search, A10_SQL),
     "i05_snapshot_diff": (i05_snapshot_diff, I05_SQL),
     "b03_vocab_coverage": (b03_vocab_coverage, B03_SQL),
+    "w13_running_distinct": (w13_running_distinct, W13_SQL),
 }

@@ -679,3 +679,32 @@ def test_vocab_coverage_all_tokens_in_corpus_vocab(ray_session):
     tiny = b03_vocab_coverage(SF, top_k=1).to_pandas()
     assert (tiny["n_oov"] > 0).any()
     assert (tiny["n_oov"] <= tiny["n_tokens"]).all()
+
+
+def test_running_distinct_hand_built(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w13_running_distinct
+
+    # user 1: view, view, click, view, click -> 1,1,2,2,2
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([10, 20, 30, 40, 50], unit="us"),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                ["view", "view", "click", "view", "click"]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        w13_running_distinct(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["n_distinct_types"].tolist() == [1, 1, 2, 2, 2]
