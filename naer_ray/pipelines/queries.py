@@ -10564,6 +10564,148 @@ FROM r
 """
 
 
+def u02_host_cap(sf_dir: str, cap: int = 3):
+    """Per-host document cap (the CommonCrawl curation rule "at most N
+    pages per host", distinct from d17's exact-URL dedup): each doc's
+    URL derives by u01's closed-form construction, REALLY parses and
+    normalizes (stages/url), and only the ``cap`` lowest doc_ids per
+    normalized host survive.
+
+    Scale shape: the cap is an ASSOCIATIVE bottom-k — each batch keeps
+    its local bottom-``cap`` per host (combiner), so the exchange
+    carries hosts x cap x batches rows and the final merge is
+    host-cardinality-sized.  No global sort, no row-level shuffle."""
+    from ..stages.url import parse_normalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def local_cap(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].combine_chunks().to_numpy()
+        m211 = pa.array((ids % 211).astype("U"), type=pa.string())
+        m13 = pa.array((ids % 13).astype("U"), type=pa.string())
+        raw = pc.binary_join_element_wise(
+            pa.scalar("HTTPS://"),
+            pc.utf8_upper(batch["source"].combine_chunks()),
+            pa.scalar(".Example.COM:443/"),
+            batch["lang"].combine_chunks(),
+            pa.scalar("/page-"),
+            m211,
+            pa.scalar("?utm_source=feed&id="),
+            m13,
+            "",
+        )
+        parsed = parse_normalize_urls(raw)
+        df = pd.DataFrame(
+            {
+                "host": parsed["host"].to_pandas(),
+                "doc_id": ids,
+            }
+        )
+        return (
+            df.sort_values(["host", "doc_id"])
+            .groupby("host", as_index=False, sort=False)
+            .head(cap)
+        )
+
+    parts = ds.map_batches(local_cap, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["host", "doc_id"])
+        .groupby("host", as_index=False, sort=False)
+        .head(cap)
+        .reset_index(drop=True)
+    )
+    return out[["host", "doc_id"]]
+
+
+U02_SQL = """
+WITH d AS (
+  SELECT lower(source) || '.example.com' AS host, doc_id FROM documents),
+r AS (
+  SELECT host, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM d)
+SELECT host, doc_id FROM r WHERE rn <= 3
+"""
+
+
+def v04_skew_report(sf_dir: str):
+    """Key-skew diagnostic (the profiling pass run BEFORE choosing a
+    partitioning key at 100 TB): per event_type, the row count and its
+    integer parts-per-million share of the table — the numbers that
+    tell an engineer whether a key needs the salted reduce (q35).
+    One combiner count pass + cardinality-sized shuffle; the shares
+    are exact integer floor divisions of identical operands."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    counts = bucketed_sum(ds, ["event_type"], [], count_col="n").to_pandas()
+    total = int(counts["n"].sum())
+    counts["n"] = counts["n"].astype("int64")
+    counts["share_ppm"] = (counts["n"] * 1_000_000 // total).astype("int64")
+    return counts.sort_values("event_type").reset_index(drop=True)
+
+
+V04_SQL = """
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+FROM c, t
+"""
+
+
+def _morton16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleave the low 8 bits of ``a`` (even positions) and ``b``
+    (odd positions) — the Z-order key.  Pure integer arithmetic so the
+    SQL oracle can re-derive it bit for bit."""
+    out = np.zeros(len(a), np.int64)
+    for i in range(8):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def s09_zorder_layout(sf_dir: str):
+    """Z-ORDER layout sort (the data-layout optimization a 100-TB
+    table needs so range predicates on EITHER of two columns prune
+    row groups): events keyed by the Morton interleave of
+    (user_id % 256, hour-of-day) and globally sorted with exact ranks
+    through the TeraSort-shaped range partitioner (s05's machinery —
+    sampled bounds, ONE exchange, per-part rank offsets).  The key is
+    pure integer bit arithmetic, re-derived bit-for-bit in SQL."""
+    from ..stages.order import range_partition_sort
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["user_id"].to_numpy().astype(np.int64) % 256
+        b = batch["ts"].dt.hour.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "zkey": _morton16(a, b),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pandas", batch_size=65536)
+    return range_partition_sort(keyed, "zkey", "event_id", n_parts=64)
+
+
+_S09_MORTON_SQL = " + ".join(
+    f"(((user_id % 256) // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((hour(ts) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+S09_SQL = f"""
+WITH k AS (
+  SELECT event_id, CAST({_S09_MORTON_SQL} AS BIGINT) AS zkey FROM events)
+SELECT event_id, zkey,
+       ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS global_rank
+FROM k
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10739,4 +10881,7 @@ REGISTRY: dict[str, tuple] = {
     "i05_snapshot_diff": (i05_snapshot_diff, I05_SQL),
     "b03_vocab_coverage": (b03_vocab_coverage, B03_SQL),
     "w13_running_distinct": (w13_running_distinct, W13_SQL),
+    "u02_host_cap": (u02_host_cap, U02_SQL),
+    "v04_skew_report": (v04_skew_report, V04_SQL),
+    "s09_zorder_layout": (s09_zorder_layout, S09_SQL),
 }

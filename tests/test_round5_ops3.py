@@ -708,3 +708,77 @@ def test_running_distinct_hand_built(ray_session, tmp_path):
         .sort_values("event_id")
     )
     assert out["n_distinct_types"].tolist() == [1, 1, 2, 2, 2]
+
+
+def test_new_bucketed_ops_partitioning_invariance(ray_session):
+    """Every bucketed kernel added this session must be invariant to
+    the bucket count (the repo's partitioning-invariance gate)."""
+    from naer_ray.pipelines import queries as q
+
+    for fn, kwargs, sort_cols in (
+        (q.e05_window_cooccurrence, {"n_buckets": 5}, ["subj", "obj"]),
+        (q.g07_copurchase_topk, {"n_buckets": 5}, ["pa", "pb"]),
+        (q.w11_rolling_window, {"n_buckets": 5}, ["event_id"]),
+        (q.w12_gap_stats, {"n_buckets": 5}, ["user_id"]),
+        (q.w13_running_distinct, {"n_buckets": 5}, ["event_id"]),
+        (q.i05_snapshot_diff, {"n_buckets": 5}, ["added"]),
+        (q.t17_ngram_novelty, {"n_buckets": 5}, ["doc_id"]),
+    ):
+        a = fn(SF)
+        b = fn(SF, **kwargs)
+        if hasattr(a, "to_pandas"):
+            a = a.to_pandas()
+        if hasattr(b, "to_pandas"):
+            b = b.to_pandas()
+        a = a.sort_values(sort_cols).reset_index(drop=True)
+        b = b.sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_host_cap_keeps_lowest_ids(ray_session):
+    from naer_ray.pipelines.queries import u02_host_cap
+
+    out = u02_host_cap(SF)
+    for _, g in out.groupby("host"):
+        assert len(g) <= 3
+    # cap=1 keeps exactly the minimum id per host
+    one = u02_host_cap(SF, cap=1)
+    full = u02_host_cap(SF, cap=10_000)
+    want = full.groupby("host", as_index=False)["doc_id"].min()
+    pd.testing.assert_frame_equal(
+        one.sort_values("host").reset_index(drop=True),
+        want.sort_values("host").reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+def test_skew_report_shares_sum_bound(ray_session):
+    from naer_ray.pipelines.queries import v04_skew_report
+
+    out = v04_skew_report(SF)
+    # floor division: shares sum to <= 1e6 and > 1e6 - n_keys
+    s = int(out["share_ppm"].sum())
+    assert 1_000_000 - len(out) < s <= 1_000_000
+
+
+def test_morton_key_interleaves_bits():
+    from naer_ray.pipelines.queries import _morton16
+
+    a = np.array([0b10101010], np.int64)
+    b = np.array([0b11110000], np.int64)
+    # even positions from a, odd from b
+    want = sum(
+        ((0b10101010 >> i) & 1) << (2 * i)
+        | ((0b11110000 >> i) & 1) << (2 * i + 1)
+        for i in range(8)
+    )
+    assert _morton16(a, b)[0] == want
+
+
+def test_zorder_rank_is_total_order(ray_session):
+    from naer_ray.pipelines.queries import s09_zorder_layout
+
+    out = s09_zorder_layout(SF).to_pandas().sort_values("global_rank")
+    assert out["global_rank"].tolist() == list(range(1, len(out) + 1))
+    z = out["zkey"].to_numpy()
+    assert (np.diff(z) >= 0).all()
