@@ -377,3 +377,49 @@ class TestSetSimEdgeCases:
         assert len(out) == 1
         assert out["jaccard"].iloc[0] == 63 / 77
         assert out["jaccard"].iloc[0] >= t
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_containment_join_matches_brute_force(ray_session, seed, tmp_path):
+    """Randomized gate for the containment prefix filter: the
+    distributed join must equal the brute-force all-pairs string-set
+    reference exactly — completeness (prefix lemma, hash collisions)
+    and the sharp integer predicate both checked."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from naer_ray.stages.joins import _setsim_gram_set, containment_join
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real overlaps
+    docs = []
+    for i in range(60):
+        n = rng.randint(3, 14)
+        docs.append((i, " ".join(rng.choice(vocab, n))))
+    # plant exact prefixes (containment 1.0) for a few docs
+    for j, (i, t) in enumerate(docs[:5]):
+        ws = t.split(" ")
+        docs.append((100 + j, " ".join(ws[: max(3, len(ws) // 2)])))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs]),
+        }
+    )
+    pq.write_table(t, tmp_path / "docs.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
+    got = set(map(tuple, containment_join(ds, ds, 4, 5).to_numpy()))
+
+    gsets = {i: _setsim_gram_set(s, 3) for i, s in docs}
+    want = {
+        (a, b)
+        for a in gsets
+        for b in gsets
+        if a != b
+        and gsets[a]
+        and 5 * len(gsets[a] & gsets[b]) >= 4 * len(gsets[a])
+    }
+    assert got == want
