@@ -10706,6 +10706,89 @@ FROM k
 """
 
 
+def v05_column_profile(sf_dir: str):
+    """Column profiler (the Deequ/profiling pass run before trusting a
+    new 100-TB drop): per numeric lineitem column — count, distinct
+    count, min, max, sum — money in integer cents so every stat is
+    order-independent and hash-exact.
+
+    Scale shape: ONE scan melts each batch to (col, value) rows with
+    per-batch combiner partials for n/min/max/sum; the distinct count
+    rides a (col, value)-keyed bucketed reduce whose exchange is
+    bounded by per-column VALUE cardinality, never rows."""
+    from ..stages.agg import bucketed_sum
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", COLS)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in COLS:
+            v = _cents(batch[c].to_numpy())
+            u, cnt = np.unique(v, return_counts=True)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "col": c,
+                        "value": u,
+                        "n": cnt.astype(np.int64),
+                        "s": u * cnt,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    per_value = bucketed_sum(
+        ds.map_batches(melt, batch_format="pandas", batch_size=65536),
+        ["col", "value"],
+        ["n", "s"],
+    ).to_pandas()
+
+    g = per_value.groupby("col")
+    out = pd.DataFrame(
+        {
+            "col": sorted(COLS),
+            "n": g["n"].sum().loc[sorted(COLS)].to_numpy(),
+            "n_distinct": g.size().loc[sorted(COLS)].to_numpy(),
+            "min_c": g["value"].min().loc[sorted(COLS)].to_numpy(),
+            "max_c": g["value"].max().loc[sorted(COLS)].to_numpy(),
+            "sum_c": g["s"].sum().loc[sorted(COLS)].to_numpy(),
+        }
+    )
+    return out.astype(
+        {
+            "n": "int64",
+            "n_distinct": "int64",
+            "min_c": "int64",
+            "max_c": "int64",
+            "sum_c": "int64",
+        }
+    )
+
+
+V05_SQL = """
+WITH m AS (
+  SELECT 'l_quantity' AS col,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax',
+         CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) FROM lineitem)
+SELECT col,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(MIN(v) AS BIGINT) AS min_c,
+       CAST(MAX(v) AS BIGINT) AS max_c,
+       CAST(SUM(v) AS BIGINT) AS sum_c
+FROM m GROUP BY col
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10884,4 +10967,5 @@ REGISTRY: dict[str, tuple] = {
     "u02_host_cap": (u02_host_cap, U02_SQL),
     "v04_skew_report": (v04_skew_report, V04_SQL),
     "s09_zorder_layout": (s09_zorder_layout, S09_SQL),
+    "v05_column_profile": (v05_column_profile, V05_SQL),
 }

@@ -782,3 +782,14 @@ def test_zorder_rank_is_total_order(ray_session):
     assert out["global_rank"].tolist() == list(range(1, len(out) + 1))
     z = out["zkey"].to_numpy()
     assert (np.diff(z) >= 0).all()
+
+
+def test_column_profile_invariants(ray_session):
+    """Profiler internal consistency: n equal across columns (same
+    table), min <= max, discount distinct count small (11 values)."""
+    from naer_ray.pipelines.queries import v05_column_profile
+
+    out = v05_column_profile(SF).set_index("col")
+    assert out["n"].nunique() == 1
+    assert (out["min_c"] <= out["max_c"]).all()
+    assert out.loc["l_discount", "n_distinct"] <= 11
