@@ -10789,6 +10789,118 @@ FROM m GROUP BY col
 """
 
 
+def w14_transition_matrix(sf_dir: str, n_buckets: int = 64):
+    """Clickstream transition matrix (first-order Markov counts — the
+    product-analytics staple): per user, events order by (ts,
+    event_id) and every consecutive (prev_type -> type) transition
+    counts once; output is the K x K transition count table.
+
+    Scale shape: ONE user-hash bucket shuffle; inside each bucket the
+    lag is a vectorized shift over the (user, ts, id) lexsort
+    (user-boundary masked), partial counts pre-aggregate per bucket
+    and a K²-sized bucketed sum finishes."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (
+            batch["user_id"].to_numpy().astype(np.int64) % n_buckets
+        ).astype("int32")
+        return batch
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same_user]
+        cur = g["event_type"].to_numpy()[1:][same_user]
+        out = pd.DataFrame({"prev_type": prev, "event_type": cur})
+        return out.groupby(
+            ["prev_type", "event_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    out = bucketed_sum(parts, ["prev_type", "event_type"], ["n"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+W14_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def n04_windowed_percentiles(sf_dir: str):
+    """Exact PER-WINDOW percentiles (the observability query "hourly
+    p50/p95 latency", exact — not q31's sketch): per tumbling hour,
+    percentile_disc(0.5/0.95) of the event value in integer mills.
+
+    Scale shape: n03's value-histogram reduce, keyed by (window,
+    value) — the exchange is bounded by windows x value-cardinality;
+    the rank picks run on the per-window cumulative counts, which
+    grow with the time span, never with rows."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": batch["ts"].dt.floor("h"),
+                "mils": np.floor(
+                    batch["value"].to_numpy() * 1000 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    counts = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["window_start", "mils"],
+        [],
+        count_col="c",
+    ).to_pandas()
+
+    rows = []
+    for w, g in counts.groupby("window_start"):
+        g = g.sort_values("mils")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["mils"].to_numpy()
+        row = {"window_start": w}
+        for name, pnum, pden in (("p50_mils", 1, 2), ("p95_mils", 19, 20)):
+            rank = -(-pnum * n // pden)
+            row[name] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    out = pd.DataFrame(rows).astype({"p50_mils": "int64", "p95_mils": "int64"})
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+N04_SQL = """
+WITH m AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS mils
+  FROM events)
+SELECT window_start,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mils) AS BIGINT)
+         AS p50_mils,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY mils) AS BIGINT)
+         AS p95_mils
+FROM m GROUP BY window_start
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -10968,4 +11080,6 @@ REGISTRY: dict[str, tuple] = {
     "v04_skew_report": (v04_skew_report, V04_SQL),
     "s09_zorder_layout": (s09_zorder_layout, S09_SQL),
     "v05_column_profile": (v05_column_profile, V05_SQL),
+    "w14_transition_matrix": (w14_transition_matrix, W14_SQL),
+    "n04_windowed_percentiles": (n04_windowed_percentiles, N04_SQL),
 }

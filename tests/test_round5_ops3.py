@@ -793,3 +793,36 @@ def test_column_profile_invariants(ray_session):
     assert out["n"].nunique() == 1
     assert (out["min_c"] <= out["max_c"]).all()
     assert out.loc["l_discount", "n_distinct"] <= 11
+
+
+def test_transition_matrix_hand_built(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w14_transition_matrix
+
+    # user 1: a->b->b ; user 2: b->a (no cross-user transition)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([10, 20, 30, 10, 20], unit="us"),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "b", "b", "b", "a"]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = w14_transition_matrix(str(tmp_path))
+    got = {
+        (r.prev_type, r.event_type): r.n for r in out.itertuples()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_windowed_percentiles_bucket_invariance_and_bounds(ray_session):
+    from naer_ray.pipelines.queries import n04_windowed_percentiles
+
+    out = n04_windowed_percentiles(SF)
+    assert (out["p50_mils"] <= out["p95_mils"]).all()
