@@ -10901,6 +10901,85 @@ FROM m GROUP BY window_start
 """
 
 
+def s10_stats_pruned_read(sf_dir: str, lo: int = 100, hi: int = 220):
+    """Stats-based data skipping (the Iceberg/Delta manifest pattern —
+    at 100 TB the difference between touching 2 files and 800): the
+    corpus stages as range-partitioned parquet files, a manifest of
+    per-file (min, max) doc_id is built from parquet FOOTERS only, and
+    a range query consults the manifest to read ONLY overlapping files
+    (late row-level filter inside them).  The query SELF-GATES that
+    pruning actually skipped files (RuntimeError otherwise — the s07
+    contract style); the SQL oracle checks the aggregate."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    n_files = 8
+    stage = (
+        "/tmp/naer_stats_prune/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    src = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).sort_by("doc_id")
+    n = src.num_rows
+    for k in range(n_files):
+        part = src.slice(k * n // n_files, (k + 1) * n // n_files - k * n // n_files)
+        if part.num_rows:
+            _pq.write_table(part, f"{stage}/part-{k}.parquet")
+
+    # manifest from footers only — no data read
+    manifest = []
+    for name in sorted(_os.listdir(stage)):
+        md = _pq.read_metadata(f"{stage}/{name}")
+        col = md.row_group(0).column(0).statistics
+        mn, mx = col.min, col.max
+        for rg in range(1, md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mn, mx = min(mn, st.min), max(mx, st.max)
+        manifest.append((name, mn, mx))
+
+    chosen = [f"{stage}/{nm}" for nm, mn, mx in manifest if mx >= lo and mn <= hi]
+    if not (0 < len(chosen) < len(manifest)):
+        raise RuntimeError(
+            f"stats pruning ineffective: {len(chosen)}/{len(manifest)} files "
+            f"selected for [{lo}, {hi}]"
+        )
+
+    ds = ray.data.read_parquet(chosen)
+
+    def agg(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["doc_id"], lo),
+            pc.less_equal(batch["doc_id"], hi),
+        )
+        kept = batch.filter(m)
+        return pa.table(
+            {
+                "n_docs": pa.array([kept.num_rows], pa.int64()),
+                "sum_n_chars": pa.array(
+                    [pc.sum(kept["n_chars"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame([parts.sum()]).astype("int64")
+    shutil.rmtree(stage, ignore_errors=True)
+    return out[["n_docs", "sum_n_chars"]]
+
+
+S10_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents WHERE doc_id BETWEEN 100 AND 220
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11082,4 +11161,5 @@ REGISTRY: dict[str, tuple] = {
     "v05_column_profile": (v05_column_profile, V05_SQL),
     "w14_transition_matrix": (w14_transition_matrix, W14_SQL),
     "n04_windowed_percentiles": (n04_windowed_percentiles, N04_SQL),
+    "s10_stats_pruned_read": (s10_stats_pruned_read, S10_SQL),
 }

@@ -826,3 +826,19 @@ def test_windowed_percentiles_bucket_invariance_and_bounds(ray_session):
 
     out = n04_windowed_percentiles(SF)
     assert (out["p50_mils"] <= out["p95_mils"]).all()
+
+
+def test_stats_pruning_selects_subset_and_is_range_exact(ray_session):
+    """The self-gate inside the query proves files were skipped; check
+    the aggregate against a direct read."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s10_stats_pruned_read
+
+    out = s10_stats_pruned_read(SF).iloc[0]
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    kept = df[(df["doc_id"] >= 100) & (df["doc_id"] <= 220)]
+    assert out["n_docs"] == len(kept)
+    assert out["sum_n_chars"] == kept["n_chars"].sum()
