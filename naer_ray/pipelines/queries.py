@@ -10980,6 +10980,101 @@ FROM documents WHERE doc_id BETWEEN 100 AND 220
 """
 
 
+def p04_full_curation(sf_dir: str, cap: int = 40):
+    """FULL curation recipe (p03 + the host-quota stage — the complete
+    CommonCrawl-style path) as ONE streaming DAG: canonical
+    normalization (t06) → word-count gate → corpus-wide exact
+    keep-first dedup of normalized content (content-hash bucket
+    shuffle #1) → per-host cap of ``cap`` docs (host-hash bucket
+    shuffle #2, associative bottom-k) → per-lang survivor stats.
+
+    Every stage streams into the next; exactly TWO shuffles touch the
+    corpus and the final reduce is lang-cardinality-sized.  The SQL
+    oracle chains the same five relational steps, so drift in any one
+    (regex, bound, tie-break, cap rule) breaks the hash."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+    from ..stages.text import normalize_text
+
+    ds = normalize_text(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    )
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        norm = batch["norm_text"].combine_chunks()
+        n = pc.list_value_length(pc.split_pattern(norm, " ")).to_numpy()
+        keep = (n >= 20) & (n <= 80)
+        h = _fnv64_arr(norm)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "lang": batch["lang"].to_pandas(),
+                "host": batch["source"].to_pandas().str.lower()
+                + ".example.com",
+                "norm_text": norm.to_pandas(),
+                "n_words": n.astype(np.int64),
+                "bucket": (h % np.uint64(64)).astype("int32"),
+            }
+        )[keep]
+
+    def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values("doc_id")
+            .groupby("norm_text", as_index=False)
+            .first()
+        )
+        # re-key for the host-cap shuffle
+        out["bucket"] = (
+            _fnv64_arr(pa.array(out["host"], pa.string())) % np.uint64(64)
+        ).astype("int32")
+        return out[["doc_id", "lang", "host", "n_words", "bucket"]]
+
+    def host_cap(group: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            group.sort_values(["host", "doc_id"])
+            .groupby("host", as_index=False, sort=False)
+            .head(cap)
+        )
+        g = kept.assign(n_docs=np.int64(1)).groupby("lang", as_index=False)[
+            ["n_docs", "n_words"]
+        ].sum()
+        return g
+
+    parts = (
+        ds.map_batches(gate, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(first_per_text, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(host_cap, batch_format="pandas")
+    )
+    out = bucketed_sum(parts, ["lang"], ["n_docs", "n_words"]).to_pandas()
+    out = out.astype({"n_docs": "int64", "n_words": "int64"}).rename(
+        columns={"n_words": "sum_words"}
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+P04_SQL = r"""
+WITH n AS (
+  SELECT doc_id, lang, lower(source) || '.example.com' AS host,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents),
+f AS (
+  SELECT *, len(string_split(nt, ' ')) AS n_words
+  FROM n WHERE len(string_split(nt, ' ')) BETWEEN 20 AND 80),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+  FROM f),
+u AS (SELECT * FROM d WHERE rn = 1),
+h AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS hr
+  FROM u)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words
+FROM h WHERE hr <= 40 GROUP BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11162,4 +11257,5 @@ REGISTRY: dict[str, tuple] = {
     "w14_transition_matrix": (w14_transition_matrix, W14_SQL),
     "n04_windowed_percentiles": (n04_windowed_percentiles, N04_SQL),
     "s10_stats_pruned_read": (s10_stats_pruned_read, S10_SQL),
+    "p04_full_curation": (p04_full_curation, P04_SQL),
 }

@@ -842,3 +842,33 @@ def test_stats_pruning_selects_subset_and_is_range_exact(ray_session):
     kept = df[(df["doc_id"] >= 100) & (df["doc_id"] <= 220)]
     assert out["n_docs"] == len(kept)
     assert out["sum_n_chars"] == kept["n_chars"].sum()
+
+
+def test_full_curation_cap_binds(ray_session):
+    """With an infinite cap, p04 must reduce to p03's survivor set
+    aggregated per lang; with cap=1 the counts shrink to <= hosts."""
+    import duckdb
+
+    from naer_ray.pipelines.queries import p04_full_curation
+
+    uncapped = p04_full_curation(SF, cap=10_000)
+    ref = duckdb.sql(
+        r"""
+        WITH n AS (SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        f AS (SELECT *, len(string_split(nt,' ')) AS w FROM n
+              WHERE len(string_split(nt,' ')) BETWEEN 20 AND 80),
+        d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) rn FROM f)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs,
+               CAST(SUM(w) AS BIGINT) sum_words
+        FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        uncapped.reset_index(drop=True), ref, check_exact=True
+    )
+    one = p04_full_curation(SF, cap=1)
+    assert int(one["n_docs"].sum()) <= 20  # at most one doc per host
