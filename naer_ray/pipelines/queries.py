@@ -11075,6 +11075,434 @@ FROM h WHERE hr <= 40 GROUP BY lang
 """
 
 
+def j07_skew_salted_join(sf_dir: str, n_salt: int = 8):
+    """SALTED partitioned hash join for a hot-key fact side: events'
+    ``user_id`` domain is tiny relative to the row count (~67 rows per
+    key at sf0.001, same ratio at every sf), so a plain key-hash
+    repartition join lands each key's entire row mass on one reducer.
+    Replicate the DIMENSION side ``n_salt``× (salt 0..S-1) and give
+    each fact row the deterministic salt ``event_id % S`` — the join
+    key becomes (key, salt) and every hot key spreads over S
+    partitions.  Joins are key-local so the result is bit-identical
+    to the unsalted plan (the oracle checks exactly that).
+
+    Scale shape: the payload metric (integer mills) is computed
+    BEFORE the join so the exchange carries (key, salt, mils) only;
+    dim replication costs S× a table that is by premise much smaller
+    than the fact table (when the dim fits in memory outright,
+    broadcast — j06/q03 — wins; salting is for the in-between case
+    where both sides must shuffle but the fact keys are hot).
+    q35 is the salted AGGREGATE; this is the salted JOIN."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def fact_prep(batch: pa.Table) -> pa.Table:
+        mils = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000 + 0.5
+        ).astype(np.int64)
+        salt = (
+            batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % n_salt
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "salt": pa.array(salt, pa.int64()),
+                "mils": pa.array(mils, pa.int64()),
+            }
+        )
+
+    fact = ev.map_batches(fact_prep, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n), n_salt))
+        salt = pa.array(np.tile(np.arange(n_salt, dtype=np.int64), n))
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].combine_chunks().take(idx),
+                "salt": salt,
+                "c_mktsegment": batch["c_mktsegment"].combine_chunks().take(idx),
+            }
+        )
+
+    dim = cust.map_batches(replicate, batch_format="pyarrow")
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = fact.join(
+        dim,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("user_id", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+    out = (
+        bucketed_sum(joined, ["c_mktsegment"], ["mils"], count_col="n_events")
+        .to_pandas()
+        .rename(columns={"mils": "sum_mils"})
+        .astype({"sum_mils": "int64", "n_events": "int64"})
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+J07_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(FLOOR(e.value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_mils,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d x w integer cell
+# matrix; estimate = min over d rows; never underestimates, so an
+# estimate-below-threshold key provably cannot be a heavy hitter.
+_CM_DEPTH, _CM_WIDTH = 4, 1024
+# odd 64-bit multipliers for the d row hashes (splitmix64-style mixing)
+_CM_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
+def _cm_rows(h64: np.ndarray) -> np.ndarray:
+    """(d, n) CM column indices from one 64-bit key hash per element."""
+    h = h64.astype(np.uint64)
+    out = np.empty((_CM_DEPTH, len(h)), np.int64)
+    for r in range(_CM_DEPTH):
+        m = h * _CM_MULT[r]
+        m ^= m >> np.uint64(33)
+        out[r] = (m % np.uint64(_CM_WIDTH)).astype(np.int64)
+    return out
+
+
+def n05_countmin_heavy_hitters(sf_dir: str, threshold: int = 20):
+    """Heavy hitters over (user_id, event_type) through a mergeable
+    COUNT-MIN sketch + exact confirm — the frequency analogue of the
+    d14 Bloom-prefilter pattern (and the sketch counterpart of q29's
+    deterministic Misra-Gries).
+
+    Pass 1 builds the sketch: each batch scatters its key counts into
+    a private d×w integer matrix and emits the NONZERO cells as
+    (cell, n) rows; a bucketed sum merges them (CM matrices are
+    entrywise-additive) and the driver pulls <= d*w rows — the sketch
+    is O(1)-sized regardless of corpus size.  Pass 2 broadcasts the
+    sketch, estimates each batch's distinct keys, and drops keys whose
+    estimate < threshold — CM never underestimates, so no true heavy
+    hitter is lost; only the surviving candidate keys enter the exact
+    bucketed count, and a final exact filter removes the
+    collision-inflated false positives.  The exchange after pass 2
+    carries candidate keys only, not the full key domain.  Output is
+    EXACT (SQL-oracled); the sketch is the pruning device."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _key_hash64(batch: pa.Table) -> tuple[pd.DataFrame, np.ndarray]:
+        """Per-batch (user_id, event_type) partial counts + FNV64 of the
+        composite key 'user|type' (shared by both passes)."""
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": batch["event_type"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+        )
+        key = pa.array(
+            df["user_id"].astype(str) + "|" + df["event_type"].astype(str)
+        )
+        return df, _fnv64_arr(key)
+
+    def cm_partial(batch: pa.Table) -> pd.DataFrame:
+        df, h = _key_hash64(batch)
+        mat = np.zeros((_CM_DEPTH, _CM_WIDTH), np.int64)
+        rows = _cm_rows(h)
+        n = df["size"].to_numpy(np.int64)
+        for r in range(_CM_DEPTH):
+            np.add.at(mat[r], rows[r], n)
+        flat = mat.ravel()
+        nz = np.flatnonzero(flat)
+        return pd.DataFrame({"cell": nz.astype(np.int64), "n": flat[nz]})
+
+    cells = bucketed_sum(
+        ds.map_batches(cm_partial, batch_format="pyarrow", batch_size=65536),
+        ["cell"],
+        ["n"],
+    ).to_pandas()
+    sketch = np.zeros(_CM_DEPTH * _CM_WIDTH, np.int64)
+    sketch[cells["cell"].to_numpy(np.int64)] = cells["n"].to_numpy(np.int64)
+    sketch = sketch.reshape(_CM_DEPTH, _CM_WIDTH)
+    sketch_ref = ray.put(sketch)
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        df, h = _key_hash64(batch)
+        cm = ray.get(sketch_ref)
+        rows = _cm_rows(h)
+        est = cm[np.arange(_CM_DEPTH)[:, None], rows].min(axis=0)
+        keep = df[est >= threshold].rename(columns={"size": "n"})
+        return keep[["user_id", "event_type", "n"]]
+
+    exact = bucketed_sum(
+        ds.map_batches(candidates, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "event_type"],
+        ["n"],
+    ).to_pandas()
+    out = exact[exact["n"] >= threshold].copy()
+    # CM guarantee: estimate >= exact count for every survivor
+    key = pa.array(
+        out["user_id"].astype(str) + "|" + out["event_type"].astype(str)
+    )
+    rows = _cm_rows(_fnv64_arr(key))
+    est = sketch[np.arange(_CM_DEPTH)[:, None], rows].min(axis=0)
+    if (est < out["n"].to_numpy(np.int64)).any():
+        raise RuntimeError("count-min sketch underestimated a heavy hitter")
+    out = out.rename(columns={"n": "n_events"}).astype(
+        {"user_id": "int64", "n_events": "int64"}
+    )
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+N05_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+HAVING COUNT(*) >= 20
+"""
+
+
+def g08_kcore(sf_dir: str, k: int = 10, max_rounds: int = 8):
+    """k-CORE of the co-purchase graph (Seidman 1983 / Matula-Beck
+    peeling): repeatedly delete nodes of degree < k until a fixpoint;
+    report the surviving nodes with their within-core degree.
+
+    Ray shape: the shared ``_copurchase_edges`` Dataset stays
+    distributed and is re-scanned once per peeling round (rounds are
+    few — the peel converges in <= 4 rounds on every tier; each round
+    is one embarrassingly-parallel degree pass + one bucketed sum).
+    The shrinking alive-node set broadcasts via ``ray.put`` as a
+    SORTED int64 array probed with searchsorted — node-sized, never
+    edge-sized (the g01 precedent; the bucketed co-partition fallback
+    there applies verbatim if nodes outgrow worker RAM).  Alive sets
+    only shrink, so a same-size round IS the fixpoint — no set
+    comparison needed.  The oracle unrolls the same peel to
+    ``max_rounds`` in plain SQL (no recursive CTE — each round is an
+    ordinary filtered self-join); the Ray side raises if convergence
+    ever needs more rounds than the oracle unrolls, so the two can
+    never silently diverge."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir)
+    alive = None
+    alive_ref = None
+
+    def degree_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy(np.int64)
+        v = batch["v"].to_numpy(np.int64)
+        if alive_ref is not None:
+            a = ray.get(alive_ref)
+            pos_u = np.searchsorted(a, u)
+            pos_v = np.searchsorted(a, v)
+            ok = (
+                (pos_u < len(a))
+                & (pos_v < len(a))
+                & (a[np.minimum(pos_u, len(a) - 1)] == u)
+                & (a[np.minimum(pos_v, len(a) - 1)] == v)
+            )
+            u, v = u[ok], v[ok]
+        nodes = np.concatenate([u, v])
+        n, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": n, "deg": c.astype(np.int64)})
+
+    for _ in range(max_rounds):
+        deg = bucketed_sum(
+            edges.map_batches(degree_partial, batch_format="pandas"),
+            ["node"],
+            ["deg"],
+        ).to_pandas()
+        survivors = deg[deg["deg"] >= k]
+        new_alive = np.sort(survivors["node"].to_numpy(np.int64))
+        if alive is not None and len(new_alive) == len(alive):
+            out = survivors.rename(columns={"deg": "core_deg"}).astype(
+                {"node": "int64", "core_deg": "int64"}
+            )
+            return out.sort_values("node").reset_index(drop=True)
+        alive = new_alive
+        alive_ref = ray.put(alive)
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_rounds} rounds — "
+        "raise max_rounds (and the oracle's unroll) together"
+    )
+
+
+def _kcore_sql(k: int = 10, max_rounds: int = 8) -> str:
+    """The same peel unrolled: round r filters e{r-1} to a{r-1}-alive
+    endpoints and recomputes degrees; after convergence the remaining
+    rounds are no-ops, so d{R} is the fixpoint degree table."""
+    sql = [
+        """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for r in range(max_rounds):
+        if r > 0:
+            sql.append(
+                f""",
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN a{r - 1} x ON e.u = x.node
+  JOIN a{r - 1} y ON e.v = y.node)"""
+            )
+        sql.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r})
+  GROUP BY node),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"""
+        )
+    last = max_rounds - 1
+    sql.append(
+        f"""
+SELECT node, deg AS core_deg FROM d{last} WHERE deg >= {k}"""
+    )
+    return "".join(sql)
+
+
+G08_SQL = _kcore_sql()
+
+
+def e06_entity_profile(sf_dir: str, n_buckets: int = 64):
+    """KG node-feature table: per entity, the turn-level mention count,
+    the number of DISTINCT conversations it appears in, and its
+    first/last turn index — the node-attribute companion to the edge
+    tables e03 (PMI) and e05 (window co-occurrence); a KG builder
+    attaches exactly these salience features to each node.
+
+    Scale shape: mentions derive vectorized per batch
+    (``_entity_presence``, deduped to turn level with one np.unique);
+    per-batch partials pre-group to (entity, conv) rows; ONE
+    (entity,conv)-hash bucket exchange merges them so each pair exists
+    exactly once globally — the distinct-conversation count then falls
+    out of a second, entity-keyed exchange as a plain row count (the
+    w13 running-distinct trick applied per group).  Nothing
+    corpus-sized ever reaches the driver; the output is K rows."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _derive_transcripts(sf_dir)
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+    kk = len(ents_sorted)
+
+    def mention_partial(batch: pa.Table) -> pd.DataFrame:
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        # token-level hits -> turn-level presence (one row per turn+entity)
+        uniq = np.unique(r * kk + c)
+        r, c = uniq // kk, uniq % kk
+        idx = pa.array(r)
+        df = pd.DataFrame(
+            {
+                "entity": ents_sorted[c],
+                "conv_id": batch["conv_id"]
+                .combine_chunks()
+                .take(idx)
+                .to_numpy(zero_copy_only=False),
+                "turn_idx": batch["turn_idx"]
+                .combine_chunks()
+                .take(idx)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby(["entity", "conv_id"], as_index=False).agg(
+            n=("turn_idx", "size"),
+            mn=("turn_idx", "min"),
+            mx=("turn_idx", "max"),
+        )
+        key = pa.array(g["entity"] + "|" + g["conv_id"])
+        g["bucket"] = (_fnv64_arr(key) % np.uint64(n_buckets)).astype(np.int32)
+        return g
+
+    def merge_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["entity", "conv_id"], as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+
+    pairs = (
+        ds.map_batches(mention_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(merge_pair, batch_format="pandas")
+    )
+
+    def entity_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("entity", as_index=False).agg(
+            n_mentions=("n", "sum"),
+            n_convs=("conv_id", "size"),
+            mn=("mn", "min"),
+            mx=("mx", "max"),
+        )
+        g["bucket"] = 0  # K rows total — one merge group
+        return g
+
+    def entity_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("entity", as_index=False).agg(
+            n_mentions=("n_mentions", "sum"),
+            n_convs=("n_convs", "sum"),
+            min_turn=("mn", "min"),
+            max_turn=("mx", "max"),
+        )
+
+    out = (
+        pairs.map_batches(entity_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(entity_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype(
+        {
+            "n_mentions": "int64",
+            "n_convs": "int64",
+            "min_turn": "int64",
+            "max_turn": "int64",
+        }
+    )
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+E06_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+m AS (
+  SELECT d.entity, t.conv_id, t.turn_idx
+  FROM t JOIN d ON list_contains(string_split(t.text, ' '), d.entity))
+SELECT entity,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(MIN(turn_idx) AS BIGINT) AS min_turn,
+       CAST(MAX(turn_idx) AS BIGINT) AS max_turn
+FROM m GROUP BY entity
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11258,4 +11686,8 @@ REGISTRY: dict[str, tuple] = {
     "n04_windowed_percentiles": (n04_windowed_percentiles, N04_SQL),
     "s10_stats_pruned_read": (s10_stats_pruned_read, S10_SQL),
     "p04_full_curation": (p04_full_curation, P04_SQL),
+    "j07_skew_salted_join": (j07_skew_salted_join, J07_SQL),
+    "n05_countmin_heavy_hitters": (n05_countmin_heavy_hitters, N05_SQL),
+    "g08_kcore": (g08_kcore, G08_SQL),
+    "e06_entity_profile": (e06_entity_profile, E06_SQL),
 }

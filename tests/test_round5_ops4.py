@@ -1,0 +1,148 @@
+"""Round-5 batch-4 operator unit tests: salted skew join, Count-Min
+heavy hitters, k-core peel, KG entity profile (the parametrized oracle
+sweep in test_queries_oracle covers end-to-end exactness; these pin
+the semantics the hash alone could mask)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """Salting only changes shuffle distribution — the (key, salt)
+    join must be row-identical to the plain pandas key join."""
+    from naer_ray.pipelines.queries import j07_skew_salted_join
+
+    out = j07_skew_salted_join(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    ev["mils"] = np.floor(ev["value"].to_numpy() * 1000 + 0.5).astype("int64")
+    j = ev.merge(cu, left_on="user_id", right_on="c_custkey")
+    ref = (
+        j.groupby("c_mktsegment", as_index=False)
+        .agg(sum_mils=("mils", "sum"), n_events=("mils", "size"))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out, ref.astype({"sum_mils": "int64", "n_events": "int64"})
+    )
+
+
+def test_countmin_never_underestimates(ray_session):
+    """CM property the prefilter relies on: for EVERY true key count,
+    the sketch's min-row estimate >= the exact count — so no true
+    heavy hitter can be pruned."""
+    from naer_ray.pipelines.queries import _CM_DEPTH, _cm_rows
+    from naer_ray.stages.dedup import _fnv64_arr
+    import pyarrow as pa
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    true = (
+        ev.groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    key = pa.array(true["user_id"].astype(str) + "|" + true["event_type"])
+    rows = _cm_rows(_fnv64_arr(key))
+    # build the sketch exactly as the operator does, single-process
+    from naer_ray.pipelines.queries import _CM_WIDTH
+
+    mat = np.zeros((_CM_DEPTH, _CM_WIDTH), np.int64)
+    n = true["n"].to_numpy(np.int64)
+    for r in range(_CM_DEPTH):
+        np.add.at(mat[r], rows[r], n)
+    est = mat[np.arange(_CM_DEPTH)[:, None], rows].min(axis=0)
+    assert (est >= n).all()
+
+
+def test_countmin_output_is_exact_threshold_set(ray_session):
+    from naer_ray.pipelines.queries import n05_countmin_heavy_hitters
+
+    out = n05_countmin_heavy_hitters(SF, threshold=15)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    true = ev.groupby(["user_id", "event_type"], as_index=False).size()
+    ref = true[true["size"] >= 15]
+    assert len(out) == len(ref)
+    assert (out["n_events"] >= 15).all()
+
+
+def test_kcore_matches_sequential_peel(ray_session):
+    """Distributed peel == single-process reference peel (nodes AND
+    within-core degrees)."""
+    from naer_ray.pipelines.queries import g08_kcore
+
+    out = g08_kcore(SF, k=10)
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    li = li[li["l_partkey"] % 7 == 0].drop_duplicates()
+    j = li.merge(li, on="l_orderkey")
+    e = (
+        j[j["l_partkey_x"] < j["l_partkey_y"]][["l_partkey_x", "l_partkey_y"]]
+        .drop_duplicates()
+        .to_numpy()
+    )
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in e:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < 10}
+        if not drop:
+            break
+        alive -= drop
+    ref = pd.DataFrame(
+        sorted((n, len(adj[n] & alive)) for n in alive),
+        columns=["node", "core_deg"],
+    ).astype({"node": "int64", "core_deg": "int64"})
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_kcore_raises_when_oracle_unroll_too_short(ray_session):
+    """The Ray side must refuse to return a result the unrolled SQL
+    could disagree with: max_rounds=1 cannot even observe convergence."""
+    from naer_ray.pipelines.queries import g08_kcore
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        g08_kcore(SF, k=10, max_rounds=1)
+
+
+def test_entity_profile_counts_turns_not_tokens(ray_session):
+    """A repeated entity token inside one turn counts ONE mention
+    (turn-level presence, mirroring the oracle's list_contains join)."""
+    from naer_ray.pipelines.queries import e06_entity_profile, KG_ENTITIES
+    from naer_ray.pipelines.queries import _CHUNK
+
+    out = e06_entity_profile(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    rows = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        for i in range(0, len(words), _CHUNK):
+            turn = i // _CHUNK + 1
+            present = set(words[i : i + _CHUNK]) & set(KG_ENTITIES)
+            for ent in present:
+                n, convs, mn, mx = rows.get(ent, (0, set(), 1 << 60, -1))
+                convs.add(doc_id)
+                rows[ent] = (n + 1, convs, min(mn, turn), max(mx, turn))
+    ref = pd.DataFrame(
+        sorted(
+            (e, n, len(c), mn, mx) for e, (n, c, mn, mx) in rows.items()
+        ),
+        columns=["entity", "n_mentions", "n_convs", "min_turn", "max_turn"],
+    ).astype(
+        {
+            "n_mentions": "int64",
+            "n_convs": "int64",
+            "min_turn": "int64",
+            "max_turn": "int64",
+        }
+    )
+    pd.testing.assert_frame_equal(out, ref)
