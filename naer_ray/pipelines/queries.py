@@ -11503,6 +11503,187 @@ FROM m GROUP BY entity
 """
 
 
+def q37_multi_distinct_agg(sf_dir: str, n_buckets: int = 64):
+    """Multiple COUNT(DISTINCT ...) aggregates in ONE logical pass —
+    the classic distributed-SQL pain point (each distinct column
+    normally forces its own shuffle): per event_type, the number of
+    distinct users, distinct active days, and the plain row count.
+
+    Scale shape: each batch emits its LOCAL distinct (type, tag,
+    value) triples for both distinct columns at once (tag
+    discriminates user vs day) plus a row-count partial; one
+    triple-hash bucketed exchange dedupes globally (bucketed_sum with
+    count_col — the q21 distinct-run pattern); the per-(type, tag)
+    counts then ride a second, cardinality-sized exchange and pivot
+    into columns on the driver (K×2 rows).  Two exchanges total for
+    two distinct aggregates + a count — not three independent
+    shuffles of the raw table."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def triples(batch: pa.Table) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        user = batch["user_id"].to_numpy(zero_copy_only=False).astype(str)
+        day = (
+            batch["ts"]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(str)
+        )
+        df = pd.concat(
+            [
+                pd.DataFrame({"event_type": et, "tag": "user", "value": user}),
+                pd.DataFrame({"event_type": et, "tag": "day", "value": day}),
+            ],
+            ignore_index=True,
+        )
+        return df.drop_duplicates()
+
+    distinct_rows = bucketed_sum(
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "tag", "value"],
+        [],
+        count_col="n",
+        n_buckets=n_buckets,
+    )
+    counts = (
+        bucketed_sum(
+            distinct_rows.drop_columns(["n"]),
+            ["event_type", "tag"],
+            [],
+            count_col="n_distinct",
+        )
+        .to_pandas()
+        .pivot(index="event_type", columns="tag", values="n_distinct")
+        .reset_index()
+    )
+    rows = (
+        bucketed_sum(
+            _read(sf_dir, "events", ["event_type"]),
+            ["event_type"],
+            [],
+            count_col="n_events",
+        )
+        .to_pandas()
+    )
+    out = counts.merge(rows, on="event_type").rename(
+        columns={"user": "n_users", "day": "n_days"}
+    )[["event_type", "n_users", "n_days", "n_events"]]
+    out = out.astype({"n_users": "int64", "n_days": "int64", "n_events": "int64"})
+    out.columns.name = None
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q37_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def w15_interval_coverage(sf_dir: str, span_us: int = 300_000_000,
+                          n_buckets: int = 64):
+    """Interval UNION per user (overlapping-session merge): each event
+    opens a [ts, ts+300s) activity window; report every user's total
+    COVERED microseconds and the number of merged islands — the
+    dedup-over-time op (overlapping windows must not double-count)
+    that w02's gap stats and w07's daily streaks cannot express.
+
+    Scale shape: ONE user-hash bucket shuffle; inside each bucket the
+    classic island sweep is fully vectorized (sort by (user, start),
+    running max of interval ends via np.maximum.accumulate reset at
+    user boundaries, islands = cumsum of gap starts, per-island
+    coverage from one groupby min/max).  All arithmetic in integer
+    epoch-microseconds — bit-exact vs the SQL window construction."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = batch["user_id"].combine_chunks()
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "s_us": us,
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        s = g["s_us"].to_numpy(np.int64)
+        e = s + span_us
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # per-user running max of interval ends (pandas' C groupby
+        # cummax — maxima must not leak across user boundaries)
+        seg = np.cumsum(new_user)
+        run = pd.Series(e).groupby(seg).cummax().to_numpy()
+        prev_max = np.empty_like(run)
+        prev_max[0] = -1
+        prev_max[1:] = run[:-1]
+        gap = new_user | (s > prev_max)
+        island = np.cumsum(gap)
+        d = pd.DataFrame(
+            {"user_id": uid, "island": island, "s": s, "e": e}
+        ).groupby(["user_id", "island"], as_index=False).agg(
+            mn=("s", "min"), mx=("e", "max")
+        )
+        out = d.assign(cov=d["mx"] - d["mn"]).groupby(
+            "user_id", as_index=False
+        ).agg(covered_us=("cov", "sum"), n_islands=("cov", "size"))
+        return out
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "covered_us": "int64", "n_islands": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+W15_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+  FROM events),
+o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM o),
+isl AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS cov
+  FROM g GROUP BY user_id, island)
+SELECT user_id, CAST(SUM(cov) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM isl GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11690,4 +11871,6 @@ REGISTRY: dict[str, tuple] = {
     "n05_countmin_heavy_hitters": (n05_countmin_heavy_hitters, N05_SQL),
     "g08_kcore": (g08_kcore, G08_SQL),
     "e06_entity_profile": (e06_entity_profile, E06_SQL),
+    "q37_multi_distinct_agg": (q37_multi_distinct_agg, Q37_SQL),
+    "w15_interval_coverage": (w15_interval_coverage, W15_SQL),
 }

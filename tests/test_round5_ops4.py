@@ -146,3 +146,51 @@ def test_entity_profile_counts_turns_not_tokens(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_multi_distinct_one_dedup_exchange(ray_session):
+    """q37's distinct counts must equal independent pandas distincts."""
+    from naer_ray.pipelines.queries import q37_multi_distinct_agg
+
+    out = q37_multi_distinct_agg(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].dt.date.astype(str)
+    ref = ev.groupby("event_type").agg(
+        n_users=("user_id", "nunique"),
+        n_days=("day", "nunique"),
+        n_events=("user_id", "size"),
+    )
+    for _, r in out.iterrows():
+        e = ref.loc[r["event_type"]]
+        assert (r["n_users"], r["n_days"], r["n_events"]) == (
+            e["n_users"],
+            e["n_days"],
+            e["n_events"],
+        )
+
+
+def test_interval_coverage_merges_overlaps(ray_session):
+    """Covered time must never exceed span x n_islands... and must
+    equal a brute-force per-user interval union."""
+    from naer_ray.pipelines.queries import w15_interval_coverage
+
+    span = 300_000_000
+    out = w15_interval_coverage(SF, span_us=span)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["s"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        starts = np.sort(g["s"].to_numpy())
+        covered, islands = 0, 0
+        cur_s, cur_e = None, None
+        for s in starts:
+            e = s + span
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+                islands += 1
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        row = out[out["user_id"] == uid].iloc[0]
+        assert row["covered_us"] == covered and row["n_islands"] == islands
