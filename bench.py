@@ -317,6 +317,20 @@ def run_full_correctness(sf_dir: str, num_cpus: int, out_path: str) -> dict:
 
     from naer_ray.pipelines.queries import REGISTRY
 
+    # warm the worker pool (same as run_bench) so the first entry's
+    # recorded time measures the query, not process spawn + imports
+    def _warm(batch):
+        import naer_ray.pipelines.kg  # noqa: F401
+        import naer_ray.stages.extract  # noqa: F401
+
+        return batch
+
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm
+    ).materialize()
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
