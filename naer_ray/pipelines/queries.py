@@ -11684,6 +11684,93 @@ FROM isl GROUP BY user_id
 """
 
 
+def t18_kwic(sf_dir: str, term: str = "spark", width: int = 2):
+    """Keyword-in-context (KWIC concordance): every token-level hit of
+    ``term`` with its position and ±``width``-token context — the
+    corpus-inspection op behind "show me how this word is used"
+    (quality audits, blocklist tuning, annotation sampling).
+
+    Scale shape: pure map — one Arrow split per batch, hit positions
+    from one vectorized equality over the flat token values, context
+    windows gathered straight from the SAME flat array by offset
+    arithmetic (zero-copy, no per-row re-tokenization), one
+    binary_join per side.  No shuffle; output streams at hit volume,
+    not corpus volume."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        flat = split.values
+        offs = split.offsets.to_numpy()
+        hits = np.flatnonzero(
+            pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        )
+        if len(hits) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "left_ctx": pa.array([], pa.string()),
+                    "right_ctx": pa.array([], pa.string()),
+                }
+            )
+        row = np.searchsorted(offs, hits, side="right") - 1
+        doc_start = offs[row]
+        doc_end = offs[row + 1]
+        pos = hits - doc_start + 1  # 1-based token position in the doc
+        ls = np.maximum(hits - width, doc_start)
+        re_ = np.minimum(hits + width + 1, doc_end)
+
+        # per-hit windows can overlap (adjacent hits), so list offsets
+        # over the shared flat array would not be monotonic — gather
+        # each window's token indices with one vectorized multi-range
+        # expansion instead
+        def windows(starts: np.ndarray, stops: np.ndarray) -> pa.Array:
+            lens = stops - starts
+            total = int(lens.sum())
+            base = np.repeat(starts, lens)
+            local = np.arange(total) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            vals = flat.take(pa.array(base + local))
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            return pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets), vals), " "
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(pa.array(row)),
+                "pos": pa.array(pos.astype(np.int64)),
+                "left_ctx": windows(ls, hits),
+                "right_ctx": windows(hits + 1, re_),
+            }
+        )
+
+    out = (
+        ds.map_batches(kwic, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .astype({"doc_id": "int64", "pos": "int64"})
+    )
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+T18_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i,
+         string_split(text, ' ') AS words
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       COALESCE(array_to_string(list_slice(words, GREATEST(i - 2, 1), i - 1),
+                                ' '), '') AS left_ctx,
+       COALESCE(array_to_string(list_slice(words, i + 1, i + 2), ' '), '')
+         AS right_ctx
+FROM tok WHERE w = 'spark'
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11873,4 +11960,5 @@ REGISTRY: dict[str, tuple] = {
     "e06_entity_profile": (e06_entity_profile, E06_SQL),
     "q37_multi_distinct_agg": (q37_multi_distinct_agg, Q37_SQL),
     "w15_interval_coverage": (w15_interval_coverage, W15_SQL),
+    "t18_kwic": (t18_kwic, T18_SQL),
 }

@@ -194,3 +194,22 @@ def test_interval_coverage_merges_overlaps(ray_session):
         covered += cur_e - cur_s
         row = out[out["user_id"] == uid].iloc[0]
         assert row["covered_us"] == covered and row["n_islands"] == islands
+
+
+def test_kwic_contexts_clip_at_doc_boundaries(ray_session):
+    """Windows at the first/last token clip to the document (never
+    leak tokens from the neighboring doc in the flat token array),
+    and overlapping windows of adjacent hits are gathered
+    independently."""
+    from naer_ray.pipelines.queries import t18_kwic
+
+    out = t18_kwic(SF, term="spark", width=2)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    words_by_doc = {d: t.split(" ") for d, t in zip(docs["doc_id"], docs["text"])}
+    assert len(out) > 0
+    for _, r in out.head(200).iterrows():
+        w = words_by_doc[r["doc_id"]]
+        i = r["pos"] - 1
+        assert w[i] == "spark"
+        assert r["left_ctx"] == " ".join(w[max(i - 2, 0) : i])
+        assert r["right_ctx"] == " ".join(w[i + 1 : i + 3])
