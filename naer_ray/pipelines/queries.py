@@ -11771,6 +11771,85 @@ FROM tok WHERE w = 'spark'
 """
 
 
+def i06_time_travel(sf_dir: str, asof: str = "2024-01-03",
+                    n_buckets: int = 64):
+    """Point-in-time state reconstruction (lakehouse "AS OF" read):
+    each user's LAST event at or before the cutoff — the time-travel
+    counterpart of i02's forward CDC merge (i02 rolls a snapshot
+    forward; this reads the log backward to any instant).
+    Deterministic tie-break: (ts, event_id) both descending.
+
+    Scale shape: the cutoff predicate applies inside the scan (rows
+    after T never leave the read stage — at 100 TB this is the
+    row-group pruning path, events being naturally time-ordered);
+    survivors take ONE user-hash bucket shuffle; per bucket the
+    latest row per user is a vectorized lexsort + keep-first (no
+    per-user dispatch).  The exchange carries only pre-cutoff rows,
+    and integer mills ride instead of float values."""
+    from ..stages.dedup import _fnv64_arr
+
+    cutoff = np.datetime64(asof, "us").astype("int64")
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value",
+                                  "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        keep = pc.less_equal(ts_us, cutoff)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "mils": pa.array(
+                    np.floor(
+                        batch["value"].to_numpy(zero_copy_only=False) * 1000
+                        + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        ).filter(keep)
+        b = (
+            _fnv64_arr(pc.cast(t["user_id"], pa.string()))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        out = g.drop_duplicates("user_id", keep="first")
+        return out[["user_id", "ts_us", "event_type", "mils"]]
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(latest, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "ts_us": "int64", "mils": "int64"})
+        .rename(columns={"ts_us": "last_ts_us", "mils": "last_mils"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+I06_SQL = """
+WITH r AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+         event_type,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS last_mils,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-03')
+SELECT user_id, last_ts_us, event_type, last_mils FROM r WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -11961,4 +12040,5 @@ REGISTRY: dict[str, tuple] = {
     "q37_multi_distinct_agg": (q37_multi_distinct_agg, Q37_SQL),
     "w15_interval_coverage": (w15_interval_coverage, W15_SQL),
     "t18_kwic": (t18_kwic, T18_SQL),
+    "i06_time_travel": (i06_time_travel, I06_SQL),
 }

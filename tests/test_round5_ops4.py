@@ -213,3 +213,25 @@ def test_kwic_contexts_clip_at_doc_boundaries(ray_session):
         assert w[i] == "spark"
         assert r["left_ctx"] == " ".join(w[max(i - 2, 0) : i])
         assert r["right_ctx"] == " ".join(w[i + 1 : i + 3])
+
+
+def test_time_travel_tie_break_and_cutoff(ray_session):
+    """AS-OF read: rows after the cutoff must be invisible, and equal
+    timestamps break by event_id descending."""
+    from naer_ray.pipelines.queries import i06_time_travel
+
+    out = i06_time_travel(SF, asof="2024-01-03")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev["ts"] <= pd.Timestamp("2024-01-03")]
+    ref = (
+        ev.sort_values(["ts", "event_id"], ascending=False)
+        .drop_duplicates("user_id", keep="first")
+        .sort_values("user_id")
+    )
+    assert len(out) == len(ref)
+    m = out.merge(ref, on="user_id", suffixes=("", "_ref"))
+    assert (
+        m["last_ts_us"]
+        == m["ts"].astype("datetime64[us]").astype("int64")
+    ).all()
+    assert (m["event_type"] == m["event_type_ref"]).all()
