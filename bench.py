@@ -146,7 +146,12 @@ def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     # costs ~3 s and roughly halves the odds that the driver's one
     # round-end run lands entirely inside a bad window.
     runs = []
-    for i in range(3):
+    # 3 trials normally; 5 when the pre-run canary says the host is in a
+    # degraded (noisy-neighbor) window — two extra ~3 s trials roughly
+    # double the odds that one run lands in a quiet stretch, protecting
+    # the single recorded min from a bad window.
+    n_trials = 5 if canary["host_fresh_alloc_gbps_min"] < 2.0 else 3
+    for i in range(n_trials):
         out_dir = f"/tmp/naer_bench_out/{tier}-{num_cpus}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
