@@ -689,6 +689,40 @@ def _setsim_verify_broadcast(distinct_ds, a_texts_ds, b_texts_ds, threshold,
     return _setsim_verify_stage(pair_tbl, ray.put(text_map), threshold, ngram)
 
 
+def _distinct_pairs(cands, n_buckets: int, raw_driver_max: int = 200_000):
+    """Collapse candidate ``(id_a, id_b)`` duplicates (the same pair
+    reached via several shared prefix tokens) — size-gated like the
+    verify: at bench scale the raw candidate table is a few thousand
+    16-byte rows, where a full bucketed exchange costs more in fixed
+    per-exchange latency than one driver-side pyarrow distinct (the
+    d09 lesson); above ``raw_driver_max`` RAW rows the distributed
+    bucketed distinct runs instead — the 100-TB path, nothing
+    corpus-sized on the driver.  Returns a materialized Dataset."""
+    import ray
+    import ray.data
+
+    from .agg import bucketed_sum
+
+    raw = cands.materialize()
+    if raw.count() <= raw_driver_max:
+        blocks = [
+            t for ref in raw.to_arrow_refs() if (t := ray.get(ref)).num_rows
+        ]
+        if not blocks:
+            return raw  # empty, already materialized
+        tbl = pa.concat_tables(blocks).combine_chunks()
+        return ray.data.from_arrow(
+            tbl.group_by(["id_a", "id_b"]).aggregate([])
+        )
+    return (
+        bucketed_sum(
+            raw, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets
+        )
+        .drop_columns(["c"])
+        .materialize()
+    )
+
+
 def _setsim_verify(distinct_ds, a_texts_ds, b_texts_ds, threshold, ngram,
                    id_col, text_col, n_buckets, strategy, broadcast_max_pairs):
     """Size-gated exact-verify planner (the d05 ``strategy="auto"``
@@ -804,11 +838,7 @@ def set_similarity_join(
         .groupby("bucket")
         .map_groups(cand_bucket, batch_format="pyarrow")
     )
-    distinct = (
-        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
-        .drop_columns(["c"])
-        .materialize()  # candidate pairs are near-output-sized after prefix filtering
-    )
+    distinct = _distinct_pairs(cands, n_buckets)
     if distinct.count() == 0:
         return _empty_setsim_result()
     return _setsim_verify(
@@ -876,11 +906,7 @@ def set_similarity_self_join(
         .groupby("bucket")
         .map_groups(cand_bucket, batch_format="pyarrow")
     )
-    distinct = (
-        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
-        .drop_columns(["c"])
-        .materialize()
-    )
+    distinct = _distinct_pairs(cands, n_buckets)
     if distinct.count() == 0:
         return _empty_setsim_result()
     return _setsim_verify(
@@ -1071,11 +1097,7 @@ def probe_setsim_index(new_ds, path: str, n_buckets: int = 64,
         .groupby("shard")
         .map_groups(probe_shard, batch_format="pyarrow")
     )
-    distinct = (
-        bucketed_sum(cands, ["id_a", "id_b"], [], count_col="c", n_buckets=n_buckets)
-        .drop_columns(["c"])
-        .materialize()
-    )
+    distinct = _distinct_pairs(cands, n_buckets)
     n_pairs = distinct.count()
     if n_pairs == 0:
         return _empty_setsim_result()

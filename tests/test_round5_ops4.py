@@ -235,3 +235,30 @@ def test_time_travel_tie_break_and_cutoff(ray_session):
         == m["ts"].astype("datetime64[us]").astype("int64")
     ).all()
     assert (m["event_type"] == m["event_type_ref"]).all()
+
+
+def test_distinct_pairs_driver_and_distributed_arms_agree(ray_session):
+    """The size-gated candidate dedup must produce the same distinct
+    pair set through the small (driver pyarrow distinct) and large
+    (bucketed exchange) arms."""
+    import pyarrow as pa
+    import ray.data
+
+    from naer_ray.stages.joins import _distinct_pairs
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 50, 5000).astype("int64")
+    b = rng.randint(0, 50, 5000).astype("int64")
+    cands = ray.data.from_arrow(
+        pa.table({"id_a": a, "id_b": b})
+    ).repartition(8)
+    small = _distinct_pairs(cands, n_buckets=8).to_pandas()
+    cands2 = ray.data.from_arrow(
+        pa.table({"id_a": a, "id_b": b})
+    ).repartition(8)
+    large = _distinct_pairs(cands2, n_buckets=8, raw_driver_max=0).to_pandas()
+    key = ["id_a", "id_b"]
+    s = small.sort_values(key).reset_index(drop=True)
+    l = large.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, l.astype(s.dtypes.to_dict()))
+    assert len(s) == len(pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates())
