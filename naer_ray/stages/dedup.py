@@ -2184,6 +2184,7 @@ def remove_duplicated_spans(
     k: int = 40,
     n_buckets: int = 64,
     broadcast_max_hashes: int = 500_000,
+    broadcast_max_positions: int = 200_000,
     strategy: str = "auto",
 ):
     """Substring-dedup APPLY (Lee et al. 2021, arXiv:2107.06499 — the
@@ -2555,14 +2556,28 @@ def remove_duplicated_spans(
             }
         )
 
+    driver_confirm = False
     if cand_grams is None:
         # copartition arm: the mark pass had no text in hand — slice the
         # gram bytes in one doc co-partition round
         cand_grams = _doc_copartition(cand_starts, confirm_kernel, None)
+    else:
+        # broadcast arm: candidate volume is dup-sized — when it also
+        # fits the driver (gram bytes ~k each), confirm there and
+        # BROADCAST the confirmed starts into a shuffle-free apply
+        # scan, dropping the two remaining exchanges (gram-keyed
+        # confirm + doc co-partition apply).  Above the bound the
+        # distributed confirm/apply below run unchanged — the 100-TB
+        # path.
+        cand_grams = cand_grams.materialize()
+        driver_confirm = cand_grams.count() <= broadcast_max_positions
 
     def count_confirm(group: pa.Table) -> pa.Table:
         """One gram-hash bucket: keep (doc, pos) of byte-identical
-        grams that occur >= 2 times (candidate-sized work)."""
+        grams that occur >= 2 times (candidate-sized work).  Grouping
+        by gram BYTES is hash-bucket-local-safe because equal grams
+        share a bucket; the same function applied to the WHOLE
+        candidate table (driver-confirm arm) is therefore identical."""
         g = group["gram"].to_numpy(zero_copy_only=False)
         if not len(g):
             return empty_starts
@@ -2585,12 +2600,13 @@ def remove_duplicated_spans(
         b = (_fnv64_arr(batch["gram"]) % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
-    dup_starts = (
-        cand_grams.map_batches(gram_bucketize, batch_format="pyarrow")
-        .repartition(n_buckets)  # block-count coalesce (see _doc_copartition)
-        .groupby("bucket")
-        .map_groups(count_confirm, batch_format="pyarrow")
-    )
+    if not driver_confirm:
+        dup_starts = (
+            cand_grams.map_batches(gram_bucketize, batch_format="pyarrow")
+            .repartition(n_buckets)  # block-count coalesce (see _doc_copartition)
+            .groupby("bucket")
+            .map_groups(count_confirm, batch_format="pyarrow")
+        )
 
     # ---- 4. apply: coverage mask per doc, concatenate survivors
     def apply_kernel(doc, pos, texts):
@@ -2622,6 +2638,35 @@ def remove_duplicated_spans(
                 "n_removed": pa.array(out_rm, pa.int64()),
             }
         )
+
+    if driver_confirm:
+        blocks = [
+            t
+            for ref in cand_grams.to_arrow_refs()
+            if (t := ray.get(ref)).num_rows
+        ]
+        confirmed = (
+            count_confirm(pa.concat_tables(blocks).combine_chunks())
+            if blocks
+            else empty_starts
+        )
+        dup_ref = ray.put(
+            (
+                confirmed["doc"].to_numpy(zero_copy_only=False),
+                confirmed["pos"].to_numpy(zero_copy_only=False),
+            )
+        )
+
+        def apply_bcast(batch: pa.Table) -> pa.Table:
+            d, p = ray.get(dup_ref)
+            ids = (
+                batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            texts = dict(zip(ids.tolist(), batch[text_col].to_pylist()))
+            sel = np.isin(d, ids)
+            return apply_kernel(d[sel], p[sel], texts)
+
+        return texts_ds.map_batches(apply_bcast, batch_format="pyarrow")
 
     return _doc_copartition(dup_starts, apply_kernel, None)
 

@@ -262,3 +262,44 @@ def test_distinct_pairs_driver_and_distributed_arms_agree(ray_session):
     l = large.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, l.astype(s.dtypes.to_dict()))
     assert len(s) == len(pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates())
+
+
+def test_remove_spans_driver_and_distributed_confirm_agree(ray_session):
+    """d15's size-gated confirm/apply: the driver-confirm broadcast arm
+    and the distributed gram-bucket confirm + doc co-partition apply
+    must produce identical cleaned text."""
+    import ray.data
+
+    from naer_ray.stages.dedup import remove_duplicated_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": [
+                "A" * 50 + "x" * 10,
+                "y" * 5 + "A" * 50,          # shares the 50-A run -> dup 40-grams
+                " ".join(f"w{i}" for i in range(30)),  # no repeated 40-gram
+                "B" * 45,
+                "z" * 3 + "B" * 45 + "w",    # shares the 45-B run
+                "",
+            ],
+        }
+    )
+    a = (
+        remove_duplicated_spans(ray.data.from_pandas(docs), k=40)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        remove_duplicated_spans(
+            ray.data.from_pandas(docs), k=40, broadcast_max_positions=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # the duplicated runs must actually be removed on both arms
+    assert a.loc[0, "n_removed"] > 0 and a.loc[1, "n_removed"] > 0
+    assert a.loc[2, "n_removed"] == 0
