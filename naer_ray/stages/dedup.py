@@ -2047,11 +2047,13 @@ def duplicated_span_pairs(
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
-    distinct = (
-        bucketed_sum(cand, ["id_a", "id_b"], [], count_col="n")
-        .drop_columns(["n"])
-        .materialize()  # candidate pairs are output-sized
-    )
+    from .joins import _distinct_pairs
+
+    # size-gated candidate dedup (shared with the set-similarity joins):
+    # driver pyarrow distinct below the raw-pair bound, bucketed
+    # exchange above — the distinct shuffle right before the bounded
+    # driver pull below was pure exchange latency at bench scale
+    distinct = _distinct_pairs(cand, n_buckets)
     n_cand = distinct.count()
     if n_cand == 0:
         # zero candidates: downstream all-empty blocks lose their
