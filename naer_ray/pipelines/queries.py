@@ -11315,6 +11315,11 @@ def g08_kcore(sf_dir: str, k: int = 10, max_rounds: int = 8):
         v = batch["v"].to_numpy(np.int64)
         if alive_ref is not None:
             a = ray.get(alive_ref)
+            if len(a) == 0:  # peel emptied the graph: no surviving edges
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "deg": pd.Series([], dtype="int64")}
+                )
             pos_u = np.searchsorted(a, u)
             pos_v = np.searchsorted(a, v)
             ok = (
@@ -11334,6 +11339,11 @@ def g08_kcore(sf_dir: str, k: int = 10, max_rounds: int = 8):
             ["node"],
             ["deg"],
         ).to_pandas()
+        if "node" not in deg.columns:  # peel emptied the graph entirely
+            deg = pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "deg": pd.Series([], dtype="int64")}
+            )
         survivors = deg[deg["deg"] >= k]
         new_alive = np.sort(survivors["node"].to_numpy(np.int64))
         if alive is not None and len(new_alive) == len(alive):

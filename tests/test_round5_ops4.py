@@ -303,3 +303,13 @@ def test_remove_spans_driver_and_distributed_confirm_agree(ray_session):
     # the duplicated runs must actually be removed on both arms
     assert a.loc[0, "n_removed"] > 0 and a.loc[1, "n_removed"] > 0
     assert a.loc[2, "n_removed"] == 0
+
+
+def test_kcore_empty_core_terminates(ray_session):
+    """A k that empties the graph must converge to an empty core, not
+    crash the degree pass on an empty alive set."""
+    from naer_ray.pipelines.queries import g08_kcore
+
+    out = g08_kcore(SF, k=1000, max_rounds=8)
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "core_deg"]
