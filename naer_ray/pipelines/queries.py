@@ -11860,6 +11860,199 @@ SELECT user_id, last_ts_us, event_type, last_mils FROM r WHERE rn = 1
 """
 
 
+def x09_boolean_search(sf_dir: str, must=("spark", "join"),
+                       must_not=("window",)):
+    """Boolean retrieval (AND / AND-NOT): documents containing EVERY
+    ``must`` term and NONE of the ``must_not`` terms — the filter
+    algebra layered on x01's inverted index (single-term), x03
+    (phrase) and x05 (proximity) cannot express negation.
+
+    Scale shape: pure map — one Arrow split per batch, one
+    searchsorted dictionary-code pass over ALL query terms at once
+    (the _entity_presence kernel), per-doc presence bitmask via one
+    bincount; zero shuffles, output streams at match volume."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    terms = np.array(sorted(set(must) | set(must_not)))
+    need = np.isin(terms, np.array(must))
+    ban = np.isin(terms, np.array(must_not))
+
+    def match(batch: pa.Table) -> pa.Table:
+        r, c = _entity_presence(batch["text"], terms)
+        n = batch.num_rows
+        has = np.zeros((n, len(terms)), bool)
+        has[r, c] = True
+        ok = has[:, need].all(axis=1) & ~has[:, ban].any(axis=1)
+        idx = pa.array(np.flatnonzero(ok))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().take(idx),
+                "n_chars": batch["n_chars"].combine_chunks().take(idx),
+            }
+        )
+
+    out = (
+        ds.map_batches(match, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+X09_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+WHERE list_contains(ws, 'spark') AND list_contains(ws, 'join')
+  AND NOT list_contains(ws, 'window')
+"""
+
+
+def n06_weighted_median(sf_dir: str):
+    """WEIGHTED median per group (here: the byte-weighted median doc
+    length per lang — the length at which half the corpus BYTES sit in
+    shorter-or-equal docs).  n03's count-based percentile weights every
+    row 1; weighting by a second measure needs the cumulative-weight
+    order statistic instead: the smallest value v with
+    cumsum(weight ordered by value) * 2 >= total_weight (pure integer
+    comparison, no division).
+
+    Scale shape: the same (group, value)-keyed histogram reduce as n03
+    — the exchange is bounded by value cardinality, never rows — with
+    WEIGHT sums instead of counts; the driver takes the order
+    statistic on the tiny histogram."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.assign(w=batch["n_chars"].astype("int64")).groupby(
+            ["lang", "n_chars"], as_index=False
+        )["w"].sum()
+        return g
+
+    hist = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["lang", "n_chars"],
+        ["w"],
+    ).to_pandas()
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["w"].cumsum().to_numpy()
+        total = int(cum[-1])
+        pos = int(np.searchsorted(cum * 2, total, side="left"))
+        rows.append((lang, int(g["n_chars"].to_numpy()[pos]), total))
+    out = pd.DataFrame(rows, columns=["lang", "weighted_median_len", "total_w"])
+    out = out.astype({"weighted_median_len": "int64", "total_w": "int64"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+N06_SQL = """
+WITH h AS (
+  SELECT lang, n_chars, SUM(CAST(n_chars AS BIGINT)) AS w
+  FROM documents GROUP BY lang, n_chars),
+c AS (
+  SELECT lang, n_chars, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY lang) AS tw
+  FROM h)
+SELECT lang,
+       CAST(MIN(n_chars) FILTER (WHERE cw * 2 >= tw) AS BIGINT)
+         AS weighted_median_len,
+       CAST(MAX(tw) AS BIGINT) AS total_w
+FROM c GROUP BY lang
+"""
+
+
+def w16_time_to_convert(sf_dir: str, n_buckets: int = 64):
+    """Conversion-lag derivation: for every user whose FIRST 'signup'
+    precedes a later 'purchase', the microseconds from that signup to
+    their first subsequent purchase — the event-sequence measure
+    behind activation dashboards (w05 counts funnel stages; this
+    returns the latency between them).
+
+    Scale shape: the scan keeps only signup/purchase rows (two of the
+    five types); ONE user-hash bucket shuffle; per bucket a vectorized
+    two-column reduce (min signup ts, min purchase ts above it) — no
+    per-user dispatch, integer epoch-us."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["signup", "purchase"]),
+        )
+        t = batch.filter(keep)
+        us = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = t["user_id"].combine_chunks()
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": us,
+                "event_type": t["event_type"],
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts_us"]
+            .min()
+            .rename(columns={"ts_us": "signup_us"})
+        )
+        p = g[g["event_type"] == "purchase"][["user_id", "ts_us"]]
+        m = p.merge(s, on="user_id")
+        m = m[m["ts_us"] > m["signup_us"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "lag_us": pd.Series([], dtype="int64"),
+                }
+            )
+        first = m.groupby("user_id", as_index=False).agg(
+            ts_us=("ts_us", "min"), signup_us=("signup_us", "first")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].astype("int64"),
+                "lag_us": (first["ts_us"] - first["signup_us"]).astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "lag_us": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+W16_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS purchase_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.signup_us
+  GROUP BY e.user_id)
+SELECT p.user_id, CAST(p.purchase_us - s.signup_us AS BIGINT) AS lag_us
+FROM p JOIN s ON p.user_id = s.user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -12051,4 +12244,7 @@ REGISTRY: dict[str, tuple] = {
     "w15_interval_coverage": (w15_interval_coverage, W15_SQL),
     "t18_kwic": (t18_kwic, T18_SQL),
     "i06_time_travel": (i06_time_travel, I06_SQL),
+    "x09_boolean_search": (x09_boolean_search, X09_SQL),
+    "n06_weighted_median": (n06_weighted_median, N06_SQL),
+    "w16_time_to_convert": (w16_time_to_convert, W16_SQL),
 }

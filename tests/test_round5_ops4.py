@@ -313,3 +313,59 @@ def test_kcore_empty_core_terminates(ray_session):
     out = g08_kcore(SF, k=1000, max_rounds=8)
     assert len(out) == 0
     assert list(out.columns) == ["node", "core_deg"]
+
+
+def test_boolean_search_negation(ray_session):
+    """Matches must contain every must-term and NO banned term."""
+    from naer_ray.pipelines.queries import x09_boolean_search
+
+    out = x09_boolean_search(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    assert len(out) > 0
+    for d in out["doc_id"]:
+        toks = set(by_id[d].split(" "))
+        assert "spark" in toks and "join" in toks and "window" not in toks
+    # completeness: no qualifying doc missed
+    n_true = sum(
+        1
+        for t in docs["text"]
+        if {"spark", "join"} <= set(t.split(" ")) and "window" not in t.split(" ")
+    )
+    assert len(out) == n_true
+
+
+def test_weighted_median_rule(ray_session):
+    """The reported value must be the smallest v with 2*cumw >= total
+    (weight = the value itself here)."""
+    from naer_ray.pipelines.queries import n06_weighted_median
+
+    out = n06_weighted_median(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, r in out.iterrows():
+        vals = np.sort(docs[docs["lang"] == r["lang"]]["n_chars"].to_numpy())
+        w = vals.astype("int64")
+        cum = np.cumsum(w)
+        total = cum[-1]
+        v = vals[np.searchsorted(cum * 2, total, side="left")]
+        assert r["weighted_median_len"] == v and r["total_w"] == total
+
+
+def test_time_to_convert_first_purchase_after_first_signup(ray_session):
+    from naer_ray.pipelines.queries import w16_time_to_convert
+
+    out = w16_time_to_convert(SF)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        s = g[g["event_type"] == "signup"]["us"]
+        if s.empty:
+            assert uid not in set(out["user_id"])
+            continue
+        s0 = s.min()
+        p = g[(g["event_type"] == "purchase") & (g["us"] > s0)]["us"]
+        row = out[out["user_id"] == uid]
+        if p.empty:
+            assert row.empty
+        else:
+            assert row.iloc[0]["lag_us"] == p.min() - s0
