@@ -12053,6 +12053,549 @@ FROM p JOIN s ON p.user_id = s.user_id
 """
 
 
+def x10_rrf_hybrid(sf_dir: str, k: int = 10, pool: int = 30, rrf_k: int = 60):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009):
+    fuse the BM25 lexical ranking (x02's two-term query) with a
+    vector inner-product ranking against the vec_id=0 query embedding
+    — the standard lexical+dense fusion modern retrieval/curation
+    stacks run, and the first cross-MODALITY rank op in the registry
+    (x-series ranks one signal; a-series ranks vectors alone).
+
+    Exactness: the vector score is the QUANTIZED inner product —
+    ``floor(x*1000 + 0.5)`` per component as int64, summed — so both
+    sides rank on integers (64 products of ~1e3-scale ints sum far
+    below 2^63 and are order-free), sidestepping the float-cosine
+    associativity trap; the RRF score is the two-term double sum
+    ``1/(60+r_bm25) + 1/(60+r_vec)`` evaluated in the same order on
+    both sides, and only integer (rnk, doc_id) is emitted.
+
+    Scale shape: two streaming passes (BM25 stats + score) and one
+    vector pass, each keeping a LOCAL top-``pool`` per batch so the
+    driver merges blocks x pool rows; the fusion itself is a
+    pool-sized driver join.  Nothing shuffles."""
+    import math
+
+    q_tokens = ("hash", "vector")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # ---- lexical arm: BM25 (identical expression to x02) ----
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _bm25_doc_stats(batch, q_tokens)
+        return pa.table(
+            {
+                "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+                "total_len": pa.array([int(dl.sum())], pa.int64()),
+                "df_0": pa.array([int((tfs[0] > 0).sum())], pa.int64()),
+                "df_1": pa.array([int((tfs[1] > 0).sum())], pa.int64()),
+            }
+        )
+
+    st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n_corpus = int(st["n_docs"])
+    avgdl = int(st["total_len"]) / n_corpus
+    idf = [
+        math.log((n_corpus - int(st[f"df_{i}"]) + 0.5) / (int(st[f"df_{i}"]) + 0.5))
+        for i in range(len(q_tokens))
+    ]
+
+    def bm25_topk(batch: pa.Table) -> pa.Table:
+        dl, tfs = _bm25_doc_stats(batch, q_tokens)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        match = (tfs[0] + tfs[1]) > 0
+        if not match.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        dlm = dl[match].astype(np.float64)
+        score = np.zeros(int(match.sum()), np.float64)
+        for idf_t, tf in zip(idf, tfs):
+            tfm = tf[match].astype(np.float64)
+            score = score + idf_t * (
+                (tfm * 2.2) / (tfm + 1.2 * (0.25 + 0.75 * (dlm / avgdl)))
+            )
+        idsm = ids[match]
+        o = np.lexsort((idsm, -score))[:pool]
+        return pa.table(
+            {
+                "doc_id": pa.array(idsm[o], pa.int64()),
+                "score": pa.array(score[o], pa.float64()),
+            }
+        )
+
+    bm = docs.map_batches(bm25_topk, batch_format="pyarrow").to_pandas()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True]).head(pool)
+    bm_rank = pd.DataFrame(
+        {
+            "doc_id": bm["doc_id"].to_numpy(np.int64),
+            "r_bm": np.arange(1, len(bm) + 1, dtype=np.int64),
+        }
+    )
+
+    # ---- dense arm: quantized inner product vs vec_id=0 ----
+    t0 = _point_read_embeddings(sf_dir, [0])
+    q0 = np.asarray(t0["embedding"].to_pylist(), dtype=np.float64)[0]
+    qint = np.floor(q0 * 1000.0 + 0.5).astype(np.int64)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def vec_topk(batch: pa.Table) -> pa.Table:
+        from ..stages.ann import _as_matrix
+
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        dint = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        dots = dint @ qint
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, -dots))[:pool]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[o], pa.int64()),
+                "dot": pa.array(dots[o], pa.int64()),
+            }
+        )
+
+    ve = emb.map_batches(vec_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    ve = ve.sort_values(["dot", "vec_id"], ascending=[False, True]).head(pool)
+    ve_rank = pd.DataFrame(
+        {
+            "doc_id": ve["vec_id"].to_numpy(np.int64),
+            "r_vec": np.arange(1, len(ve) + 1, dtype=np.int64),
+        }
+    )
+
+    # ---- fusion (pool-sized driver join) ----
+    fused = bm_rank.merge(ve_rank, on="doc_id", how="outer")
+    r_bm = fused["r_bm"].to_numpy(np.float64)  # NaN when absent
+    r_vec = fused["r_vec"].to_numpy(np.float64)
+    s_bm = np.where(np.isnan(r_bm), 0.0, 1.0 / (rrf_k + r_bm))
+    s_vec = np.where(np.isnan(r_vec), 0.0, 1.0 / (rrf_k + r_vec))
+    score = s_bm + s_vec
+    ids = fused["doc_id"].to_numpy(np.int64)
+    o = np.lexsort((ids, -score))[:k]
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(o) + 1, dtype=np.int64),
+            "doc_id": ids[o],
+        }
+    )
+
+
+X10_SQL = """
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE t IN ('hash', 'vector') GROUP BY doc_id, t),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+sc AS (
+  SELECT tf.doc_id,
+         SUM( ln((CAST(stats.n AS DOUBLE) - df.df + 0.5)
+                 / (CAST(df.df AS DOUBLE) + 0.5))
+              * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25
+                             + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                       / stats.avgdl)))) ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id),
+br AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM sc QUALIFY rnk <= 30),
+qv AS (
+  SELECT i, CAST(floor(CAST(qe AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM (SELECT unnest(embedding) AS qe,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0)),
+dv AS (
+  SELECT vec_id, i, CAST(floor(CAST(de AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS de,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)),
+dots AS (SELECT vec_id, SUM(q * d) AS dot FROM dv JOIN qv USING (i)
+         GROUP BY vec_id),
+vr AS (
+  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rnk
+  FROM dots QUALIFY rnk <= 30),
+fused AS (
+  SELECT COALESCE(br.doc_id, vr.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + br.rnk), 0) + COALESCE(1.0 / (60 + vr.rnk), 0)
+           AS score
+  FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id
+FROM fused ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def g09_shortest_paths(sf_dir: str, rounds: int = 3):
+    """Bounded-hop WEIGHTED shortest paths (Bellman-Ford, ``rounds``
+    relaxation rounds) from the g04 seed set over the shared
+    co-purchase graph, with deterministic integer edge weights
+    ``(u + v) % 19 + 1`` — g04 measures hops; this measures cost, the
+    primitive behind weighted-proximity ranking (trust propagation,
+    citation distance).  Result: min total weight over paths of <=
+    ``rounds`` edges, for every node reached.
+
+    Ray shape (the g01/g04 driver-reduce discipline): the dist map is
+    node-sized driver state broadcast via ``ray.put`` each round; each
+    batch relaxes its edges vectorized (searchsorted into the sorted
+    dist arrays, both directions) and emits per-batch PARTIAL MINS, so
+    the driver pull is bounded by blocks x distinct-dst-per-block; no
+    shuffle per round.  Above the g01 node gate the same co-partition
+    fallback applies (dist co-partitioned with edges).
+
+    Oracle: fixed-round unrolled MATERIALIZED CTEs (the g08 lesson —
+    plain CTEs inline exponentially)."""
+    import ray
+
+    edges = _copurchase_edges(sf_dir)
+
+    # seed dist map
+    first = (
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "id": np.unique(
+                        np.concatenate(
+                            [
+                                b["u"].to_numpy(np.int64),
+                                b["v"].to_numpy(np.int64),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["id"]
+        .to_numpy(np.int64)
+    )
+    nodes = np.unique(first)
+    seeds = nodes[nodes % 70 == 0]
+    dist_ids = seeds.copy()
+    dist_vals = np.zeros(len(seeds), np.int64)
+
+    for _ in range(rounds):
+        if len(dist_ids) == 0:
+            break
+        ref = ray.put((dist_ids, dist_vals))
+
+        def relax(batch: pd.DataFrame) -> pd.DataFrame:
+            ids_s, vals_s = ray.get(ref)
+            u = batch["u"].to_numpy(np.int64)
+            v = batch["v"].to_numpy(np.int64)
+            w = (u + v) % 19 + 1
+            outs = []
+            for s, d in ((u, v), (v, u)):
+                pos = np.searchsorted(ids_s, s)
+                pos = np.minimum(pos, len(ids_s) - 1)
+                hit = ids_s[pos] == s
+                if hit.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id": d[hit],
+                                "dist": vals_s[pos[hit]] + w[hit],
+                            }
+                        )
+                    )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "id": pd.Series([], dtype="int64"),
+                        "dist": pd.Series([], dtype="int64"),
+                    }
+                )
+            cat = pd.concat(outs)
+            return cat.groupby("id", as_index=False)["dist"].min()
+
+        cand = edges.map_batches(relax, batch_format="pandas").to_pandas()
+        merged = pd.concat(
+            [pd.DataFrame({"id": dist_ids, "dist": dist_vals}), cand]
+        )
+        best = merged.groupby("id", as_index=False)["dist"].min().sort_values("id")
+        dist_ids = best["id"].to_numpy(np.int64)
+        dist_vals = best["dist"].to_numpy(np.int64)
+
+    out = pd.DataFrame({"node_id": dist_ids, "dist": dist_vals})
+    return out.sort_values("node_id").reset_index(drop=True)
+
+
+G09_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst, (u + v) % 19 + 1 AS w FROM e0
+  UNION ALL SELECT v, u, (u + v) % 19 + 1 FROM e0),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM e
+  WHERE src % 70 = 0),
+d1 AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS id, d0.dist + e.w AS dist
+    FROM e JOIN d0 ON e.src = d0.id) GROUP BY id),
+d2 AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS id, d1.dist + e.w AS dist
+    FROM e JOIN d1 ON e.src = d1.id) GROUP BY id),
+d3 AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS id, d2.dist + e.w AS dist
+    FROM e JOIN d2 ON e.src = d2.id) GROUP BY id)
+SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+def n07_group_regression(sf_dir: str):
+    """Per-group simple-linear-regression SUFFICIENT STATISTICS (per
+    lang: x = n_chars, y = non-empty token count): n, sum_x, sum_y and
+    the centered second moments sxx = n*sum(x^2) - sum(x)^2,
+    sxy = n*sum(xy) - sum(x)*sum(y) — slope = sxy/sxx and r^2 follow by
+    single divisions, but the emitted stats are INTEGERS so the oracle
+    hashes bit-exactly regardless of aggregation order (the
+    integer-cents discipline applied to regression; float regr_slope
+    partial sums would be association-dependent).
+
+    Scale shape: one streaming pass computes per-(batch, lang) integer
+    partials (split + bincount for y, no per-row Python); the exchange
+    through bucketed_sum is bounded by lang cardinality x blocks; the
+    driver finishes on a lang-sized table."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl, _ = _bm25_doc_stats(batch, ())
+        y = dl.astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx0": x * x,
+                "sxy0": x * y,
+            }
+        )
+        return df.groupby("lang", as_index=False)[
+            ["n", "sx", "sy", "sxx0", "sxy0"]
+        ].sum()
+
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["lang"],
+        ["n", "sx", "sy", "sxx0", "sxy0"],
+    ).to_pandas()
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n": n,
+            "sum_x": sx,
+            "sum_y": sy,
+            "sxx": n * agg["sxx0"].to_numpy(np.int64) - sx * sx,
+            "sxy": n * agg["sxy0"].to_numpy(np.int64) - sx * sy,
+        }
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+N07_SQL = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS y
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS sxx,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS sxy
+FROM d GROUP BY lang
+"""
+
+
+def q38_above_customer_avg(sf_dir: str):
+    """Decorrelated correlated subquery: orders strictly above their
+    OWN customer's average order price — the classic
+    ``WHERE price > (SELECT AVG(...) WHERE same customer)`` shape,
+    decorrelated into one grouped pass + one broadcast filter pass.
+
+    Exactness: the comparison is cross-multiplied integer cents
+    (``cents * count > sum_cents``) so no division or float mean ever
+    happens on either side.
+
+    Scale shape: the per-customer (sum, count) reduce is a
+    bucketed_sum whose exchange is bounded by customer cardinality x
+    blocks; the stats map is the DIMENSION-sized side (TPC-H
+    customers), broadcast once via ``ray.put`` and probed with
+    searchsorted inside the second streaming pass — zero shuffle on
+    the fact table."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "sc": cents,
+                "c": 1,
+            }
+        )
+        return df.groupby("o_custkey", as_index=False)[["sc", "c"]].sum()
+
+    stats = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_custkey"],
+        ["sc", "c"],
+    ).to_pandas()
+    stats = stats.sort_values("o_custkey")
+    ref = ray.put(
+        (
+            stats["o_custkey"].to_numpy(np.int64),
+            stats["sc"].to_numpy(np.int64),
+            stats["c"].to_numpy(np.int64),
+        )
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        keys, sc, c = ray.get(ref)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(keys, cust)
+        keep = cents * c[pos] > sc[pos]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)[
+                        keep
+                    ].astype(np.int64),
+                    pa.int64(),
+                )
+            }
+        )
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .astype({"o_orderkey": "int64"})
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q38_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey
+FROM orders o JOIN s ON o.o_custkey = s.o_custkey
+WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * s.c > s.sc
+"""
+
+
+def u03_crawl_budget(sf_dir: str, budget: int = 1000):
+    """Crawl-budget apportionment: allocate a global fetch budget
+    across hosts PROPORTIONALLY to page counts with the
+    largest-remainder (Hamilton) method — the integer-exact
+    allocation primitive behind politeness-aware crawl planning and
+    per-domain sampling quotas (u01 measures hosts; u02 caps them;
+    this SPENDS a budget over them).  Hosts are derived by the u01
+    closed-form arithmetic, refined with ``doc_id % 97`` so the
+    allocation runs over a few hundred keys.
+
+    Integer-exact by construction: base = (B * cnt) // total,
+    remainders ranked (rem DESC, host ASC), first ``B - sum(base)``
+    hosts get +1 — no floats anywhere.
+
+    Scale shape: one bucketed count whose exchange is bounded by host
+    cardinality x blocks; the apportionment itself is host-sized
+    driver math (hosts are a bounded dimension)."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pandas()
+        host = src + "-" + pd.Series((ids % 97).astype("U"), index=src.index)
+        df = pd.DataFrame({"host": host + ".example.com", "n_pages": 1})
+        return df.groupby("host", as_index=False)["n_pages"].sum()
+
+    cnt = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["host"],
+        ["n_pages"],
+    ).to_pandas()
+    cnt = cnt.sort_values("host").reset_index(drop=True)
+    pages = cnt["n_pages"].to_numpy(np.int64)
+    total = int(pages.sum())
+    base = (budget * pages) // total
+    rem = (budget * pages) % total
+    alloc = base.copy()
+    extra = budget - int(base.sum())
+    if extra > 0:
+        order = np.lexsort((cnt["host"].to_numpy(), -rem))
+        alloc[order[:extra]] += 1
+    out = pd.DataFrame(
+        {
+            "host": cnt["host"].astype(object),
+            "n_pages": pages,
+            "budget": alloc.astype(np.int64),
+        }
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+U03_SQL = """
+WITH h AS (
+  SELECT source || '-' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+           AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_pages) AS BIGINT) AS total FROM h),
+b AS (
+  SELECT host, n_pages,
+         CAST((1000 * n_pages) // total AS BIGINT) AS base,
+         CAST((1000 * n_pages) % total AS BIGINT) AS rem
+  FROM h CROSS JOIN t),
+x AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS extra FROM b),
+r AS (
+  SELECT host, n_pages, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+  FROM b)
+SELECT r.host, r.n_pages,
+       CAST(r.base + CASE WHEN r.rk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM r CROSS JOIN x
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -12247,4 +12790,9 @@ REGISTRY: dict[str, tuple] = {
     "x09_boolean_search": (x09_boolean_search, X09_SQL),
     "n06_weighted_median": (n06_weighted_median, N06_SQL),
     "w16_time_to_convert": (w16_time_to_convert, W16_SQL),
+    "x10_rrf_hybrid": (x10_rrf_hybrid, X10_SQL),
+    "g09_shortest_paths": (g09_shortest_paths, G09_SQL),
+    "n07_group_regression": (n07_group_regression, N07_SQL),
+    "q38_above_customer_avg": (q38_above_customer_avg, Q38_SQL),
+    "u03_crawl_budget": (u03_crawl_budget, U03_SQL),
 }
