@@ -12596,6 +12596,320 @@ FROM r CROSS JOIN x
 """
 
 
+def m17_tga_features(sf_dir: str):
+    """REAL TGA (type-10 RLE true-color) decode: deterministic
+    RLE-compressed 24-bit TGAs (variable-length packet stream, BGR,
+    bottom-up origin — the format's actual traps) flow through the
+    packet-walk decoder actor pool (stages/multimodal.decode_tga); the
+    SQL oracle re-derives width/height/mean_luma from the generator
+    arithmetic in logical top-down RGB space, so any packet-count /
+    origin / channel-order mistake breaks the hash match.  The synth
+    pixels have run plateaus, so BOTH packet kinds (RLE + raw) are
+    exercised on every image."""
+    from ..stages.multimodal import decode_tga_features, synth_tga_payload
+
+    return decode_tga_features(_media_rows(sf_dir, "t", synth_tga_payload))
+
+
+M17_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 157) % 25 AS width,
+         4 + (doc_id * 173) % 21 AS height
+  FROM documents),
+px AS (
+  SELECT doc_id, width, height, unnest(range(0, width * height)) AS j
+  FROM dims)
+SELECT printf('t%07d', doc_id) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_pix,
+       CAST(SUM((doc_id * 5 + (j // 3) * 19) % 256
+              + (doc_id * 7 + (j // 3) * 21) % 256
+              + (doc_id * 9 + (j // 3) * 23) % 256) AS DOUBLE)
+         / (3.0 * width * height) AS mean_luma
+FROM px GROUP BY doc_id, width, height
+"""
+
+
+def w17_sliding_distinct(sf_dir: str, window_us: int = 3_600_000_000,
+                         n_buckets: int = 64):
+    """Per-user MAX distinct event types in any trailing 1-hour window
+    — the sliding-window cardinality measure behind burst/abuse
+    detection (w13 counts RUNNING distinct over all history; this
+    bounds the lookback, which running state cannot express).
+
+    Vectorized via the LAST-OCCURRENCE trick: type t is present in the
+    window ending at row i iff the latest prior occurrence of t (per
+    user) falls inside it — so one grouped cummax per event type (the
+    vocab is a bounded enum) replaces any per-row window rescan.  Ties
+    at identical timestamps are closed with a (user, ts) group-max so
+    same-instant events see each other, matching the SQL's ``<=``.
+
+    Scale shape: ONE user-hash bucket shuffle; per bucket, sort +
+    #types grouped cummaxes (all C-level), per-user max; output is
+    user-sized.  For an unbounded type vocabulary the offset-list
+    sweep (w13's shape) applies instead."""
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = batch["user_id"].combine_chunks()
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": us,
+                "event_type": batch["event_type"],
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "max_types": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts_us"].to_numpy(np.int64)
+        codes, types = pd.factorize(g["event_type"])
+        lo = us - window_us  # window is (ts - W, ts]
+        cnt = np.zeros(len(g), np.int64)
+        NEG = np.iinfo(np.int64).min
+        for t in range(len(types)):
+            seen = np.where(codes == t, us, NEG)
+            last = (
+                pd.Series(seen)
+                .groupby(uid)
+                .cummax()
+                .to_numpy(np.int64)
+            )
+            # same-instant closure: every row in a (user, ts) tie group
+            # sees the group's max (SQL's b.ts <= a.ts is symmetric)
+            last = (
+                pd.DataFrame({"u": uid, "ts": us, "l": last})
+                .groupby(["u", "ts"])["l"]
+                .transform("max")
+                .to_numpy(np.int64)
+            )
+            cnt += last > lo
+        out = (
+            pd.DataFrame({"user_id": uid, "c": cnt})
+            .groupby("user_id", as_index=False)["c"]
+            .max()
+            .rename(columns={"c": "max_types"})
+        )
+        return out.astype({"user_id": "int64", "max_types": "int64"})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "max_types": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+W17_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+c AS (
+  SELECT a.user_id, a.event_id,
+         CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS c
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND b.us <= a.us AND b.us > a.us - 3600000000
+  GROUP BY a.user_id, a.event_id)
+SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_types
+FROM c GROUP BY user_id
+"""
+
+
+def n08_grouped_mode(sf_dir: str):
+    """Per-group MODE with deterministic tie-break: the most frequent
+    user per event type (min user_id on count ties) — the exact modal
+    aggregate (n05's Count-Min sketches heavy hitters approximately;
+    this is the exact argmax the sketch's confirm pass needs).
+
+    Scale shape: the (type, user) count histogram reduces through
+    bucketed_sum (exchange bounded by distinct pairs, never rows);
+    the argmax then rides a LOW-cardinality groupby over the enum-sized
+    type key — the one place per-group dispatch is free."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "n": 1,
+            }
+        )
+        return df.groupby(["event_type", "user_id"], as_index=False)["n"].sum()
+
+    hist = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "user_id"],
+        ["n"],
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "mode_user": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["n", "user_id"], ascending=[False, True], kind="mergesort"
+        )
+        top = g.iloc[[0]]
+        return pd.DataFrame(
+            {
+                "event_type": top["event_type"].astype(object),
+                "mode_user": top["user_id"].astype("int64"),
+                "n_events": top["n"].astype("int64"),
+            }
+        )
+
+    out = (
+        hist.groupby("event_type")
+        .map_groups(argmax, batch_format="pandas")
+        .to_pandas()
+        .astype({"mode_user": "int64", "n_events": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+N08_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk
+  FROM c)
+SELECT event_type, user_id AS mode_user, n AS n_events
+FROM r WHERE rk = 1
+"""
+
+
+def e07_entity_density(sf_dir: str):
+    """Per-CONVERSATION entity density over the derived transcripts:
+    n_turns, n_hits (turn x entity presence pairs) and n_entities
+    (distinct dictionary entities mentioned anywhere in the conv) —
+    the conversation-level KG coverage profile (e06 profiles the
+    ENTITY axis; this profiles the conversation axis, the signal a
+    curation pass uses to keep entity-dense transcripts).
+
+    Scale shape: each batch emits ONE partial row per conversation it
+    touches — counts plus the entity-presence BITMASK (the dictionary
+    is enum-sized, so presence is an int64) — and one conv-hash bucket
+    shuffle combines fragments (sums + bitwise OR).  Ray may split a
+    conversation's derived turns across batch boundaries (measured: 3
+    convs at sf0.1), so the partial/combine split is load-bearing, not
+    defensive; the exchange is bounded by convs x batches, never
+    turns."""
+    from ..stages.dedup import _fnv64_arr
+
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+    ds = _derive_transcripts(sf_dir)
+
+    def density_partial(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks()
+        codes, uniq = conv.to_pandas().factorize()
+        n_conv = len(uniq)
+        n_turns = np.bincount(codes, minlength=n_conv).astype(np.int64)
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        conv_of_hit = codes[r]
+        n_hits = np.bincount(conv_of_hit, minlength=n_conv).astype(np.int64)
+        mask = np.zeros(n_conv, np.int64)
+        np.bitwise_or.at(mask, conv_of_hit, np.int64(1) << c)
+        uniq_arr = pa.array(uniq, pa.string())
+        b = (_fnv64_arr(uniq_arr) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {
+                "conv_id": uniq_arr,
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "mask": pa.array(mask, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "n_turns": pd.Series([], dtype="int64"),
+                    "n_hits": pd.Series([], dtype="int64"),
+                    "n_entities": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = g.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"),
+            n_hits=("n_hits", "sum"),
+            mask=("mask", lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64)))),
+        )
+        n_entities = np.array(
+            [bin(int(m)).count("1") for m in agg["mask"].to_numpy(np.int64)],
+            np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": agg["conv_id"].astype(object),
+                "n_turns": agg["n_turns"].astype("int64"),
+                "n_hits": agg["n_hits"].astype("int64"),
+                "n_entities": n_entities,
+            }
+        )
+
+    out = (
+        ds.map_batches(density_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .astype({"n_turns": "int64", "n_hits": "int64", "n_entities": "int64"})
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+E07_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+h AS (
+  SELECT DISTINCT conv_id, turn_idx, e FROM (
+    SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS e
+    FROM t)
+  WHERE e IN ({", ".join(f"'{e}'" for e in KG_ENTITIES)})),
+nt AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+       FROM t GROUP BY conv_id),
+ag AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities
+       FROM h GROUP BY conv_id)
+SELECT nt.conv_id, nt.n_turns,
+       COALESCE(ag.n_hits, 0) AS n_hits,
+       COALESCE(ag.n_entities, 0) AS n_entities
+FROM nt LEFT JOIN ag USING (conv_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -12795,4 +13109,8 @@ REGISTRY: dict[str, tuple] = {
     "n07_group_regression": (n07_group_regression, N07_SQL),
     "q38_above_customer_avg": (q38_above_customer_avg, Q38_SQL),
     "u03_crawl_budget": (u03_crawl_budget, U03_SQL),
+    "m17_tga_features": (m17_tga_features, M17_SQL),
+    "w17_sliding_distinct": (w17_sliding_distinct, W17_SQL),
+    "n08_grouped_mode": (n08_grouped_mode, N08_SQL),
+    "e07_entity_density": (e07_entity_density, E07_SQL),
 }

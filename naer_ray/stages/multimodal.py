@@ -1301,6 +1301,180 @@ def decode_bmp_features(ds, concurrency=None, batch_size: int = 64):
     )
 
 
+# ----------------------------------------------------- real TGA decode
+#
+# Truevision TGA, image type 10 (run-length-encoded 24-bit true color)
+# — the RLE-compressed sibling of the BMP path: same logical top-down
+# RGB feature space, but the decoder must walk VARIABLE-LENGTH packets
+# (RLE header bit + count), undo BGR order, and honor the origin bit
+# (bottom-up unless descriptor bit 5 is set).  Uncompressed type 2 is
+# accepted too.  No reference analogue (the reference has no media);
+# this extends the brief's multimodal-column requirement with a real
+# RLE codec.
+
+TGA_FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_pix", pa.int64()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+def synth_tga_payload(doc_id: int) -> bytes:
+    """Deterministic RLE 24-bit TGA from ``doc_id`` (closed-form pixel
+    arithmetic with multipliers distinct from every other synth so a
+    crossed decode path cannot alias).  Pixels are defined in LOGICAL
+    top-down row-major RGB with ``j // 3`` plateaus, so real runs exist
+    and the encoder genuinely emits BOTH packet kinds (RLE for runs
+    >= 2, raw otherwise); storage is bottom-up BGR per the format
+    default (descriptor bit 5 clear)."""
+    import struct
+
+    w = 4 + (doc_id * 157) % 25
+    h = 4 + (doc_id * 173) % 21
+    j = np.arange(w * h, dtype=np.int64)
+    rgb = np.empty((w * h, 3), dtype=np.uint8)
+    rgb[:, 0] = (doc_id * 5 + (j // 3) * 19) % 256
+    rgb[:, 1] = (doc_id * 7 + (j // 3) * 21) % 256
+    rgb[:, 2] = (doc_id * 9 + (j // 3) * 23) % 256
+    rows = rgb.reshape(h, w, 3)
+
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,  # id length
+        0,  # no color map
+        10,  # RLE true color
+        0, 0, 0,  # color-map spec
+        0, 0,  # x/y origin
+        w, h,
+        24,  # bpp
+        0,  # descriptor: bottom-up, left-to-right
+    )
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        bgr = rows[r, :, ::-1]  # RGB -> BGR
+        x = 0
+        while x < w:
+            run = 1
+            while (
+                x + run < w
+                and run < 128
+                and (bgr[x + run] == bgr[x]).all()
+            ):
+                run += 1
+            if run >= 2:
+                body.append(0x80 | (run - 1))
+                body.extend(bgr[x].tobytes())
+                x += run
+            else:
+                start = x
+                x += 1
+                while x < w and x - start < 128:
+                    nxt = 1
+                    while (
+                        x + nxt < w
+                        and nxt < 2
+                        and (bgr[x + nxt] == bgr[x]).all()
+                    ):
+                        nxt += 1
+                    if nxt >= 2:
+                        break
+                    x += 1
+                body.append((x - start) - 1)
+                body.extend(bgr[start:x].tobytes())
+    return header + bytes(body)
+
+
+def decode_tga(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit TGA (type 10 RLE or type 2 uncompressed) ->
+    (w, h, pixels) with ``pixels`` a (h*w, 3) uint8 array in LOGICAL
+    top-down row-major RGB order."""
+    import struct
+
+    if len(payload) < 18:
+        raise ValueError("not a TGA payload")
+    (
+        id_len, cmap_type, img_type, _cm_first, _cm_len, _cm_bpp,
+        _xo, _yo, w, h, bpp, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only 24-bit unmapped TGA supported (cmap={cmap_type}, bpp={bpp})"
+        )
+    if img_type not in (2, 10):
+        raise NotImplementedError(f"unsupported TGA image type {img_type}")
+    pos = 18 + id_len
+    n = w * h
+    if img_type == 2:
+        raw = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos)
+        bgr = raw.reshape(n, 3)
+    else:
+        out = np.empty((n, 3), np.uint8)
+        got = 0
+        buf = memoryview(payload)
+        while got < n:
+            if pos >= len(payload):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = buf[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if got + cnt > n:
+                raise ValueError("TGA RLE overruns pixel count")
+            if hdr & 0x80:  # RLE packet: one pixel repeated
+                px = np.frombuffer(buf, np.uint8, count=3, offset=pos)
+                pos += 3
+                out[got : got + cnt] = px
+            else:  # raw packet: cnt literal pixels
+                out[got : got + cnt] = np.frombuffer(
+                    buf, np.uint8, count=cnt * 3, offset=pos
+                ).reshape(cnt, 3)
+                pos += cnt * 3
+            got += cnt
+        bgr = out
+    rows = bgr.reshape(h, w, 3)
+    if not (desc & 0x20):  # origin bottom-left -> flip to top-down
+        rows = rows[::-1]
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return w, h, np.ascontiguousarray(rgb).reshape(n, 3)
+
+
+class TgaImageDecoder:
+    """Actor-pool stage doing a REAL decode of RLE TGA payloads
+    (``map_batches(TgaImageDecoder, batch_size=64)``): packet walk +
+    origin flip + channel reorder + pixel statistics from the bytes
+    alone.  mean_luma is the exact rational sum(r+g+b) / (3 * n_pix)
+    so the m17 SQL oracle (generator arithmetic re-derived) is
+    bit-identical."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in TGA_FEATURE_SCHEMA.names}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, pix = decode_tga(payload)
+            total = int(pix.astype(np.int64).sum())
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pix"].append(w * h)
+            out["mean_luma"].append(total / (3.0 * w * h))
+        return pa.table(out, schema=TGA_FEATURE_SCHEMA)
+
+
+def decode_tga_features(ds, concurrency=None, batch_size: int = 64):
+    """media rows (TGA payloads) -> real decoded feature rows."""
+    return ds.map_batches(
+        TgaImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_size() if concurrency is None else concurrency,
+        num_cpus=1,
+    )
+
+
 # --------------------------------------------- real MJPEG/AVI video decode
 #
 # Motion-JPEG inside a RIFF/AVI container: the one video format this

@@ -46,3 +46,76 @@ def test_x10_contains_both_arms(ray_session):
     assert list(out.columns) == ["rnk", "doc_id"]
     assert list(out["rnk"]) == list(range(1, len(out) + 1))
     assert out["doc_id"].is_unique
+
+
+def test_tga_codec_roundtrip_and_packets():
+    """decode(synth(id)) reproduces the closed-form pixels; the stream
+    contains BOTH packet kinds; type-2 uncompressed also decodes."""
+    import numpy as np
+
+    from naer_ray.stages.multimodal import decode_tga, synth_tga_payload
+
+    for doc_id in (0, 1, 7, 96, 499):
+        p = synth_tga_payload(doc_id)
+        w, h, pix = decode_tga(p)
+        ew, eh = 4 + (doc_id * 157) % 25, 4 + (doc_id * 173) % 21
+        j = np.arange(ew * eh, dtype=np.int64)
+        exp = np.stack(
+            [
+                (doc_id * 5 + (j // 3) * 19) % 256,
+                (doc_id * 7 + (j // 3) * 21) % 256,
+                (doc_id * 9 + (j // 3) * 23) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        assert (w, h) == (ew, eh)
+        assert (pix == exp).all()
+        # walk the packet stream: both kinds present, RLE smaller than raw
+        pos, rle, raw = 18, 0, 0
+        got = 0
+        while got < w * h:
+            hdr = p[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                rle += 1
+                pos += 3
+            else:
+                raw += 1
+                pos += cnt * 3
+            got += cnt
+        assert rle > 0 and raw > 0, (doc_id, rle, raw)
+        assert len(p) - 18 < w * h * 3
+    # type-2 uncompressed path
+    import struct
+
+    w, h = 3, 2
+    bgr = np.arange(w * h * 3, dtype=np.uint8).reshape(w * h, 3)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, 0x20)
+    w2, h2, pix2 = decode_tga(hdr + bgr.tobytes())
+    assert (w2, h2) == (w, h)
+    assert (pix2 == bgr[:, ::-1]).all()  # top-origin set, BGR->RGB only
+
+
+def test_w17_brute_force(ray_session):
+    """Re-derive max sliding-window distinct per user by brute force."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w17_sliding_distinct
+
+    out = w17_sliding_distinct(SF).set_index("user_id")["max_types"]
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    W = 3_600_000_000
+    for uid, g in ev.groupby("user_id"):
+        best = 0
+        us = g["us"].to_numpy()
+        ty = g["event_type"].to_numpy()
+        for i in range(len(g)):
+            in_w = (us <= us[i]) & (us > us[i] - W)
+            best = max(best, len(set(ty[in_w])))
+        assert out[uid] == best, uid
