@@ -12910,6 +12910,284 @@ FROM nt LEFT JOIN ag USING (conv_id)
 """
 
 
+def w18_session_paths(sf_dir: str, k: int = 10, gap_us: int = 1_800_000_000,
+                      n_buckets: int = 64):
+    """Clickstream sequence mining: the top-k most frequent SESSION
+    PATHS (ordered event-type sequences within a 30-minute-gap
+    session, q07's session rule) — the path-frequency primitive behind
+    navigation analysis and funnel discovery (w14 counts pairwise
+    transitions; this counts whole ordered journeys, which a
+    first-order transition matrix cannot reconstruct).
+
+    Scale shape: ONE user-hash bucket shuffle; per bucket the
+    sessionize is the vectorized sort + gap-break cumsum, the path
+    build is one groupby-join per session, and only the bucket-local
+    (path, n) HISTOGRAM leaves the kernel; a path-hash bucketed sum
+    merges histograms and per-batch local top-k bounds the driver
+    merge at blocks x k (each path lives in exactly one group after
+    the reduce, so the union of local top-ks provably contains the
+    global top-k).  Ties break (n DESC, path ASC) on both sides."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = batch["user_id"].combine_chunks()
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "us": us,
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "path": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), bool)
+        gap[0] = True
+        gap[1:] = (us[1:] - us[:-1]) > gap_us
+        sess = np.cumsum(new_user | gap)
+        p = (
+            g.assign(sess=sess)
+            .groupby("sess", sort=False)["event_type"]
+            .agg(">".join)
+        )
+        h = p.value_counts()
+        return pd.DataFrame(
+            {"path": h.index.astype(object), "n": h.to_numpy(np.int64)}
+        )
+
+    hist = bucketed_sum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(paths, batch_format="pandas"),
+        ["path"],
+        ["n"],
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n", "path"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = hist.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = cand.sort_values(
+        ["n", "path"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+            "path": top["path"].to_numpy(object),
+            "n": top["n"].to_numpy(np.int64),
+        }
+    )
+
+
+W18_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g),
+p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM s GROUP BY user_id, sess),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk,
+       path, n
+FROM c ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def r06_semiadditive_last(sf_dir: str, n_buckets: int = 64):
+    """Semi-additive measure rollup: per DAY, the sum over users of
+    each user's LAST event value that day (ts DESC, event_id DESC
+    tie-break) — the balance/inventory aggregation rule (sum across
+    the dimension, LAST along time) that plain SUM/AVG rollups
+    (r01-r05) cannot express.  Integer cents throughout.
+
+    Scale shape: ONE user-hash bucket shuffle; per bucket a sort +
+    run-boundary mask keeps the last row per (user, day) vectorized;
+    only day-level integer partials leave the kernel, and the final
+    day reduce is a day-bounded bucketed_sum."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = batch["user_id"].combine_chunks()
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "us": us,
+                "event_id": batch["event_id"],
+                "cents": pa.array(cents, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "day_idx": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.assign(day_idx=g["us"].to_numpy(np.int64) // 86_400_000_000)
+        g = g.sort_values(
+            ["user_id", "day_idx", "us", "event_id"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day_idx"].to_numpy(np.int64)
+        last = np.empty(len(g), bool)
+        last[-1] = True
+        last[:-1] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        kept = g[last]
+        out = (
+            kept.assign(n_users=1)
+            .groupby("day_idx", as_index=False)
+            .agg(cents=("cents", "sum"), n_users=("n_users", "sum"))
+        )
+        return out.astype(
+            {"day_idx": "int64", "cents": "int64", "n_users": "int64"}
+        )
+
+    daily = bucketed_sum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(keep_last, batch_format="pandas"),
+        ["day_idx"],
+        ["cents", "n_users"],
+    ).to_pandas()
+    day = pd.to_datetime(
+        daily["day_idx"].to_numpy(np.int64), unit="D"
+    ).strftime("%Y-%m-%d")
+    out = pd.DataFrame(
+        {
+            "day": day.astype(object),
+            "eod_balance_cents": daily["cents"].astype("int64"),
+            "n_users": daily["n_users"].astype("int64"),
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+R06_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+                               ORDER BY us DESC, event_id DESC) AS rk
+  FROM e)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(SUM(cents) AS BIGINT) AS eod_balance_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM r WHERE rk = 1 GROUP BY d
+"""
+
+
+def g10_degree_histogram(sf_dir: str):
+    """Degree DISTRIBUTION of the co-purchase graph: (degree,
+    n_nodes) — the first diagnostic any graph pipeline runs (skew,
+    power-law tail, isolated-hub detection) and the size gate g01/g04
+    consult conceptually before choosing broadcast vs co-partition.
+
+    Scale shape: two histogram reduces, each exchange bounded by key
+    cardinality (nodes, then distinct degrees) — never edges twice:
+    per-batch endpoint counts feed a node-keyed bucketed_sum, whose
+    per-node degrees feed a degree-keyed bucketed count."""
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir)
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+        )
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": uniq, "degree": cnt.astype(np.int64)})
+
+    deg = bucketed_sum(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["id"],
+        ["degree"],
+    )
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uniq, cnt = np.unique(
+            batch["degree"].to_numpy(np.int64), return_counts=True
+        )
+        return pd.DataFrame({"degree": uniq, "n_nodes": cnt.astype(np.int64)})
+
+    out = (
+        bucketed_sum(
+            deg.map_batches(hist_partial, batch_format="pandas"),
+            ["degree"],
+            ["n_nodes"],
+        )
+        .to_pandas()
+        .astype({"degree": "int64", "n_nodes": "int64"})
+    )
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+G10_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY id)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -13113,4 +13391,7 @@ REGISTRY: dict[str, tuple] = {
     "w17_sliding_distinct": (w17_sliding_distinct, W17_SQL),
     "n08_grouped_mode": (n08_grouped_mode, N08_SQL),
     "e07_entity_density": (e07_entity_density, E07_SQL),
+    "w18_session_paths": (w18_session_paths, W18_SQL),
+    "r06_semiadditive_last": (r06_semiadditive_last, R06_SQL),
+    "g10_degree_histogram": (g10_degree_histogram, G10_SQL),
 }
