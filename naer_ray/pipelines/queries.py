@@ -13188,6 +13188,184 @@ FROM d GROUP BY degree
 """
 
 
+def j08_band_join(sf_dir: str, band_cents: int = 10, n_buckets: int = 64):
+    """Band (inequality-theta) SELF-join: customer pairs in the same
+    market segment whose account balances differ by less than $0.10 —
+    the |a - b| < eps join shape (entity reconciliation, tolerance
+    matching) that hash joins can't express and sort-merge can't
+    co-partition directly.  j04/q26 band on TIME with one sorted
+    side; this bands on a VALUE with both sides unsorted.
+
+    Scale shape: the classic band-bucket technique — each row lands
+    in its ``cents // band`` bucket once as the LEFT role and
+    replicated to the three bucket neighbors {-1, 0, +1} as the RIGHT
+    role (a qualifying pair spans at most adjacent buckets, so it is
+    co-located exactly once — in the left row's bucket — and the
+    ``id_l < id_r`` rule de-dupes the self-join mirror); ONE
+    (segment, band)-hash shuffle co-partitions, and each bucket runs
+    a vectorized equi-merge + exact integer-cents filter.
+    Replication is a constant 3x on one role; nothing is broadcast,
+    nothing driver-side."""
+    from ..stages.dedup import _fnv64_arr
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        ids = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = batch["c_mktsegment"].to_pandas().to_numpy(object)
+        band = cents // band_cents
+        # left role: own band only
+        l_band = band
+        # right role: replicated to {-1, 0, +1}
+        r_ids = np.repeat(ids, 3)
+        r_seg = np.repeat(seg, 3)
+        r_cents = np.repeat(cents, 3)
+        r_band = np.repeat(band, 3) + np.tile(
+            np.array([-1, 0, 1], np.int64), len(cents)
+        )
+        all_ids = np.concatenate([ids, r_ids])
+        all_seg = np.concatenate([seg, r_seg])
+        all_cents = np.concatenate([cents, r_cents])
+        all_band = np.concatenate([l_band, r_band])
+        side = np.concatenate(
+            [np.zeros(len(ids), np.int8), np.ones(len(r_ids), np.int8)]
+        )
+        key_str = pa.array(
+            np.char.add(
+                np.char.add(all_seg.astype("U"), "\x1f"),
+                all_band.astype("U"),
+            )
+        )
+        bk = (_fnv64_arr(key_str) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "id": pa.array(all_ids, pa.int64()),
+                "seg": pa.array(all_seg, pa.string()),
+                "cents": pa.array(all_cents, pa.int64()),
+                "band": pa.array(all_band, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "bucket": pa.array(bk, pa.int32()),
+            }
+        )
+
+    tagged = cust.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cust_a": pd.Series([], dtype="int64"),
+                "cust_b": pd.Series([], dtype="int64"),
+            }
+        )
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if left.empty or right.empty:
+            return empty
+        m = left.merge(right, on=["seg", "band"], suffixes=("_l", "_r"))
+        keep = ((m["cents_l"] - m["cents_r"]).abs() < band_cents) & (
+            m["id_l"] < m["id_r"]
+        )
+        m = m[keep]
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "cust_a": m["id_l"].astype("int64"),
+                "cust_b": m["id_r"].astype("int64"),
+            }
+        )
+
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty and "cust_a" not in out.columns:
+        # Ray drops the schema when every block is empty
+        out = pd.DataFrame(
+            {
+                "cust_a": pd.Series([], dtype="int64"),
+                "cust_b": pd.Series([], dtype="int64"),
+            }
+        )
+    out = out.astype({"cust_a": "int64", "cust_b": "int64"})
+    return out.sort_values(["cust_a", "cust_b"]).reset_index(drop=True)
+
+
+J08_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+FROM customer a JOIN customer b
+  ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+WHERE abs(CAST(floor(a.c_acctbal * 100 + 0.5) AS BIGINT)
+        - CAST(floor(b.c_acctbal * 100 + 0.5) AS BIGINT)) < 10
+"""
+
+
+def a11_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION profile of the embedding column: n, sum, min,
+    max of the 1e-3-quantized components — the vector-health
+    diagnostic (dead dimensions, scale drift, clipping) a similarity
+    pipeline runs before trusting distances; also the registry's
+    nested-list aggregation witness (unnest-equivalent compute kept
+    entirely inside the Arrow list representation, zero per-row
+    Python, zero unnest explosion).
+
+    Integer-exact: components quantize to int64 BEFORE any reduce, so
+    aggregation order cannot change a bit.
+
+    Scale shape: pure streaming — each batch reduces its list column
+    to ONE 64-row (dim, n, sum, min, max) partial via a single matrix
+    view (no unnest materialization); the driver combine is
+    dimension-bounded."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.ann import _as_matrix
+
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        return pd.DataFrame(
+            {
+                "i": np.arange(1, dim + 1, dtype=np.int64),
+                "n": np.full(dim, q.shape[0], np.int64),
+                "sum_q": q.sum(axis=0),
+                "min_q": q.min(axis=0),
+                "max_q": q.max(axis=0),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    out = parts.groupby("i", as_index=False).agg(
+        n=("n", "sum"),
+        sum_q=("sum_q", "sum"),
+        min_q=("min_q", "min"),
+        max_q=("max_q", "max"),
+    )
+    out = out.astype(
+        {"i": "int64", "n": "int64", "sum_q": "int64",
+         "min_q": "int64", "max_q": "int64"}
+    )
+    return out.sort_values("i").reset_index(drop=True)
+
+
+A11_SQL = """
+SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(MIN(q) AS BIGINT) AS min_q,
+       CAST(MAX(q) AS BIGINT) AS max_q
+FROM (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings)
+GROUP BY i
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -13394,4 +13572,6 @@ REGISTRY: dict[str, tuple] = {
     "w18_session_paths": (w18_session_paths, W18_SQL),
     "r06_semiadditive_last": (r06_semiadditive_last, R06_SQL),
     "g10_degree_histogram": (g10_degree_histogram, G10_SQL),
+    "j08_band_join": (j08_band_join, J08_SQL),
+    "a11_embedding_dim_stats": (a11_embedding_dim_stats, A11_SQL),
 }

@@ -119,3 +119,30 @@ def test_w17_brute_force(ray_session):
             in_w = (us <= us[i]) & (us > us[i] - W)
             best = max(best, len(set(ty[in_w])))
         assert out[uid] == best, uid
+
+
+def test_j08_brute_force_and_no_dupes(ray_session):
+    """Band self-join re-derived by brute force; mirror/self pairs and
+    replication duplicates must not appear."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import j08_band_join
+
+    out = j08_band_join(SF)
+    assert not out.duplicated(["cust_a", "cust_b"]).any()
+    assert (out["cust_a"] < out["cust_b"]).all()
+    c = pq.read_table(
+        SF + "/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).to_pandas()
+    cents = np.floor(c["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    expect = set()
+    ids = c["c_custkey"].to_numpy(np.int64)
+    seg = c["c_mktsegment"].to_numpy(object)
+    for i in range(len(c)):
+        for j in range(i + 1, len(c)):
+            if seg[i] == seg[j] and abs(int(cents[i]) - int(cents[j])) < 10:
+                expect.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = set(zip(out["cust_a"], out["cust_b"]))
+    assert got == expect
