@@ -13366,6 +13366,135 @@ GROUP BY i
 """
 
 
+def w19_decay_score(sf_dir: str, max_age_days: int = 30, n_buckets: int = 64):
+    """Time-decayed activity score per user: sum of value * 2^-age_days
+    relative to the corpus' max timestamp — the freshness-weighted
+    engagement measure behind recency ranking and churn scoring.
+
+    EXACT despite the decay: ages cap at ``max_age_days`` and the
+    score is emitted as the INTEGER numerator
+    ``sum(cents << (max_age - age))`` (i.e. score scaled by
+    2^max_age), so both sides sum int64 shifts — no float powers, no
+    association drift.  Worst case fits: 1e5-cent values * 2^30 * 67
+    events/user ~ 7e15 << 2^63.
+
+    Scale shape: one tiny global-max pass (one row per batch), then a
+    user-bounded bucketed_sum of shifted integers."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"mx": pa.array([int(pc.max(us).as_py())], pa.int64())})
+
+    now_us = int(
+        ds.map_batches(max_partial, batch_format="pyarrow").to_pandas()["mx"].max()
+    )
+    now_day = now_us // 86_400_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        age = np.minimum(now_day - us // 86_400_000_000, max_age_days)
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        score = cents << (max_age_days - age)
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "score_num": score,
+            }
+        )
+        return df.groupby("user_id", as_index=False)["score_num"].sum()
+
+    out = (
+        bucketed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["user_id"],
+            ["score_num"],
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .astype({"user_id": "int64", "score_num": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+W19_SQL = """
+WITH mx AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS now_day
+  FROM events),
+e AS (
+  SELECT user_id,
+         LEAST(mx.now_day - epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000,
+               30) AS age,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events CROSS JOIN mx)
+SELECT user_id,
+       CAST(SUM(cents << CAST(30 - age AS INTEGER)) AS BIGINT) AS score_num
+FROM e GROUP BY user_id
+"""
+
+
+def n09_benford_digits(sf_dir: str):
+    """Benford first-significant-digit profile of order totals — the
+    forensic-accounting distribution check (fraudulent or synthetic
+    value columns drift from log-uniform digit frequencies).  Emits
+    the (digit, n) counts; the chi-square against Benford expectations
+    is a 9-row driver decision downstream.
+
+    Integer-exact: the first digit is derived from the CENTS integer
+    by repeated /10 (no float log10, whose boundary ulps could flip a
+    digit), and the output is pure counts.
+
+    Scale shape: per-batch bincount partials over a 9-key space —
+    the exchange is 9 rows x blocks through one tiny reduce."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        cents = cents[cents > 0]
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        counts = np.bincount(cents, minlength=10)[1:10]
+        return pd.DataFrame(
+            {
+                "digit": np.arange(1, 10, dtype=np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    out = (
+        bucketed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["digit"],
+            ["n"],
+        )
+        .to_pandas()
+        .astype({"digit": "int64", "n": "int64"})
+    )
+    out = out[out["n"] > 0]
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+N09_SQL = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE floor(o_totalprice * 100 + 0.5) > 0),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY digit HAVING COUNT(*) > 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -13574,4 +13703,6 @@ REGISTRY: dict[str, tuple] = {
     "g10_degree_histogram": (g10_degree_histogram, G10_SQL),
     "j08_band_join": (j08_band_join, J08_SQL),
     "a11_embedding_dim_stats": (a11_embedding_dim_stats, A11_SQL),
+    "w19_decay_score": (w19_decay_score, W19_SQL),
+    "n09_benford_digits": (n09_benford_digits, N09_SQL),
 }
