@@ -13495,6 +13495,201 @@ FROM d GROUP BY digit HAVING COUNT(*) > 0
 """
 
 
+def p05_length_buckets(sf_dir: str, bucket_width: int = 16):
+    """Sequence-length bucketing profile for training-batch packing:
+    per token-length bucket (len // 16), the doc count, bucket max
+    length and the PADDING WASTE a pad-to-bucket-max batcher would pay
+    (n*max - sum(len)) — the measurement that decides bucket
+    granularity before a packing run (p01 packs a fixed order; this
+    profiles the length distribution the packer consumes).
+
+    Scale shape: zero shuffle — per-batch integer partials over a
+    ~7-key bucket space (n, sum, max per bucket) with a bucket-bounded
+    driver combine."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        dl, _ = _bm25_doc_stats(batch, ())
+        ln = dl.astype(np.int64)
+        df = pd.DataFrame({"bucket": ln // bucket_width, "l": ln, "n_docs": 1})
+        return df.groupby("bucket", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_l=("l", "sum"), max_len=("l", "max")
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    agg = parts.groupby("bucket", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_l=("sum_l", "sum"), max_len=("max_len", "max")
+    )
+    out = pd.DataFrame(
+        {
+            "bucket": agg["bucket"].astype("int64"),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "max_len": agg["max_len"].astype("int64"),
+            "pad_waste": (
+                agg["n_docs"].to_numpy(np.int64)
+                * agg["max_len"].to_numpy(np.int64)
+                - agg["sum_l"].to_numpy(np.int64)
+            ),
+        }
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+P05_SQL = """
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS l
+  FROM documents)
+SELECT l // 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(l) AS BIGINT) AS max_len,
+       CAST(COUNT(*) * MAX(l) - SUM(l) AS BIGINT) AS pad_waste
+FROM d GROUP BY 1
+"""
+
+
+def v06_order_audit(sf_dir: str, n_buckets: int = 64):
+    """Out-of-order ingestion audit: per user, how many events arrive
+    with a DECREASING event_id when replayed in timestamp order — the
+    disorder-rate diagnostic that sizes watermarks and reorder buffers
+    (i03 classifies late events against a fixed watermark; this
+    measures the disorder itself, no watermark assumed).
+
+    Scale shape: ONE user-hash bucket shuffle; per bucket a sort +
+    shifted compare inside user runs (all vectorized), user-sized
+    output."""
+    from ..stages.dedup import _fnv64_arr
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        uid = batch["user_id"].combine_chunks()
+        b = (
+            _fnv64_arr(pc.cast(uid, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "us": us,
+                "event_id": batch["event_id"],
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_ooo": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        same_user = np.zeros(len(g), bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        inv = np.zeros(len(g), bool)
+        inv[1:] = eid[1:] < eid[:-1]
+        df = pd.DataFrame(
+            {"user_id": uid, "ooo": (same_user & inv).astype(np.int64), "n": 1}
+        )
+        out = df.groupby("user_id", as_index=False).agg(
+            n_ooo=("ooo", "sum"), n_events=("n", "sum")
+        )
+        return out.astype(
+            {"user_id": "int64", "n_ooo": "int64", "n_events": "int64"}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(audit, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "n_ooo": "int64", "n_events": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+V06_SQL = """
+WITH o AS (
+  SELECT user_id, event_id,
+         LAG(event_id) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                      event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL AND event_id < prev)
+            AS BIGINT) AS n_ooo,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+def k03_cluster_profile(sf_dir: str):
+    """Per-cluster vector profile over the LABELED embeddings: n_vecs,
+    the quantized component sum and the quantized energy (sum of
+    squared components) per label — the cluster-health diagnostic
+    (collapsed clusters have tiny energy spread; mislabeled ones drift
+    in mean) that complements k01/k02's assignment with per-cluster
+    sufficient statistics, all INTEGER so the oracle is bit-exact.
+
+    Scale shape: zero shuffle — per-batch label-grouped integer
+    partials from one matrix view, label-bounded driver combine."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.ann import _as_matrix
+
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "label": lab,
+                "n_vecs": 1,
+                "sum_q": q.sum(axis=1),
+                "energy_q": (q * q).sum(axis=1),
+            }
+        )
+        return df.groupby("label", as_index=False)[
+            ["n_vecs", "sum_q", "energy_q"]
+        ].sum()
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    out = (
+        parts.groupby("label", as_index=False)[["n_vecs", "sum_q", "energy_q"]]
+        .sum()
+        .astype(
+            {"label": "int64", "n_vecs": "int64", "sum_q": "int64",
+             "energy_q": "int64"}
+        )
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+K03_SQL = """
+WITH q AS (
+  SELECT label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS qq
+  FROM embeddings),
+v AS (SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label),
+s AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(SUM(qq) AS BIGINT) AS sum_q,
+             CAST(SUM(qq * qq) AS BIGINT) AS energy_q
+      FROM q GROUP BY label)
+SELECT v.label, v.n_vecs, s.sum_q, s.energy_q
+FROM v JOIN s USING (label)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -13705,4 +13900,7 @@ REGISTRY: dict[str, tuple] = {
     "a11_embedding_dim_stats": (a11_embedding_dim_stats, A11_SQL),
     "w19_decay_score": (w19_decay_score, W19_SQL),
     "n09_benford_digits": (n09_benford_digits, N09_SQL),
+    "p05_length_buckets": (p05_length_buckets, P05_SQL),
+    "v06_order_audit": (v06_order_audit, V06_SQL),
+    "k03_cluster_profile": (k03_cluster_profile, K03_SQL),
 }
