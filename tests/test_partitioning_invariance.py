@@ -206,3 +206,30 @@ def test_remove_duplicated_spans_strategy_equivalence(ray_session):
         frames.append(out)
     assert frames[0]["n_removed"].sum() > 0  # the corpus has real dups
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_session_ops_invariant_to_bucket_count(ray_session):
+    """The new bucketed session/audit ops must emit identical results
+    at any bucket count (the two-cluster-size rule's analogue)."""
+    from naer_ray.pipelines.queries import (
+        j08_band_join,
+        r06_semiadditive_last,
+        v06_order_audit,
+        w17_sliding_distinct,
+        w18_session_paths,
+        w19_decay_score,
+    )
+
+    for fn, kwargs in (
+        (w17_sliding_distinct, {}),
+        (w18_session_paths, {}),
+        (r06_semiadditive_last, {}),
+        (j08_band_join, {}),
+        (v06_order_audit, {}),
+        (w19_decay_score, {}),
+    ):
+        a = fn(SF, n_buckets=8, **kwargs)
+        b = fn(SF, n_buckets=61, **kwargs)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
