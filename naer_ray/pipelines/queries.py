@@ -13690,6 +13690,152 @@ FROM v JOIN s USING (label)
 """
 
 
+def w20_calendar_profile(sf_dir: str):
+    """Calendar activity heatmap: event counts per (day-of-week, hour)
+    — the seasonality profile behind traffic shaping and anomaly
+    baselines.  Day-of-week is the CLOSED-FORM ``(epoch_days + 4) % 7``
+    (1970-01-01 was a Thursday; 0 = Sunday to match DuckDB's
+    ``dayofweek``) computed identically on both sides — no library
+    calendar whose week-start convention could differ.
+
+    Scale shape: zero shuffle beyond one 168-key bucketed reduce —
+    per-batch integer bincounts over dow*24+hour."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        counts = np.bincount(key, minlength=168)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "dow": (nz // 24).astype(np.int64),
+                "hour": (nz % 24).astype(np.int64),
+                "n": counts[nz].astype(np.int64),
+            }
+        )
+
+    out = (
+        bucketed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["dow", "hour"],
+            ["n"],
+        )
+        .to_pandas()
+        .astype({"dow": "int64", "hour": "int64", "n": "int64"})
+    )
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+W20_SQL = """
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+SELECT (us // 86400000000 + 4) % 7 AS dow,
+       (us // 3600000000) % 24 AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
+def v07_join_cardinality(sf_dir: str):
+    """EXACT join-cardinality planning stats for events JOIN orders on
+    user/customer key: the join row count Σ_k cA(k)·cB(k), the
+    matching-key count and each side's distinct keys — the number a
+    shuffle-join planner needs BEFORE paying the join (v04 reports one
+    table's skew; this prices the pairing), computed without
+    materializing a single joined row.
+
+    Scale shape: two key-bounded count reduces (one per side) meet in
+    ONE co-partitioned combine keyed by the join key; the output is 1
+    row.  At no point does anything event x order shaped exist."""
+    from ..stages.agg import bucketed_sum
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt(col):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            ids = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, c = np.unique(ids, return_counts=True)
+            return pd.DataFrame({"key": uniq, "c": c.astype(np.int64)})
+
+        return f
+
+    ca = bucketed_sum(
+        ev.map_batches(cnt("user_id"), batch_format="pyarrow", batch_size=65536),
+        ["key"],
+        ["c"],
+    )
+    cb = bucketed_sum(
+        od.map_batches(cnt("o_custkey"), batch_format="pyarrow", batch_size=65536),
+        ["key"],
+        ["c"],
+    )
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["key", "c"]].copy()
+            out["side"] = np.int8(side)
+            out["bucket"] = (out["key"].to_numpy(np.int64) % 64).astype(np.int32)
+            return out
+
+        return f
+
+    both = ca.map_batches(tag(0), batch_format="pandas").union(
+        cb.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        m = a.merge(b, on="key", suffixes=("_a", "_b"))
+        jr = int((m["c_a"].to_numpy(np.int64) * m["c_b"].to_numpy(np.int64)).sum())
+        return pd.DataFrame(
+            {
+                "join_rows": pd.Series([jr], dtype="int64"),
+                "n_match_keys": pd.Series([len(m)], dtype="int64"),
+                "n_keys_a": pd.Series([len(a)], dtype="int64"),
+                "n_keys_b": pd.Series([len(b)], dtype="int64"),
+            }
+        )
+
+    parts = (
+        both.groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sum()
+        .to_frame()
+        .T.astype(
+            {"join_rows": "int64", "n_match_keys": "int64",
+             "n_keys_a": "int64", "n_keys_b": "int64"}
+        )
+    )
+
+
+V07_SQL = """
+WITH a AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+b AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey),
+m AS (SELECT a.c AS ca, b.c AS cb FROM a JOIN b USING (key))
+SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_match_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_keys_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_keys_b
+FROM m
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -13903,4 +14049,6 @@ REGISTRY: dict[str, tuple] = {
     "p05_length_buckets": (p05_length_buckets, P05_SQL),
     "v06_order_audit": (v06_order_audit, V06_SQL),
     "k03_cluster_profile": (k03_cluster_profile, K03_SQL),
+    "w20_calendar_profile": (w20_calendar_profile, W20_SQL),
+    "v07_join_cardinality": (v07_join_cardinality, V07_SQL),
 }
