@@ -7220,21 +7220,34 @@ def x02_bm25_topk(sf_dir: str, k: int = 10):
     the identical double expression (same association, single
     divisions, <=2-term sums which IEEE addition makes order-free), so
     the ranking is stable; scores themselves stay out of the hash."""
+    cand = _bm25_ranked(sf_dir, ("hash", "vector"), k)
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(cand) + 1, dtype=np.int64),
+            "doc_id": cand["doc_id"].to_numpy(np.int64),
+        }
+    )
+
+
+def _bm25_ranked(sf_dir: str, q_tokens, topn: int) -> pd.DataFrame:
+    """Shared BM25 scorer (k1=1.2, b=0.75): the two streaming passes
+    behind x02 and the lexical arm of x10 — ONE implementation so the
+    two queries can never diverge.  Returns the global top-``topn``
+    (doc_id, score) ordered (score DESC, doc_id ASC); per-batch local
+    top-``topn`` bounds the driver merge at blocks x topn rows."""
     import math
 
-    q_tokens = ("hash", "vector")
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         dl, tfs = _bm25_doc_stats(batch, q_tokens)
-        return pa.table(
-            {
-                "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
-                "total_len": pa.array([int(dl.sum())], pa.int64()),
-                "df_0": pa.array([int((tfs[0] > 0).sum())], pa.int64()),
-                "df_1": pa.array([int((tfs[1] > 0).sum())], pa.int64()),
-            }
-        )
+        cols = {
+            "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
+            "total_len": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i, tf in enumerate(tfs):
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
 
     st = (
         ds.map_batches(stats_partial, batch_format="pyarrow")
@@ -7251,7 +7264,7 @@ def x02_bm25_topk(sf_dir: str, k: int = 10):
     def score_topk(batch: pa.Table) -> pa.Table:
         dl, tfs = _bm25_doc_stats(batch, q_tokens)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        match = (tfs[0] + tfs[1]) > 0
+        match = np.sum(tfs, axis=0) > 0
         if not match.any():
             return pa.table(
                 {
@@ -7260,14 +7273,14 @@ def x02_bm25_topk(sf_dir: str, k: int = 10):
                 }
             )
         dlm = dl[match].astype(np.float64)
-        score = np.zeros(match.sum(), np.float64)
+        score = np.zeros(int(match.sum()), np.float64)
         for idf_t, tf in zip(idf, tfs):
             tfm = tf[match].astype(np.float64)
             score = score + idf_t * (
                 (tfm * 2.2) / (tfm + 1.2 * (0.25 + 0.75 * (dlm / avgdl)))
             )
         idsm = ids[match]
-        o = np.lexsort((idsm, -score))[:k]
+        o = np.lexsort((idsm, -score))[:topn]
         return pa.table(
             {
                 "doc_id": pa.array(idsm[o], pa.int64()),
@@ -7276,15 +7289,9 @@ def x02_bm25_topk(sf_dir: str, k: int = 10):
         )
 
     cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
-    cand = cand.sort_values(
+    return cand.sort_values(
         ["score", "doc_id"], ascending=[False, True]
-    ).head(k)
-    return pd.DataFrame(
-        {
-            "rnk": np.arange(1, len(cand) + 1, dtype=np.int64),
-            "doc_id": cand["doc_id"].to_numpy(np.int64),
-        }
-    )
+    ).head(topn)
 
 
 X02_SQL = """
@@ -12053,6 +12060,38 @@ FROM p JOIN s ON p.user_id = s.user_id
 """
 
 
+def _quantized_dot_ranked(sf_dir: str, topn: int) -> pd.DataFrame:
+    """Dense arm shared by x10 (and its re-derivation test): global
+    top-``topn`` (vec_id, dot) by the int64-quantized inner product
+    against the vec_id=0 query, ordered (dot DESC, vec_id ASC);
+    per-batch local top-``topn`` bounds the driver merge."""
+    t0 = _point_read_embeddings(sf_dir, [0])
+    q0 = np.asarray(t0["embedding"].to_pylist(), dtype=np.float64)[0]
+    qint = np.floor(q0 * 1000.0 + 0.5).astype(np.int64)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def vec_topk(batch: pa.Table) -> pa.Table:
+        from ..stages.ann import _as_matrix
+
+        mat = _as_matrix(batch["embedding"]).astype(np.float64)
+        dint = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        dots = dint @ qint
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, -dots))[:topn]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[o], pa.int64()),
+                "dot": pa.array(dots[o], pa.int64()),
+            }
+        )
+
+    ve = emb.map_batches(
+        vec_topk, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    return ve.sort_values(["dot", "vec_id"], ascending=[False, True]).head(topn)
+
+
 def x10_rrf_hybrid(sf_dir: str, k: int = 10, pool: int = 30, rrf_k: int = 60):
     """Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009):
     fuse the BM25 lexical ranking (x02's two-term query) with a
@@ -12073,60 +12112,8 @@ def x10_rrf_hybrid(sf_dir: str, k: int = 10, pool: int = 30, rrf_k: int = 60):
     vector pass, each keeping a LOCAL top-``pool`` per batch so the
     driver merges blocks x pool rows; the fusion itself is a
     pool-sized driver join.  Nothing shuffles."""
-    import math
-
-    q_tokens = ("hash", "vector")
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    # ---- lexical arm: BM25 (identical expression to x02) ----
-    def stats_partial(batch: pa.Table) -> pa.Table:
-        dl, tfs = _bm25_doc_stats(batch, q_tokens)
-        return pa.table(
-            {
-                "n_docs": pa.array([int((dl > 0).sum())], pa.int64()),
-                "total_len": pa.array([int(dl.sum())], pa.int64()),
-                "df_0": pa.array([int((tfs[0] > 0).sum())], pa.int64()),
-                "df_1": pa.array([int((tfs[1] > 0).sum())], pa.int64()),
-            }
-        )
-
-    st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
-    n_corpus = int(st["n_docs"])
-    avgdl = int(st["total_len"]) / n_corpus
-    idf = [
-        math.log((n_corpus - int(st[f"df_{i}"]) + 0.5) / (int(st[f"df_{i}"]) + 0.5))
-        for i in range(len(q_tokens))
-    ]
-
-    def bm25_topk(batch: pa.Table) -> pa.Table:
-        dl, tfs = _bm25_doc_stats(batch, q_tokens)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        match = (tfs[0] + tfs[1]) > 0
-        if not match.any():
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        dlm = dl[match].astype(np.float64)
-        score = np.zeros(int(match.sum()), np.float64)
-        for idf_t, tf in zip(idf, tfs):
-            tfm = tf[match].astype(np.float64)
-            score = score + idf_t * (
-                (tfm * 2.2) / (tfm + 1.2 * (0.25 + 0.75 * (dlm / avgdl)))
-            )
-        idsm = ids[match]
-        o = np.lexsort((idsm, -score))[:pool]
-        return pa.table(
-            {
-                "doc_id": pa.array(idsm[o], pa.int64()),
-                "score": pa.array(score[o], pa.float64()),
-            }
-        )
-
-    bm = docs.map_batches(bm25_topk, batch_format="pyarrow").to_pandas()
-    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True]).head(pool)
+    # ---- lexical arm: the SHARED x02 scorer (_bm25_ranked) ----
+    bm = _bm25_ranked(sf_dir, ("hash", "vector"), pool)
     bm_rank = pd.DataFrame(
         {
             "doc_id": bm["doc_id"].to_numpy(np.int64),
@@ -12135,29 +12122,7 @@ def x10_rrf_hybrid(sf_dir: str, k: int = 10, pool: int = 30, rrf_k: int = 60):
     )
 
     # ---- dense arm: quantized inner product vs vec_id=0 ----
-    t0 = _point_read_embeddings(sf_dir, [0])
-    q0 = np.asarray(t0["embedding"].to_pylist(), dtype=np.float64)[0]
-    qint = np.floor(q0 * 1000.0 + 0.5).astype(np.int64)
-
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def vec_topk(batch: pa.Table) -> pa.Table:
-        from ..stages.ann import _as_matrix
-
-        mat = _as_matrix(batch["embedding"]).astype(np.float64)
-        dint = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
-        dots = dint @ qint
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.lexsort((ids, -dots))[:pool]
-        return pa.table(
-            {
-                "vec_id": pa.array(ids[o], pa.int64()),
-                "dot": pa.array(dots[o], pa.int64()),
-            }
-        )
-
-    ve = emb.map_batches(vec_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    ve = ve.sort_values(["dot", "vec_id"], ascending=[False, True]).head(pool)
+    ve = _quantized_dot_ranked(sf_dir, pool)
     ve_rank = pd.DataFrame(
         {
             "doc_id": ve["vec_id"].to_numpy(np.int64),
@@ -12233,7 +12198,8 @@ FROM fused ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
-def g09_shortest_paths(sf_dir: str, rounds: int = 3):
+def g09_shortest_paths(sf_dir: str, rounds: int = 3,
+                       node_threshold: int = 50_000_000):
     """Bounded-hop WEIGHTED shortest paths (Bellman-Ford, ``rounds``
     relaxation rounds) from the g04 seed set over the shared
     co-purchase graph, with deterministic integer edge weights
@@ -12247,36 +12213,32 @@ def g09_shortest_paths(sf_dir: str, rounds: int = 3):
     batch relaxes its edges vectorized (searchsorted into the sorted
     dist arrays, both directions) and emits per-batch PARTIAL MINS, so
     the driver pull is bounded by blocks x distinct-dst-per-block; no
-    shuffle per round.  Above the g01 node gate the same co-partition
-    fallback applies (dist co-partitioned with edges).
+    shuffle per round.  The node set itself arrives through a
+    bucketed DISTINCT (never raw endpoint concatenation), and a
+    ``node_threshold`` gate guards the node-sized driver state: above
+    it this implementation raises — the scale path is the g04
+    ``_bfs_copartition`` shape (dist co-partitioned with edges) with a
+    min-combine, not yet wired here.
 
     Oracle: fixed-round unrolled MATERIALIZED CTEs (the g08 lesson —
     plain CTEs inline exponentially)."""
     import ray
 
+    from ..stages.agg import bucketed_sum
+
     edges = _copurchase_edges(sf_dir)
 
-    # seed dist map
-    first = (
-        edges.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "id": np.unique(
-                        np.concatenate(
-                            [
-                                b["u"].to_numpy(np.int64),
-                                b["v"].to_numpy(np.int64),
-                            ]
-                        )
-                    )
-                }
-            ),
-            batch_format="pandas",
+    us_ds = bucketed_sum(edges, ["u"], [], count_col="n").materialize()
+    vs_ds = bucketed_sum(edges, ["v"], [], count_col="n").materialize()
+    if us_ds.count() + vs_ds.count() > node_threshold:
+        raise NotImplementedError(
+            "g09 above the node gate: use the co-partitioned relax "
+            "(g04 _bfs_copartition shape with a min-combine)"
         )
-        .to_pandas()["id"]
-        .to_numpy(np.int64)
+    nodes = np.union1d(
+        us_ds.to_pandas()["u"].to_numpy(np.int64),
+        vs_ds.to_pandas()["v"].to_numpy(np.int64),
     )
-    nodes = np.unique(first)
     seeds = nodes[nodes % 70 == 0]
     dist_ids = seeds.copy()
     dist_vals = np.zeros(len(seeds), np.int64)
@@ -12810,7 +12772,7 @@ FROM r WHERE rk = 1
 """
 
 
-def e07_entity_density(sf_dir: str):
+def e07_entity_density(sf_dir: str, n_buckets: int = 64):
     """Per-CONVERSATION entity density over the derived transcripts:
     n_turns, n_hits (turn x entity presence pairs) and n_entities
     (distinct dictionary entities mentioned anywhere in the conv) —
@@ -12842,7 +12804,7 @@ def e07_entity_density(sf_dir: str):
         mask = np.zeros(n_conv, np.int64)
         np.bitwise_or.at(mask, conv_of_hit, np.int64(1) << c)
         uniq_arr = pa.array(uniq, pa.string())
-        b = (_fnv64_arr(uniq_arr) % np.uint64(64)).astype(np.int32)
+        b = (_fnv64_arr(uniq_arr) % np.uint64(n_buckets)).astype(np.int32)
         return pa.table(
             {
                 "conv_id": uniq_arr,
@@ -13745,7 +13707,7 @@ FROM e GROUP BY 1, 2
 """
 
 
-def v07_join_cardinality(sf_dir: str):
+def v07_join_cardinality(sf_dir: str, n_buckets: int = 64):
     """EXACT join-cardinality planning stats for events JOIN orders on
     user/customer key: the join row count Σ_k cA(k)·cB(k), the
     matching-key count and each side's distinct keys — the number a
@@ -13784,7 +13746,9 @@ def v07_join_cardinality(sf_dir: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch[["key", "c"]].copy()
             out["side"] = np.int8(side)
-            out["bucket"] = (out["key"].to_numpy(np.int64) % 64).astype(np.int32)
+            out["bucket"] = (
+                out["key"].to_numpy(np.int64) % n_buckets
+            ).astype(np.int32)
             return out
 
         return f

@@ -212,9 +212,11 @@ def test_session_ops_invariant_to_bucket_count(ray_session):
     """The new bucketed session/audit ops must emit identical results
     at any bucket count (the two-cluster-size rule's analogue)."""
     from naer_ray.pipelines.queries import (
+        e07_entity_density,
         j08_band_join,
         r06_semiadditive_last,
         v06_order_audit,
+        v07_join_cardinality,
         w17_sliding_distinct,
         w18_session_paths,
         w19_decay_score,
@@ -227,6 +229,8 @@ def test_session_ops_invariant_to_bucket_count(ray_session):
         (j08_band_join, {}),
         (v06_order_audit, {}),
         (w19_decay_score, {}),
+        (e07_entity_density, {}),
+        (v07_join_cardinality, {}),
     ):
         a = fn(SF, n_buckets=8, **kwargs)
         b = fn(SF, n_buckets=61, **kwargs)

@@ -37,15 +37,35 @@ def test_g09_dominated_by_hops(ray_session):
     assert (w[hops == 0] == 0).all()
 
 
-def test_x10_contains_both_arms(ray_session):
-    """The fused top-10 must draw from the union of the two arm
-    top-30s, and a doc ranked #1 in BOTH arms would rank #1 fused."""
-    from naer_ray.pipelines.queries import x10_rrf_hybrid
+def test_x10_rederives_from_arms(ray_session):
+    """Re-derive the RRF fusion independently from the two shared arm
+    helpers and compare to x10's output exactly: the fused top-10 must
+    equal rank-merging the BM25 top-30 and the quantized-dot top-30
+    with score = 1/(60+r_bm) + 1/(60+r_vec), ties (score DESC, doc_id
+    ASC)."""
+    import numpy as np
+
+    from naer_ray.pipelines.queries import (
+        _bm25_ranked,
+        _quantized_dot_ranked,
+        x10_rrf_hybrid,
+    )
 
     out = x10_rrf_hybrid(SF)
-    assert list(out.columns) == ["rnk", "doc_id"]
+    bm = _bm25_ranked(SF, ("hash", "vector"), 30)
+    ve = _quantized_dot_ranked(SF, 30)
+    score = {}
+    for r, d in enumerate(bm["doc_id"], start=1):
+        score[int(d)] = score.get(int(d), 0.0) + 1.0 / (60 + r)
+    for r, d in enumerate(ve["vec_id"], start=1):
+        score[int(d)] = score.get(int(d), 0.0) + 1.0 / (60 + r)
+    expect = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(out["doc_id"]) == [d for d, _ in expect]
     assert list(out["rnk"]) == list(range(1, len(out) + 1))
-    assert out["doc_id"].is_unique
+    # both arms must actually contribute to the fused pool
+    fused_ids = set(out["doc_id"])
+    assert fused_ids & set(int(d) for d in bm["doc_id"])
+    assert fused_ids & set(int(d) for d in ve["vec_id"])
 
 
 def test_tga_codec_roundtrip_and_packets():
