@@ -12198,6 +12198,166 @@ FROM fused ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _sssp_copartition(edges, rounds: int, n_buckets: int = 64):
+    """Weighted shortest paths for graphs whose node set exceeds
+    driver RAM — the co-partition fallback of g09's dense path: the
+    (node, dist) state is a DISTRIBUTED dataset co-partitioned with
+    the bidirected weighted edges by node hash; each Bellman-Ford
+    round is two bucketed exchanges (relax emit pre-minned per dst,
+    min reduce) and the driver only ever sees the improved-count
+    scalar.  Seeds (node % 70 == 0), weights ((u+v) % 19 + 1) and the
+    fixed round count are identical to the dense path, so the same
+    unrolled SQL oracle gates both paths (forced-path test in
+    tests/test_round5_ops5.py)."""
+
+    def edge_tagged(batch: pd.DataFrame) -> pa.Table:
+        u = batch["u"].to_numpy(np.int64)
+        v = batch["v"].to_numpy(np.int64)
+        w1 = (u + v) % 19 + 1
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        w = np.concatenate([w1, w1])
+        m = len(src)
+        return pa.table(
+            {
+                "node": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "dist": pa.nulls(m, pa.int64()),
+                "kind": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(src, n_buckets), pa.int32()),
+            }
+        )
+
+    edges_t = edges.map_batches(
+        edge_tagged, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def seed_rows(batch: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+            )
+        )
+        seeds = nodes[nodes % 70 == 0]
+        m = len(seeds)
+        return pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dst": pa.nulls(m, pa.int64()),
+                "w": pa.nulls(m, pa.int64()),
+                "dist": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                "bucket": pa.array(_graph_bucket(seeds, n_buckets), pa.int32()),
+            }
+        )
+
+    state = edges.map_batches(
+        seed_rows, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    for _ in range(rounds):
+
+        def relax(group: pa.Table) -> pa.Table:
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            node = group["node"].to_numpy(zero_copy_only=False)
+            st = kind == 1
+            s_nodes = node[st]
+            s_dist = group["dist"].to_numpy(zero_copy_only=False)[st].astype(
+                np.int64
+            )
+            o = np.argsort(s_nodes, kind="stable")
+            s_nodes, s_dist = s_nodes[o], s_dist[o]
+            e = kind == 0
+            e_src = node[e]
+            e_dst = group["dst"].to_numpy(zero_copy_only=False)[e].astype(
+                np.int64
+            )
+            e_w = group["w"].to_numpy(zero_copy_only=False)[e].astype(np.int64)
+            if len(s_nodes) and len(e_src):
+                pos = np.searchsorted(s_nodes, e_src)
+                pos[pos >= len(s_nodes)] = 0
+                hit = s_nodes[pos] == e_src
+                out_dst = e_dst[hit]
+                out_d = s_dist[pos[hit]] + e_w[hit]
+                # pre-min per dst before the exchange
+                oo = np.lexsort((out_d, out_dst))
+                out_dst, out_d = out_dst[oo], out_d[oo]
+                first = np.r_[True, out_dst[1:] != out_dst[:-1]]
+                out_dst, out_d = out_dst[first], out_d[first]
+            else:
+                out_dst = np.empty(0, np.int64)
+                out_d = np.empty(0, np.int64)
+            m = len(out_dst)
+            return pa.table(
+                {
+                    "node": pa.array(out_dst, pa.int64()),
+                    "dst": pa.nulls(m, pa.int64()),
+                    "w": pa.nulls(m, pa.int64()),
+                    "dist": pa.array(out_d, pa.int64()),
+                    "kind": pa.array(np.full(m, 2, np.int8), pa.int8()),
+                    "newly": pa.array(np.zeros(m, np.int8), pa.int8()),
+                    "bucket": pa.array(
+                        _graph_bucket(out_dst, n_buckets), pa.int32()
+                    ),
+                }
+            )
+
+        msgs = (
+            state.union(edges_t).groupby("bucket").map_groups(
+                relax, batch_format="pyarrow"
+            )
+        )
+
+        def reduce_min(group: pa.Table) -> pa.Table:
+            node = group["node"].to_numpy(zero_copy_only=False)
+            dist = group["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+            kind = group["kind"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((dist, node))
+            node, dist, kind = node[order], dist[order], kind[order]
+            first = np.r_[True, node[1:] != node[:-1]]
+            out_node = node[first]
+            out_dist = dist[first]  # min dist per node (lexsort)
+            # improved = node had no prior state, or min beats prior state
+            old = np.full(len(out_node), np.iinfo(np.int64).max, np.int64)
+            st = kind == 1
+            if st.any():
+                pos = np.searchsorted(out_node, node[st])
+                np.minimum.at(old, pos, dist[st])
+            m = len(out_node)
+            return pa.table(
+                {
+                    "node": pa.array(out_node, pa.int64()),
+                    "dst": pa.nulls(m, pa.int64()),
+                    "w": pa.nulls(m, pa.int64()),
+                    "dist": pa.array(out_dist, pa.int64()),
+                    "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+                    "newly": pa.array(
+                        (out_dist < old).astype(np.int8), pa.int8()
+                    ),
+                    "bucket": pa.array(
+                        _graph_bucket(out_node, n_buckets), pa.int32()
+                    ),
+                }
+            )
+
+        state = (
+            msgs.union(state).groupby("bucket").map_groups(
+                reduce_min, batch_format="pyarrow"
+            )
+        ).materialize()
+        if not state.sum("newly"):
+            break
+
+    df = state.select_columns(["node", "dist"]).to_pandas()
+    df = df.rename(columns={"node": "node_id"}).astype(
+        {"node_id": "int64", "dist": "int64"}
+    )
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
 def g09_shortest_paths(sf_dir: str, rounds: int = 3,
                        node_threshold: int = 50_000_000):
     """Bounded-hop WEIGHTED shortest paths (Bellman-Ford, ``rounds``
@@ -12216,9 +12376,10 @@ def g09_shortest_paths(sf_dir: str, rounds: int = 3,
     shuffle per round.  The node set itself arrives through a
     bucketed DISTINCT (never raw endpoint concatenation), and a
     ``node_threshold`` gate guards the node-sized driver state: above
-    it this implementation raises — the scale path is the g04
-    ``_bfs_copartition`` shape (dist co-partitioned with edges) with a
-    min-combine, not yet wired here.
+    it :func:`_sssp_copartition` keeps the dist state distributed and
+    co-partitioned with the edges (the g04 ``_bfs_copartition`` shape
+    with a min-combine; forced-path equivalence test pins both paths
+    to the same oracle).
 
     Oracle: fixed-round unrolled MATERIALIZED CTEs (the g08 lesson —
     plain CTEs inline exponentially)."""
@@ -12231,10 +12392,7 @@ def g09_shortest_paths(sf_dir: str, rounds: int = 3,
     us_ds = bucketed_sum(edges, ["u"], [], count_col="n").materialize()
     vs_ds = bucketed_sum(edges, ["v"], [], count_col="n").materialize()
     if us_ds.count() + vs_ds.count() > node_threshold:
-        raise NotImplementedError(
-            "g09 above the node gate: use the co-partitioned relax "
-            "(g04 _bfs_copartition shape with a min-combine)"
-        )
+        return _sssp_copartition(edges, rounds)
     nodes = np.union1d(
         us_ds.to_pandas()["u"].to_numpy(np.int64),
         vs_ds.to_pandas()["v"].to_numpy(np.int64),

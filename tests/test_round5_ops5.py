@@ -166,3 +166,17 @@ def test_j08_brute_force_and_no_dupes(ray_session):
                 expect.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     got = set(zip(out["cust_a"], out["cust_b"]))
     assert got == expect
+
+
+def test_g09_forced_copartition_equivalence(ray_session):
+    """node_threshold=0 forces the distributed min-plus path; it must
+    emit exactly the dense driver-reduce result."""
+    import pandas as pd
+
+    from naer_ray.pipelines.queries import g09_shortest_paths
+
+    dense = g09_shortest_paths(SF)
+    dist = g09_shortest_paths(SF, node_threshold=0)
+    pd.testing.assert_frame_equal(
+        dense.reset_index(drop=True), dist.reset_index(drop=True)
+    )
