@@ -13958,6 +13958,203 @@ FROM m
 """
 
 
+def n10_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    English and non-English doc-length distributions, in PURE
+    INTEGERS: the KS numerator max_v |ca(v)*nb - cb(v)*na| (the D
+    statistic times na*nb) plus both sample sizes — D itself is one
+    division downstream, so no float CDF ever exists on either side.
+    The distribution-shift gate batch curation runs between corpus
+    snapshots or language slices (t16 compares token histograms by
+    total-variation; KS bounds the max CDF gap, which TV cannot).
+
+    Scale shape: the n03/n06 value-histogram discipline — one
+    (value)-keyed reduce whose exchange is bounded by distinct values
+    x blocks, never rows; the driver takes the max over the tiny
+    cumulative table."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        is_en = (
+            pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+        )
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"v": v, "a": is_en.astype(np.int64), "b": (~is_en).astype(np.int64)}
+        )
+        return df.groupby("v", as_index=False)[["a", "b"]].sum()
+
+    hist = (
+        bucketed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["v"],
+            ["a", "b"],
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    ca = hist["a"].to_numpy(np.int64).cumsum()
+    cb = hist["b"].to_numpy(np.int64).cumsum()
+    na, nb = int(ca[-1]), int(cb[-1])
+    ks_num = int(np.abs(ca * nb - cb * na).max())
+    return pd.DataFrame(
+        {
+            "ks_num": pd.Series([ks_num], dtype="int64"),
+            "n_a": pd.Series([na], dtype="int64"),
+            "n_b": pd.Series([nb], dtype="int64"),
+        }
+    )
+
+
+N10_SQL = """
+WITH h AS (
+  SELECT n_chars AS v,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS b
+  FROM documents GROUP BY n_chars),
+c AS (
+  SELECT SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+         (SELECT SUM(a) FROM h) AS na,
+         (SELECT SUM(b) FROM h) AS nb
+  FROM h)
+SELECT CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM c
+"""
+
+
+def v08_source_vocab_overlap(sf_dir: str, n_buckets: int = 64):
+    """Pairwise VOCABULARY overlap between sources: for every source
+    pair (a < b), the intersection size of their distinct-token sets
+    plus each side's vocab size — the corpus-similarity matrix
+    (Jaccard = inter/(n_a+n_b-inter) by one division downstream) that
+    decides which sources are redundant before a mixing run.
+
+    Scale shape: one (term)-keyed DISTINCT reduce bounds the exchange
+    by vocab x sources; each term's source set then emits its k<=20
+    in-order pairs (constant-bounded per term), and a pair-keyed sum
+    finishes — never anything docs x docs shaped."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def term_partial(batch: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        toks = pc.split_pattern(txt, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)[parents]
+        keep = flat != ""
+        df = pd.DataFrame({"term": flat[keep], "source": src[keep], "n": 1})
+        return df.groupby(["term", "source"], as_index=False)["n"].sum()
+
+    dist = bucketed_sum(
+        ds.map_batches(term_partial, batch_format="pyarrow", batch_size=8192),
+        ["term", "source"],
+        ["n"],
+        n_buckets=n_buckets,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_a": pd.Series([], dtype=object),
+                "src_b": pd.Series([], dtype=object),
+                "inter": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["term", "source"], kind="mergesort")
+        t = g["term"].to_numpy(object)
+        s = g["source"].to_numpy(object)
+        outs = []
+        j = 1
+        # distance-j in-order pairs inside each term run (the
+        # _copurchase_edges run technique; runs are <= n_sources long)
+        while True:
+            same = t[j:] == t[:-j]
+            if not same.any():
+                break
+            outs.append(
+                pd.DataFrame(
+                    {"src_a": s[:-j][same], "src_b": s[j:][same], "inter": 1}
+                )
+            )
+            j += 1
+        if not outs:
+            return empty
+        cat = pd.concat(outs)
+        return cat.groupby(["src_a", "src_b"], as_index=False)["inter"].sum()
+
+    def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import _fnv64_arr
+
+        if batch.empty:
+            batch["bucket"] = pd.Series([], dtype="int32")
+            return batch
+        h = _fnv64_arr(pa.array(batch["term"].astype(str), from_pandas=True))
+        batch = batch.copy()
+        batch["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    inter = bucketed_sum(
+        dist.map_batches(rebucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas"),
+        ["src_a", "src_b"],
+        ["inter"],
+    ).to_pandas()
+
+    sizes = (
+        dist.map_batches(
+            lambda b: b.groupby("source", as_index=False)
+            .size()
+            .rename(columns={"size": "vocab"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["vocab"]
+        .sum()
+    )
+    sz = dict(zip(sizes["source"], sizes["vocab"]))
+    out = pd.DataFrame(
+        {
+            "src_a": inter["src_a"].astype(object),
+            "src_b": inter["src_b"].astype(object),
+            "inter": inter["inter"].astype("int64"),
+            "n_a": inter["src_a"].map(sz).astype("int64"),
+            "n_b": inter["src_b"].map(sz).astype("int64"),
+        }
+    )
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+V08_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source, t FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+       FROM tok GROUP BY source),
+pr AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT pr.src_a, pr.src_b, pr.inter,
+       sa.vocab AS n_a, sb.vocab AS n_b
+FROM pr JOIN sz sa ON pr.src_a = sa.source
+        JOIN sz sb ON pr.src_b = sb.source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -14173,4 +14370,6 @@ REGISTRY: dict[str, tuple] = {
     "k03_cluster_profile": (k03_cluster_profile, K03_SQL),
     "w20_calendar_profile": (w20_calendar_profile, W20_SQL),
     "v07_join_cardinality": (v07_join_cardinality, V07_SQL),
+    "n10_ks_drift": (n10_ks_drift, N10_SQL),
+    "v08_source_vocab_overlap": (v08_source_vocab_overlap, V08_SQL),
 }
