@@ -14155,6 +14155,109 @@ FROM pr JOIN sz sa ON pr.src_a = sa.source
 """
 
 
+def i07_bitemporal_asof(sf_dir: str, valid: str = "2024-01-02",
+                        txn: str = "2024-01-04", n_buckets: int = 64):
+    """BITEMPORAL as-of read: each user's state effective at VALID
+    time V *as known at* TRANSACTION time T — the dual-clock query
+    (late-arriving corrections visible only after their ingest time)
+    that single-clock time travel (i06) cannot answer.  Valid time is
+    derived by the closed-form ``ts - (event_id % 7) days`` (facts
+    recorded up to a week after they take effect), identically on
+    both sides.  Winner per user: max (valid_ts, event_id) among rows
+    with txn <= T AND valid <= V.
+
+    Scale shape: BOTH clock predicates apply inside the scan (the
+    row-group pruning path at corpus scale); survivors ride ONE
+    user-hash bucket shuffle and a vectorized lexsort keep-first —
+    the i06 kernel with a second clock."""
+    from ..stages.dedup import _fnv64_arr
+
+    v_cut = int(np.datetime64(valid, "us").astype("int64"))
+    t_cut = int(np.datetime64(txn, "us").astype("int64"))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tt = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vt = tt - (eid % 7) * 86_400_000_000
+        keep = (tt <= t_cut) & (vt <= v_cut)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            keep
+        ]
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))[keep]
+        uid_arr = pa.array(uid, pa.int64())
+        b = (
+            _fnv64_arr(pc.cast(uid_arr, pa.string())) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid_arr,
+                "vt_us": pa.array(vt[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "vt_us": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "vt_us", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        first = ~g["user_id"].duplicated()
+        out = g[first][["user_id", "vt_us", "event_id", "cents"]]
+        return out.astype(
+            {"user_id": "int64", "vt_us": "int64",
+             "event_id": "int64", "cents": "int64"}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(keep_latest, batch_format="pandas")
+        .to_pandas()
+        .astype(
+            {"user_id": "int64", "vt_us": "int64",
+             "event_id": "int64", "cents": "int64"}
+        )
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+I07_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tt,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - (event_id % 7) * 86400000000 AS vt,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+f AS (
+  SELECT * FROM e
+  WHERE tt <= epoch_us(TIMESTAMP '2024-01-04 00:00:00')
+    AND vt <= epoch_us(TIMESTAMP '2024-01-02 00:00:00')),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY vt DESC, event_id DESC) AS rk
+  FROM f)
+SELECT user_id, CAST(vt AS BIGINT) AS vt_us, event_id, cents
+FROM r WHERE rk = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -14372,4 +14475,5 @@ REGISTRY: dict[str, tuple] = {
     "v07_join_cardinality": (v07_join_cardinality, V07_SQL),
     "n10_ks_drift": (n10_ks_drift, N10_SQL),
     "v08_source_vocab_overlap": (v08_source_vocab_overlap, V08_SQL),
+    "i07_bitemporal_asof": (i07_bitemporal_asof, I07_SQL),
 }
