@@ -14258,6 +14258,132 @@ FROM r WHERE rk = 1
 """
 
 
+def q39_coverage_division(sf_dir: str, num: int = 8, den: int = 10):
+    """Relational-division-with-threshold: users active on at least
+    80% of ALL days present in the corpus — the "for (almost) all"
+    idiom (pure division = 100%) that EXISTS/semi-join queries (q19,
+    q34) cannot express; the comparison is cross-multiplied integers
+    (user_days * 10 >= total_days * 8), no ratio ever computed.
+
+    Scale shape: one (user, day)-keyed DISTINCT reduce (exchange
+    bounded by active user-days), whose output feeds BOTH the global
+    day count (a tiny distinct) and the per-user day counts; the
+    final filter closes over the one-int threshold — nothing
+    user x day shaped is ever rebuilt."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "day": us // 86_400_000_000,
+                "n": 1,
+            }
+        )
+        return df.groupby(["user_id", "day"], as_index=False)["n"].sum()
+
+    user_days = bucketed_sum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "day"],
+        [],
+        count_col="n",
+    ).materialize()
+
+    nd = int(
+        bucketed_sum(user_days, ["day"], [], count_col="n").count()
+    )
+
+    per_user = (
+        bucketed_sum(user_days, ["user_id"], [], count_col="n_days")
+        .to_pandas()
+        .astype({"user_id": "int64", "n_days": "int64"})
+    )
+    keep = per_user["n_days"].to_numpy(np.int64) * den >= nd * num
+    out = per_user[keep]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q39_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day
+  FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS nd FROM d)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+FROM d GROUP BY user_id
+HAVING COUNT(*) * 10 >= (SELECT nd FROM n) * 8
+"""
+
+
+def s11_metadata_stats(sf_dir: str):
+    """Metadata-ONLY scan: row count and key min/max of the orders
+    table from the Parquet FOOTER statistics alone — no data page is
+    ever decoded (the planning read every lakehouse engine does
+    before scheduling a scan; s10 prunes row groups WITH a data read,
+    this answers without one).  The oracle computes the same numbers
+    the slow way, so a footer-stats mismatch (truncated stats, wrong
+    row-group walk) breaks the hash.
+
+    Scale shape: one task per FILE reading only its footer
+    (kilobytes); the combine is file-count-sized.  Distributed via
+    from_items over the file list, so a million-file table fans out
+    across the cluster."""
+    import glob as _glob
+
+    import ray.data
+
+    paths = sorted(_glob.glob(f"{sf_dir}/orders*.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/orders.parquet")
+    )
+
+    def footer(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for p in batch["item"]:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            rows.append((1, md.num_rows, int(mn), int(mx)))
+        return pd.DataFrame(
+            rows, columns=["n_files", "n_rows", "min_key", "max_key"]
+        )
+
+    parts = (
+        ray.data.from_items(paths)
+        .map_batches(footer, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_files": pd.Series([int(parts["n_files"].sum())], dtype="int64"),
+            "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+            "min_key": pd.Series([int(parts["min_key"].min())], dtype="int64"),
+            "max_key": pd.Series([int(parts["max_key"].max())], dtype="int64"),
+        }
+    )
+
+
+S11_SQL = """
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -14476,4 +14602,6 @@ REGISTRY: dict[str, tuple] = {
     "n10_ks_drift": (n10_ks_drift, N10_SQL),
     "v08_source_vocab_overlap": (v08_source_vocab_overlap, V08_SQL),
     "i07_bitemporal_asof": (i07_bitemporal_asof, I07_SQL),
+    "q39_coverage_division": (q39_coverage_division, Q39_SQL),
+    "s11_metadata_stats": (s11_metadata_stats, S11_SQL),
 }
