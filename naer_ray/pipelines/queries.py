@@ -14384,6 +14384,303 @@ FROM orders
 """
 
 
+def w21_gap_filled_series(sf_dir: str):
+    """Gap-filled dense time series: hourly event counts INCLUDING the
+    empty hours between the corpus min and max hour (the calendar
+    densification every monitoring/forecasting feed needs — a plain
+    GROUP BY silently drops zero hours, which downstream models read
+    as "no data" instead of "zero events").
+
+    Scale shape: the heavy side is ONE bucketed per-hour count
+    (exchange bounded by distinct hours, not rows); the dense calendar
+    is generated driver-side because its size is the TIME RANGE, not
+    the data volume (a decade of hours is 87k rows regardless of
+    corpus size), then zero-filled with one vectorized searchsorted —
+    nothing row-shaped ever leaves the reduce."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        df = pd.DataFrame({"hour_us": (us // hour_us) * hour_us, "n": 1})
+        return df.groupby("hour_us", as_index=False)["n"].sum()
+
+    counts = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["hour_us"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values("hour_us")
+    )
+    hu = counts["hour_us"].to_numpy(np.int64)
+    dense = np.arange(hu[0], hu[-1] + hour_us, hour_us, dtype=np.int64)
+    n = np.zeros(len(dense), np.int64)
+    n[np.searchsorted(dense, hu)] = counts["n"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "hour_start": pd.Series(dense, dtype="int64").astype("datetime64[us]"),
+            "n_events": pd.Series(n, dtype="int64"),
+        }
+    )
+
+
+W21_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+g AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM b),
+                                (SELECT MAX(h) FROM b),
+                                INTERVAL 1 HOUR)) AS hour_start)
+SELECT g.hour_start, COALESCE(b.n, CAST(0 AS BIGINT)) AS n_events
+FROM g LEFT JOIN b ON b.h = g.hour_start
+"""
+
+
+def n11_gini(sf_dir: str):
+    """Exact per-group Gini concentration of order value, emitted as an
+    INTEGER numerator/denominator pair (gini = num/den) so the oracle
+    compare is hash-exact: num = sum_i (2*rank_i - n - 1) * cents_i
+    over values sorted within the group (tie-order-invariant — tied
+    values occupy a fixed rank block, and the block's coefficient sum
+    does not depend on intra-tie order), den = n * sum(cents).
+
+    Scale shape: a rank statistic normally forces a global per-group
+    sort; instead ONE bucketed (group, value)-histogram reduce
+    (exchange bounded by distinct values, not rows) feeds a
+    driver-side closed form over rank BLOCKS: a run of c copies of
+    value v occupying ranks (R, R+c] contributes v*c*(2R + c - n) —
+    the full ranking is never materialized."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "pri": batch["o_orderpriority"].to_pandas(),
+                "cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+                "n": 1,
+            }
+        )
+        return df.groupby(["pri", "cents"], as_index=False)["n"].sum()
+
+    hist = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["pri", "cents"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values(["pri", "cents"])
+    )
+    out = []
+    for pri, g in hist.groupby("pri", sort=True):
+        v = g["cents"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        run_start = np.concatenate(([0], np.cumsum(c)[:-1]))
+        num = int(np.sum(v * c * (2 * run_start + c - n)))
+        den = n * int(np.sum(v * c))
+        out.append((pri, num, den))
+    return pd.DataFrame(
+        out, columns=["o_orderpriority", "gini_num", "gini_den"]
+    ).astype({"gini_num": "int64", "gini_den": "int64"})
+
+
+N11_SQL = """
+WITH t AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+r AS (
+  SELECT pri, c,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c) AS rk,
+         COUNT(*) OVER (PARTITION BY pri) AS n,
+         SUM(c) OVER (PARTITION BY pri) AS s
+  FROM t)
+SELECT pri AS o_orderpriority,
+       CAST(SUM((2 * rk - n - 1) * c) AS BIGINT) AS gini_num,
+       CAST(MAX(n * s) AS BIGINT) AS gini_den
+FROM r GROUP BY pri
+"""
+
+
+def i08_snapshot_series(sf_dir: str):
+    """Multi-snapshot time travel in ONE corpus pass: cumulative event
+    count, cumulative value, and distinct-users-seen at K fixed
+    snapshot instants (i06 reconstructs one snapshot; a backfill/audit
+    wants the whole trajectory, and re-scanning per snapshot is K
+    passes).
+
+    Scale shape: each batch emits K-row partials (one boolean mask per
+    snapshot, vectorized) so the additive metrics reduce driver-side
+    over K x n_batches tiny rows; the non-additive distinct-user curve
+    rides a per-user FIRST-SEEN bucket reduce (exchange bounded by
+    user cardinality) followed by one searchsorted against the K
+    instants — the corpus is read exactly once."""
+    from ..stages.agg import _key_hash
+
+    snaps_us = np.array(
+        [
+            pd.Timestamp(f"2024-01-{d:02d} 00:00:00").value // 1000
+            for d in (5, 10, 15, 20, 25)
+        ],
+        dtype=np.int64,
+    )
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        order = np.argsort(us, kind="stable")
+        us_s, cents_s = us[order], cents[order]
+        cum = np.concatenate(([0], np.cumsum(cents_s)))
+        pos = np.searchsorted(us_s, snaps_us, side="right")
+        return pd.DataFrame(
+            {
+                "snap_us": snaps_us,
+                "n_events": pos.astype(np.int64),
+                "cents": cum[pos],
+            }
+        )
+
+    adds = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("snap_us", as_index=False)[["n_events", "cents"]]
+        .sum()
+    )
+
+    def first_seen_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "first_us": batch["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(),
+            }
+        )
+        g = df.groupby("user_id", as_index=False)["first_us"].min()
+        g["bucket"] = (_key_hash(g, ["user_id"]) % 64).astype("int32")
+        return g
+
+    def first_seen_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["first_us"].min()
+
+    fs = (
+        ds.map_batches(first_seen_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(first_seen_final, batch_format="pandas")
+        .to_pandas()
+    )
+    fs_sorted = np.sort(fs["first_us"].to_numpy(np.int64))
+    n_users = np.searchsorted(fs_sorted, snaps_us, side="right")
+
+    adds = adds.sort_values("snap_us").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "snap_ts": adds["snap_us"].astype("datetime64[us]"),
+            "n_events": adds["n_events"].astype("int64"),
+            "n_users": pd.Series(n_users, dtype="int64"),
+            "cents": adds["cents"].astype("int64"),
+        }
+    )
+
+
+I08_SQL = """
+WITH s AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                TIMESTAMP '2024-01-25 00:00:00',
+                                INTERVAL 5 DAY)) AS snap)
+SELECT s.snap AS snap_ts,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS cents
+FROM s LEFT JOIN events e ON e.ts <= s.snap
+GROUP BY 1
+"""
+
+
+def x11_regex_search(sf_dir: str, pattern: str = "hash [a-z]+ join"):
+    """Distributed regex scan with LITERAL prefiltering (the trigram
+    trick behind code-search engines — Cox, "Regular Expression
+    Matching with a Trigram Index", 2012): the pattern's required
+    literal tokens prune with a vectorized substring test so the
+    (inherently sequential) regex engine only ever touches candidate
+    rows; per-doc leftmost non-overlapping match counts.
+
+    Scale shape: the prefilter is pc.match_substring per required
+    literal — zero-copy Arrow over every block; regex verification is
+    bounded by candidate count, not corpus size (on a standing corpus
+    the same literals probe the x01/x04 inverted index instead of
+    scanning).  RE2 (DuckDB) and Python `re` agree on this
+    char-class/literal subset and both count leftmost non-overlapping
+    matches."""
+    import re
+
+    literals = [t for t in pattern.split(" ") if re.escape(t) == t]
+    rx = re.compile(pattern)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        mask = None
+        for lit in literals:
+            m = pc.match_substring(text, lit)
+            mask = m if mask is None else pc.and_(mask, m)
+        keep = mask.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_matches": pa.array([], pa.int64()),
+                }
+            )
+        cand = text.combine_chunks().take(pa.array(idx))
+        counts = np.fromiter(
+            (len(rx.findall(s)) for s in cand.to_pylist()),
+            dtype=np.int64,
+            count=len(idx),
+        )
+        hit = counts > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"]
+                .combine_chunks()
+                .take(pa.array(idx[hit])),
+                "n_matches": pa.array(counts[hit], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+X11_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'hash [a-z]+ join')) AS BIGINT)
+         AS n_matches
+FROM documents
+WHERE regexp_matches(text, 'hash [a-z]+ join')
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -14604,4 +14901,8 @@ REGISTRY: dict[str, tuple] = {
     "i07_bitemporal_asof": (i07_bitemporal_asof, I07_SQL),
     "q39_coverage_division": (q39_coverage_division, Q39_SQL),
     "s11_metadata_stats": (s11_metadata_stats, S11_SQL),
+    "w21_gap_filled_series": (w21_gap_filled_series, W21_SQL),
+    "n11_gini": (n11_gini, N11_SQL),
+    "i08_snapshot_series": (i08_snapshot_series, I08_SQL),
+    "x11_regex_search": (x11_regex_search, X11_SQL),
 }
