@@ -14681,6 +14681,338 @@ WHERE regexp_matches(text, 'hash [a-z]+ join')
 """
 
 
+def w22_attribution(sf_dir: str, window_days: int = 7):
+    """First-touch marketing attribution: each purchase is credited to
+    the SAME user's most recent preceding click within a 7-day window
+    (tie-break: latest ts, then highest event_id) — the per-entity
+    AS-OF lookup j01 does for market data, here in its many-rows-per-
+    key event-stream form with a lower window bound.
+
+    Scale shape: both roles prefilter inside the scan (only clicks and
+    purchases survive), then ride ONE user-hash bucket shuffle; inside
+    a bucket the attribution is a single vectorized pass — sort by
+    (user, ts, role, id), running maximum.accumulate of click
+    positions, and a user-identity check instead of per-user
+    segmentation (a stale carry from the previous user fails the
+    identity test exactly when no click precedes).  No per-user Python
+    loop, no row explosion."""
+    from ..stages.agg import _key_hash
+
+    window_us = window_days * 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        t = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "is_p": pc.equal(t["event_type"], "purchase")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int8),
+            }
+        )
+        df["bucket"] = (_key_hash(df, ["user_id"]) % 64).astype("int32")
+        return df
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "purchase_id": pd.Series([], dtype="int64"),
+            "click_id": pd.Series([], dtype="int64"),
+            "lag_us": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values(
+            ["user_id", "ts_us", "is_p", "event_id"], kind="mergesort"
+        )
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        is_p = g["is_p"].to_numpy(np.int8)
+        idx = np.arange(len(g), dtype=np.int64)
+        carry = np.maximum.accumulate(np.where(is_p == 0, idx, -1))
+        ok = (
+            (is_p == 1)
+            & (carry >= 0)
+            & (user[np.maximum(carry, 0)] == user)
+            & (ts - ts[np.maximum(carry, 0)] < window_us)
+        )
+        c = carry[ok]
+        return pd.DataFrame(
+            {
+                "purchase_id": eid[ok],
+                "click_id": eid[c],
+                "lag_us": ts[ok] - ts[c],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("purchase_id").reset_index(drop=True).astype(
+        {"purchase_id": "int64", "click_id": "int64", "lag_us": "int64"}
+    )
+
+
+W22_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         epoch_us(CAST(p.ts AS TIMESTAMP))
+           - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rk
+  FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ts <= p.ts
+              AND c.ts > p.ts - INTERVAL 7 DAY)
+SELECT purchase_id, click_id, CAST(lag_us AS BIGINT) AS lag_us
+FROM r WHERE rk = 1
+"""
+
+
+def n12_mannwhitney(sf_dir: str):
+    """Two-sample Mann-Whitney rank-sum drift statistic between the
+    'en' and non-'en' document-length distributions, emitted as the
+    PURE INTEGER 2U (2U = 2*#{a > b} + #{a == b} over all cross
+    pairs) plus tie mass — the location-shift companion to n10's KS
+    (max-deviation) test, and the standard drift monitor when the
+    two corpora differ in median rather than shape.
+
+    Scale shape: same discipline as n10 — one value-histogram reduce
+    (exchange bounded by DISTINCT lengths, never rows), then a
+    closed-form cumulative pass over the tiny histogram:
+    2U = sum_v 2*ca(v)*cb_less(v) + ca(v)*cb(v)."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        en = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "v": batch["n_chars"].to_numpy(zero_copy_only=False),
+                "a": en.astype(np.int64),
+                "b": (~en).astype(np.int64),
+            }
+        )
+        return df.groupby("v", as_index=False)[["a", "b"]].sum()
+
+    h = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["v"],
+            ["a", "b"],
+        )
+        .to_pandas()
+        .sort_values("v")
+    )
+    a = h["a"].to_numpy(np.int64)
+    b = h["b"].to_numpy(np.int64)
+    cb_less = np.concatenate(([0], np.cumsum(b)[:-1]))
+    return pd.DataFrame(
+        {
+            "two_u": pd.Series([int(np.sum(2 * a * cb_less + a * b))], dtype="int64"),
+            "n_a": pd.Series([int(a.sum())], dtype="int64"),
+            "n_b": pd.Series([int(b.sum())], dtype="int64"),
+            "tie_pairs": pd.Series([int(np.sum(a * b))], dtype="int64"),
+        }
+    )
+
+
+N12_SQL = """
+WITH h AS (
+  SELECT n_chars AS v,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS b
+  FROM documents GROUP BY n_chars),
+c AS (
+  SELECT a, b,
+         COALESCE(SUM(b) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_less
+  FROM h)
+SELECT CAST(SUM(2 * a * cb_less + a * b) AS BIGINT) AS two_u,
+       CAST(SUM(a) AS BIGINT) AS n_a,
+       CAST(SUM(b) AS BIGINT) AS n_b,
+       CAST(SUM(a * b) AS BIGINT) AS tie_pairs
+FROM c
+"""
+
+
+def s12_compaction_plan(sf_dir: str, target_rows: int = 250):
+    """Small-partition compaction planner: assign each hourly partition
+    to an output file so files hold ~``target_rows`` rows, with the
+    deterministic FIXED-BOUNDARY rule bin = cum_rows_before //
+    target (every partition lands whole in one bin; bins absorb the
+    overshoot) — the maintenance pass that keeps a streaming sink's
+    thousands of tiny files from drowning the name-node/footer reads
+    (the s11 planning cost).
+
+    Scale shape: ONE hour-bounded bucketed count (never row-shaped),
+    then a cumulative pass over the calendar-sized histogram on the
+    driver; the plan output is file-count-sized."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = (
+            batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        df = pd.DataFrame({"hour_us": (us // hour_us) * hour_us, "n": 1})
+        return df.groupby("hour_us", as_index=False)["n"].sum()
+
+    h = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["hour_us"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values("hour_us")
+    )
+    n = h["n"].to_numpy(np.int64)
+    hu = h["hour_us"].to_numpy(np.int64)
+    cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+    bin_id = cum_before // target_rows
+    out = pd.DataFrame(
+        {"bin_id": bin_id, "n": n, "hour_us": hu}
+    ).groupby("bin_id", as_index=False).agg(
+        n_parts=("n", "size"),
+        n_rows=("n", "sum"),
+        first_us=("hour_us", "min"),
+        last_us=("hour_us", "max"),
+    )
+    return pd.DataFrame(
+        {
+            "bin_id": out["bin_id"].astype("int64"),
+            "n_parts": out["n_parts"].astype("int64"),
+            "n_rows": out["n_rows"].astype("int64"),
+            "first_hour": out["first_us"].astype("datetime64[us]"),
+            "last_hour": out["last_us"].astype("datetime64[us]"),
+        }
+    )
+
+
+S12_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+c AS (
+  SELECT hr, n,
+         COALESCE(SUM(n) OVER (ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM h)
+SELECT CAST(cb // 250 AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MIN(hr) AS first_hour,
+       MAX(hr) AS last_hour
+FROM c GROUP BY 1
+"""
+
+
+def a12_prefix_rerank(sf_dir: str, prefix_dims: int = 8, c_pool: int = 50,
+                      k: int = 5):
+    """Two-stage retrieval with PREFIX pruning (the Matryoshka /
+    coarse-to-fine pattern): stage 1 scores every vector by the dot
+    product of only its FIRST 8 dimensions (an 8x cheaper scan that at
+    100 TB also reads 8x fewer bytes if embeddings are stored
+    dimension-sliced), keeps a top-C pool per query; stage 2 reranks
+    only the pool with the full-dimension exact cosine.
+
+    Scale shape: stage 1 is the a03 broadcast-scan shape with a
+    per-batch local top-C pool (driver merge is pool-sized, not
+    corpus-sized); stage 2 touches C*queries vectors — driver math.
+    The pool rows CARRY their full vectors so stage 2 needs no second
+    corpus read.  Ties at both stages break by vec_id ascending."""
+    import ray
+
+    from ..stages.ann import _as_matrix
+
+    q = _query_vectors(sf_dir).astype(np.float64)
+    q_ref = ray.put(q)
+
+    def local_pool(batch: pa.Table) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mat = _as_matrix(batch["embedding"])
+        ids = np.asarray(batch["vec_id"])
+        sims = mat[:, :prefix_dims] @ qm[:, :prefix_dims].T
+        frames = []
+        for qi in range(qm.shape[0]):
+            order = np.lexsort((ids, -sims[:, qi]))[:c_pool]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        "vec_id": ids[order],
+                        "ps": sims[order, qi],
+                        "vec": list(mat[order]),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pool = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(local_pool, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    out = []
+    for qi in range(q.shape[0]):
+        g = pool[pool["query_id"] == qi]
+        gg = g.sort_values(["ps", "vec_id"], ascending=[False, True],
+                           kind="mergesort").head(c_pool)
+        mat = np.stack(gg["vec"].to_numpy())
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        qn = q[qi] / np.maximum(np.linalg.norm(q[qi]), 1e-12)
+        cos = (mat / norms[:, None]) @ qn
+        ids = gg["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, -cos))[:k]
+        out.append(pd.DataFrame({"query_id": np.int64(qi), "vec_id": ids[order]}))
+    res = pd.concat(out, ignore_index=True)
+    return res.astype({"query_id": "int64", "vec_id": "int64"})
+
+
+A12_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+s1 AS (
+  SELECT q.query_id, e.vec_id, e.embedding, q.qvec,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(e.embedding[1:8], q.qvec[1:8]) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN q),
+s2 AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(embedding, qvec) DESC,
+                    vec_id) AS rn2
+  FROM s1 WHERE rn <= 50)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id
+FROM s2 WHERE rn2 <= 5
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -14905,4 +15237,8 @@ REGISTRY: dict[str, tuple] = {
     "n11_gini": (n11_gini, N11_SQL),
     "i08_snapshot_series": (i08_snapshot_series, I08_SQL),
     "x11_regex_search": (x11_regex_search, X11_SQL),
+    "w22_attribution": (w22_attribution, W22_SQL),
+    "n12_mannwhitney": (n12_mannwhitney, N12_SQL),
+    "s12_compaction_plan": (s12_compaction_plan, S12_SQL),
+    "a12_prefix_rerank": (a12_prefix_rerank, A12_SQL),
 }

@@ -95,3 +95,110 @@ def test_x11_prefilter_lossless(ray_session):
     }
     got = dict(zip(out["doc_id"].astype(int), out["n_matches"].astype(int)))
     assert got == expect and len(expect) > 0
+
+
+def test_w22_brute_force(ray_session):
+    """Re-derive attribution per purchase by a direct scan."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w22_attribution
+
+    out = w22_attribution(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    W = 7 * 86_400_000_000
+    expect = {}
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        c = ev[
+            (ev["event_type"] == "click")
+            & (ev["user_id"] == p["user_id"])
+            & (ev["us"] <= p["us"])
+            & (ev["us"] > p["us"] - W)
+        ]
+        if len(c):
+            c = c.sort_values(["us", "event_id"], ascending=False).iloc[0]
+            expect[int(p["event_id"])] = (
+                int(c["event_id"]),
+                int(p["us"] - c["us"]),
+            )
+    got = {
+        int(r.purchase_id): (int(r.click_id), int(r.lag_us))
+        for r in out.itertuples()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_n12_brute_force(ray_session):
+    """2U re-derived by the O(na*nb) pairwise definition."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import n12_mannwhitney
+
+    out = n12_mannwhitney(SF).iloc[0]
+    d = pq.read_table(
+        SF + "/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    a = d.loc[d["lang"] == "en", "n_chars"].to_numpy(np.int64)
+    b = d.loc[d["lang"] != "en", "n_chars"].to_numpy(np.int64)
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    assert int(out["two_u"]) == int(2 * gt + eq)
+    assert int(out["n_a"]) == len(a) and int(out["n_b"]) == len(b)
+    assert int(out["tie_pairs"]) == int(eq)
+
+
+def test_s12_partition_conservation(ray_session):
+    """Every hourly partition lands in exactly one bin; totals conserve;
+    bin ids follow the fixed-boundary rule."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s12_compaction_plan
+
+    out = s12_compaction_plan(SF)
+    ts = pq.read_table(SF + "/events.parquet", columns=["ts"])["ts"]
+    n_rows = len(ts)
+    hours = set(
+        (ts.cast("int64").to_numpy() // 3_600_000_000).tolist()
+    )
+    assert int(out["n_rows"].sum()) == n_rows
+    assert int(out["n_parts"].sum()) == len(hours)
+    # bins are contiguous ranges: sorted by bin_id, first_hour of bin
+    # k+1 is strictly after last_hour of bin k
+    o = out.sort_values("bin_id")
+    assert (
+        o["first_hour"].astype("int64").to_numpy()[1:]
+        > o["last_hour"].astype("int64").to_numpy()[:-1]
+    ).all()
+    # fixed-boundary rule: cum rows before each bin // target == bin_id
+    cum_before = np.concatenate(([0], np.cumsum(o["n_rows"].to_numpy())[:-1]))
+    assert (cum_before // 250 == o["bin_id"].to_numpy()).all()
+
+
+def test_a12_full_rederivation(ray_session):
+    """Re-derive the two-stage result with plain numpy over the whole
+    table: stage-1 top-50 by 8-dim prefix dot, stage-2 top-5 by full
+    cosine within the pool."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import a12_prefix_rerank
+
+    out = a12_prefix_rerank(SF)
+    t = pq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order_ids = np.argsort(ids)
+    ids, mat = ids[order_ids], mat[order_ids]
+    for qi in range(3):
+        qv = mat[ids == qi][0]
+        ps = mat[:, :8] @ qv[:8]
+        pool = np.lexsort((ids, -ps))[:50]
+        qn = qv / np.linalg.norm(qv)
+        m = mat[pool]
+        cos = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ qn
+        top = np.lexsort((ids[pool], -cos))[:5]
+        want = ids[pool][top].tolist()
+        got = out.loc[out["query_id"] == qi, "vec_id"].tolist()
+        assert got == want, (qi, got, want)
