@@ -15013,6 +15013,358 @@ FROM s2 WHERE rn2 <= 5
 """
 
 
+def e08_entity_gap_stats(sf_dir: str, n_buckets: int = 64):
+    """Entity PERSISTENCE profile over the derived transcripts: for
+    each dictionary entity, the count / sum / max of turn-index gaps
+    between its consecutive mentions within a conversation — the
+    "how long does an entity stay out of the discourse" signal that
+    sizes coreference windows (the reference resolves anaphora only
+    against the PREVIOUS turn, SURVEY M9; this measures how much a
+    wider window would buy).
+
+    Scale shape: hits (conv, turn, entity-code) come from the
+    vectorized `_entity_presence` kernel; gaps need a conversation's
+    hits co-located, so they ride ONE conv-hash bucket shuffle
+    (exchange bounded by hit volume); per bucket the gap pass is a
+    sort + boundary-masked diff, and only 7-entity partials
+    (n/sum/max — all associative) reach the driver."""
+    from ..stages.dedup import _fnv64_arr
+
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+    ds = _derive_transcripts(sf_dir)
+
+    def hits(batch: pa.Table) -> pd.DataFrame:
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        conv = batch["conv_id"].combine_chunks().take(pa.array(r))
+        b = (_fnv64_arr(conv) % np.uint64(n_buckets)).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "conv_id": conv.to_pandas(),
+                "turn_idx": batch["turn_idx"]
+                .combine_chunks()
+                .take(pa.array(r))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "code": c,
+                "bucket": b,
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "code": pd.Series([], dtype="int64"),
+            "n_gaps": pd.Series([], dtype="int64"),
+            "sum_gap": pd.Series([], dtype="int64"),
+            "max_gap": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["code", "conv_id", "turn_idx"], kind="mergesort")
+        code = g["code"].to_numpy(np.int64)
+        conv = g["conv_id"].to_numpy(object)
+        turn = g["turn_idx"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same[1:] = (code[1:] == code[:-1]) & (conv[1:] == conv[:-1])
+        gap = np.zeros(len(g), np.int64)
+        gap[1:] = turn[1:] - turn[:-1]
+        df = pd.DataFrame({"code": code, "gap": gap, "is_gap": same})
+        agg = df.groupby("code", as_index=False).agg(
+            n_gaps=("is_gap", "sum"),
+            sum_gap=("gap", lambda s: int(s[df.loc[s.index, "is_gap"]].sum())),
+            max_gap=("gap", lambda s: int(s[df.loc[s.index, "is_gap"]].max())
+                     if df.loc[s.index, "is_gap"].any() else 0),
+        )
+        return agg.astype(
+            {"code": "int64", "n_gaps": "int64", "sum_gap": "int64",
+             "max_gap": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(hits, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("code", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"), sum_gap=("sum_gap", "sum"),
+        max_gap=("max_gap", "max"),
+    )
+    agg["entity"] = ents_sorted[agg["code"].to_numpy(np.int64)]
+    return agg[["entity", "n_gaps", "sum_gap", "max_gap"]].astype(
+        {"n_gaps": "int64", "sum_gap": "int64", "max_gap": "int64"}
+    ).sort_values("entity").reset_index(drop=True)
+
+
+E08_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+h AS (
+  SELECT DISTINCT conv_id, turn_idx, e FROM (
+    SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS e
+    FROM t)
+  WHERE e IN ({", ".join(f"'{e}'" for e in KG_ENTITIES)})),
+g AS (
+  SELECT e, turn_idx - LAG(turn_idx) OVER (
+           PARTITION BY e, conv_id ORDER BY turn_idx) AS gap
+  FROM h)
+SELECT e AS entity,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+FROM g GROUP BY e
+"""
+
+
+def q40_segment_activity(sf_dir: str, n_buckets: int = 64):
+    """Per-segment customer activity with the AVG-of-COUNT trap done
+    right: customers with ZERO orders still count in the denominator
+    (a fact-side GROUP BY silently drops them — the classic nested-
+    aggregate bug); emits n_customers / n_active / n_orders / cents
+    so every per-customer mean is one division downstream.
+
+    Scale shape: fact side pre-aggregates to per-customer partials
+    (bucketed custkey reduce), dim side carries (custkey, segment);
+    BOTH sides hash on custkey into the same buckets — a co-partition
+    join with no broadcast assumption (the dim is customer-sized,
+    too big to ship whole at 100 TB) — and only segment-sized
+    partials leave each bucket."""
+    from ..stages.agg import _key_hash, bucketed_sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def oprep(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+                "n": 1,
+            }
+        )
+        return df.groupby("custkey", as_index=False)[["cents", "n"]].sum()
+
+    per_cust = bucketed_sum(
+        orders.map_batches(oprep, batch_format="pyarrow", batch_size=65536),
+        ["custkey"],
+        ["cents", "n"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda b: b.assign(
+            side=np.int8(1),
+            segment="",
+            bucket=(_key_hash(b, ["custkey"]) % n_buckets).astype("int32"),
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].to_numpy(zero_copy_only=False),
+                "cents": np.int64(0),
+                "n": np.int64(0),
+                "side": np.int8(0),
+                "segment": b["c_mktsegment"].to_pandas(),
+            }
+        ).assign(
+            bucket=lambda d: (_key_hash(d, ["custkey"]) % n_buckets).astype(
+                "int32"
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "segment": pd.Series([], dtype=object),
+            "n_customers": pd.Series([], dtype="int64"),
+            "n_active": pd.Series([], dtype="int64"),
+            "n_orders": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        d = g[g["side"] == 0][["custkey", "segment"]]
+        f = g[g["side"] == 1].groupby("custkey", as_index=False)[
+            ["cents", "n"]
+        ].sum()
+        m = d.merge(f, on="custkey", how="left")
+        m["cents"] = m["cents"].fillna(0).astype(np.int64)
+        m["n"] = m["n"].fillna(0).astype(np.int64)
+        out = m.groupby("segment", as_index=False).agg(
+            n_customers=("custkey", "size"),
+            n_active=("n", lambda s: int((s > 0).sum())),
+            n_orders=("n", "sum"),
+            cents=("cents", "sum"),
+        )
+        return out.astype(
+            {"n_customers": "int64", "n_active": "int64",
+             "n_orders": "int64", "cents": "int64"}
+        )
+
+    parts = (
+        dim.union(per_cust)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("segment", as_index=False)[
+        ["n_customers", "n_active", "n_orders", "cents"]
+    ].sum()
+    return out.astype(
+        {"n_customers": "int64", "n_active": "int64",
+         "n_orders": "int64", "cents": "int64"}
+    )
+
+
+Q40_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.n) AS BIGINT) AS n_active,
+       CAST(COALESCE(SUM(o.n), 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) AS cents
+FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def n13_lag1_autocov(sf_dir: str):
+    """Lag-1 autocovariance of the GAP-FILLED hourly event-count
+    series as pure integers (n_pairs, sum of adjacent products, the
+    two marginal sums — covariance = (n*sum_prod - sum_x0*sum_x1)/n²
+    by one division downstream): the seasonality/burstiness signal a
+    scheduler reads before picking a compaction cadence.  Composes
+    w21's densification — WITHOUT the zero fill the statistic is
+    silently wrong because missing hours vanish instead of
+    contributing zeros.
+
+    Scale shape: identical to w21 (hour-bounded count reduce), then a
+    closed-form shifted-product pass over the calendar-sized dense
+    vector on the driver."""
+    s = w21_gap_filled_series(sf_dir)
+    x = s["n_events"].to_numpy(np.int64)
+    x0, x1 = x[:-1], x[1:]
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(x0)], dtype="int64"),
+            "sum_prod": pd.Series([int(np.sum(x0 * x1))], dtype="int64"),
+            "sum_x0": pd.Series([int(x0.sum())], dtype="int64"),
+            "sum_x1": pd.Series([int(x1.sum())], dtype="int64"),
+        }
+    )
+
+
+N13_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+g AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM b),
+                                (SELECT MAX(h) FROM b),
+                                INTERVAL 1 HOUR)) AS hour_start),
+d AS (
+  SELECT g.hour_start, COALESCE(b.n, CAST(0 AS BIGINT)) AS x
+  FROM g LEFT JOIN b ON b.h = g.hour_start),
+l AS (
+  SELECT x, LEAD(x) OVER (ORDER BY hour_start) AS y FROM d)
+SELECT CAST(COUNT(y) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS sum_prod,
+       CAST(COALESCE(SUM(CASE WHEN y IS NOT NULL THEN x END), 0)
+            AS BIGINT) AS sum_x0,
+       CAST(COALESCE(SUM(y), 0) AS BIGINT) AS sum_x1
+FROM l
+"""
+
+
+def i09_deletion_vectors(sf_dir: str):
+    """Merge-on-read with DELETION VECTORS (the Delta/Iceberg v2 read
+    path): 'error' events are tombstones that retract the write with
+    event_id one below their own; the scan must drop both the
+    tombstoned rows and the tombstone markers WITHOUT rewriting any
+    file, then aggregate the surviving rows per type.
+
+    Scale shape: phase 1 collects only the tombstone ids (DV side —
+    error-count-sized, the premise of deletion vectors is that this
+    is tiny relative to data) and broadcasts them SORTED via ray.put;
+    phase 2 is one full scan applying a vectorized searchsorted
+    membership test per batch — no shuffle, no join, no rewrite."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def collect_dv(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pc.equal(batch["event_type"], "error"))
+        return pd.DataFrame(
+            {
+                "del_id": t["event_id"].to_numpy(zero_copy_only=False) - 1
+            }
+        )
+
+    dv = np.sort(
+        ds.map_batches(collect_dv, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["del_id"]
+        .to_numpy(np.int64)
+    )
+    dv_ref = ray.put(dv)
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        d = ray.get(dv_ref)
+        live = batch.filter(
+            pc.invert(pc.equal(batch["event_type"], "error"))
+        )
+        ids = live["event_id"].to_numpy(zero_copy_only=False)
+        if len(d):
+            pos = np.searchsorted(d, ids)
+            keep = ~((pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids))
+        else:
+            keep = np.ones(len(ids), bool)
+        df = pd.DataFrame(
+            {
+                "event_type": live["event_type"].to_pandas()[keep],
+                "cents": _cents(
+                    live["value"].to_numpy(zero_copy_only=False)
+                )[keep],
+                "n": 1,
+            }
+        )
+        return df.groupby("event_type", as_index=False)[["cents", "n"]].sum()
+
+    out = (
+        bucketed_sum(
+            ds.map_batches(scan, batch_format="pyarrow", batch_size=65536),
+            ["event_type"],
+            ["cents", "n"],
+        )
+        .to_pandas()
+        .astype({"cents": "int64", "n": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+I09_SQL = """
+WITH dv AS (
+  SELECT event_id - 1 AS del_id FROM events WHERE event_type = 'error')
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error'
+  AND event_id NOT IN (SELECT del_id FROM dv)
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -15241,4 +15593,8 @@ REGISTRY: dict[str, tuple] = {
     "n12_mannwhitney": (n12_mannwhitney, N12_SQL),
     "s12_compaction_plan": (s12_compaction_plan, S12_SQL),
     "a12_prefix_rerank": (a12_prefix_rerank, A12_SQL),
+    "e08_entity_gap_stats": (e08_entity_gap_stats, E08_SQL),
+    "q40_segment_activity": (q40_segment_activity, Q40_SQL),
+    "n13_lag1_autocov": (n13_lag1_autocov, N13_SQL),
+    "i09_deletion_vectors": (i09_deletion_vectors, I09_SQL),
 }

@@ -202,3 +202,97 @@ def test_a12_full_rederivation(ray_session):
         want = ids[pool][top].tolist()
         got = out.loc[out["query_id"] == qi, "vec_id"].tolist()
         assert got == want, (qi, got, want)
+
+
+def test_e08_brute_force(ray_session):
+    """Re-derive per-entity gap stats from the derived transcripts."""
+    from collections import defaultdict
+
+    from naer_ray.pipelines.queries import (
+        KG_ENTITIES,
+        e08_entity_gap_stats,
+        q14_kg_transcripts,
+    )
+
+    out = e08_entity_gap_stats(SF).set_index("entity")
+    t = q14_kg_transcripts(SF)
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    ents = set(KG_ENTITIES)
+    turns = defaultdict(set)  # (entity, conv) -> turn set
+    for r in t.itertuples():
+        for w in set(r.text.split(" ")):
+            if w in ents:
+                turns[(w, r.conv_id)].add(int(r.turn_idx))
+    stats = defaultdict(lambda: [0, 0, 0])  # n, sum, max
+    for (e, _conv), ts in turns.items():
+        s = sorted(ts)
+        for a, b in zip(s, s[1:]):
+            st = stats[e]
+            st[0] += 1
+            st[1] += b - a
+            st[2] = max(st[2], b - a)
+        stats[e]  # ensure entity appears even with no gaps
+    for e, (n, sm, mx) in stats.items():
+        row = out.loc[e]
+        assert (int(row["n_gaps"]), int(row["sum_gap"]), int(row["max_gap"])) == (
+            n,
+            sm,
+            mx,
+        ), e
+    assert set(out.index) == {e for (e, _c) in turns}
+
+
+def test_q40_zero_customers_counted(ray_session):
+    """The denominator must include customers with no orders."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import q40_segment_activity
+
+    out = q40_segment_activity(SF)
+    cust = pq.read_table(
+        SF + "/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    want = cust.groupby("c_mktsegment").size()
+    got = out.set_index("segment")["n_customers"]
+    assert dict(got) == dict(want)
+    assert (out["n_active"] <= out["n_customers"]).all()
+    orders = pq.read_table(SF + "/orders.parquet", columns=["o_custkey"])
+    assert int(out["n_orders"].sum()) == len(orders)
+
+
+def test_n13_brute_force(ray_session):
+    """Re-derive the lag-1 sums from a dense hourly bincount."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import n13_lag1_autocov
+
+    out = n13_lag1_autocov(SF).iloc[0]
+    ts = pq.read_table(SF + "/events.parquet", columns=["ts"])["ts"]
+    h = ts.cast("int64").to_numpy() // 3_600_000_000
+    x = np.bincount(h - h.min()).astype(np.int64)
+    # dense calendar: bincount over the offset hour index IS gap-filled
+    assert int(out["n_pairs"]) == len(x) - 1
+    assert int(out["sum_prod"]) == int(np.sum(x[:-1] * x[1:]))
+    assert int(out["sum_x0"]) == int(x[:-1].sum())
+    assert int(out["sum_x1"]) == int(x[1:].sum())
+
+
+def test_i09_tombstone_semantics(ray_session):
+    """Survivor count = non-error rows minus tombstoned ids; a
+    tombstoned id never survives."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import i09_deletion_vectors
+
+    out = i09_deletion_vectors(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["event_id", "event_type"]
+    ).to_pandas()
+    err = ev[ev["event_type"] == "error"]
+    dv = set((err["event_id"] - 1).tolist())
+    live = ev[ev["event_type"] != "error"]
+    survivors = live[~live["event_id"].isin(dv)]
+    assert int(out["n"].sum()) == len(survivors)
+    assert set(out["event_type"]) == set(survivors["event_type"])
+    assert len(dv) > 0  # the DV path is actually exercised
