@@ -15365,6 +15365,402 @@ GROUP BY 1
 """
 
 
+def g12_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics of the co-purchase
+    graph as pure INTEGERS — m (edges), s1 = Σ(du+dv), s2 = Σ(du²+dv²),
+    sp = Σ du·dv over edges — Newman's r = (4m·sp − s1²)/(2m·s2 − s1²)
+    by one division downstream: do hubs attach to hubs (assortative)
+    or to leaves (disassortative)?  The answer decides whether g08's
+    k-core peel or hub-salting is the right skew defence.
+
+    Scale shape: edges materialize ONCE and feed both passes; degrees
+    ride the g10 node-keyed histogram reduce and come back node-sized
+    to the driver (the g01 broadcast gate — the documented
+    co-partition alternative applies verbatim when nodes outgrow a
+    worker); the edge pass attaches degrees by one searchsorted per
+    batch and emits 4-integer partials."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def endpoints(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+        )
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": uniq, "degree": cnt.astype(np.int64)})
+
+    deg = (
+        bucketed_sum(
+            edges.map_batches(endpoints, batch_format="pandas"),
+            ["id"],
+            ["degree"],
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    ids_ref = ray.put(deg["id"].to_numpy(np.int64))
+    deg_ref = ray.put(deg["degree"].to_numpy(np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        d = ray.get(deg_ref)
+        du = d[np.searchsorted(ids, batch["u"].to_numpy(np.int64))]
+        dv = d[np.searchsorted(ids, batch["v"].to_numpy(np.int64))]
+        return pd.DataFrame(
+            {
+                "m": [np.int64(len(batch))],
+                "s1": [int((du + dv).sum())],
+                "s2": [int((du * du + dv * dv).sum())],
+                "sp": [int((du * dv).sum())],
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame([parts.sum()]).astype("int64")[["m", "s1", "s2", "sp"]]
+
+
+G12_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY id)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(da.degree + db.degree) AS BIGINT) AS s1,
+       CAST(SUM(da.degree * da.degree + db.degree * db.degree)
+            AS BIGINT) AS s2,
+       CAST(SUM(da.degree * db.degree) AS BIGINT) AS sp
+FROM e0 JOIN d da ON da.id = e0.u JOIN d db ON db.id = e0.v
+"""
+
+
+def _ntile(order: np.ndarray, n_tiles: int) -> np.ndarray:
+    """SQL NTILE: positions ``order`` (0-based ranks) -> 1-based tile,
+    first (n % t) tiles get the extra row."""
+    n = len(order)
+    small = n // n_tiles
+    big = n % n_tiles
+    cut = big * (small + 1)
+    tile = np.where(
+        order < cut,
+        order // (small + 1),
+        big + (order - cut) // max(small, 1),
+    )
+    return (tile + 1).astype(np.int64)
+
+
+def w23_rfm(sf_dir: str):
+    """RFM customer scoring: each user's Recency (latest event),
+    Frequency (event count) and Monetary (integer value cents) mapped
+    to NTILE(5) quintile codes with the deterministic (metric,
+    user_id) tie-break — the segmentation table every lifecycle-
+    marketing pipeline maintains.
+
+    Scale shape: per-user sufficient stats (max/count/sum — all
+    associative) ride ONE user-hash bucket reduce; the quintile
+    assignment is three argsorts over the USER-sized table on the
+    driver (users are the bounded dimension; at true scale the same
+    ranks come from a distributed sort + per-block offsets, the s05
+    machinery)."""
+    from ..stages.agg import _key_hash
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": batch["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(),
+                "cents": _cents(batch["value"].to_numpy(zero_copy_only=False)),
+                "n": 1,
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            r=("us", "max"), f=("n", "sum"), m=("cents", "sum")
+        )
+        g["bucket"] = (_key_hash(g, ["user_id"]) % 64).astype("int32")
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "r": pd.Series([], dtype="int64"),
+                    "f": pd.Series([], dtype="int64"),
+                    "m": pd.Series([], dtype="int64"),
+                }
+            )
+        return g.groupby("user_id", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    users = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    uid = users["user_id"].to_numpy(np.int64)
+    out = {"user_id": uid}
+    for col, name in (("r", "r_score"), ("f", "f_score"), ("m", "m_score")):
+        v = users[col].to_numpy(np.int64)
+        order = np.empty(len(v), np.int64)
+        order[np.lexsort((uid, v))] = np.arange(len(v))
+        out[name] = _ntile(order, 5)
+    return pd.DataFrame(out).astype(
+        {"user_id": "int64", "r_score": "int64", "f_score": "int64",
+         "m_score": "int64"}
+    )
+
+
+W23_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS r,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(NTILE(5) OVER (ORDER BY r, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
+FROM u
+"""
+
+
+def n14_spearman(sf_dir: str):
+    """Spearman rank correlation between document char length and token
+    count as PURE INTEGERS: n plus Σ(2rx − 2ry)² where 2r is the
+    doubled AVERAGE tie rank (2r(v) = 2·cum_before + c + 1 — always an
+    integer) — the monotone-association monitor that Pearson (n02)
+    misses when the relationship is nonlinear.
+
+    Scale shape: ONE corpus pass emits the 2-D (x, y) histogram
+    (exchange bounded by distinct value PAIRS, never rows); both
+    marginal rank maps and the final weighted sum are closed-form
+    passes over that histogram on the driver."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["n_chars", "text"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        y = (
+            pc.count_substring(batch["text"], " ")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            + 1
+        )
+        df = pd.DataFrame(
+            {
+                "x": batch["n_chars"].to_numpy(zero_copy_only=False),
+                "y": y,
+                "c": 1,
+            }
+        )
+        return df.groupby(["x", "y"], as_index=False)["c"].sum()
+
+    h = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["x", "y"],
+            ["c"],
+        )
+        .to_pandas()
+    )
+
+    def rank2_map(vals: np.ndarray, cnts: np.ndarray):
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order]
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        return v, 2 * cum_before + c + 1
+
+    hx = h.groupby("x", as_index=False)["c"].sum()
+    hy = h.groupby("y", as_index=False)["c"].sum()
+    xv, xr2 = rank2_map(hx["x"].to_numpy(np.int64), hx["c"].to_numpy(np.int64))
+    yv, yr2 = rank2_map(hy["y"].to_numpy(np.int64), hy["c"].to_numpy(np.int64))
+    r2x = xr2[np.searchsorted(xv, h["x"].to_numpy(np.int64))]
+    r2y = yr2[np.searchsorted(yv, h["y"].to_numpy(np.int64))]
+    c = h["c"].to_numpy(np.int64)
+    d = r2x - r2y
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(c.sum())], dtype="int64"),
+            "sum_d2_x4": pd.Series([int(np.sum(c * d * d))], dtype="int64"),
+        }
+    )
+
+
+N14_SQL = """
+WITH t AS (
+  SELECT n_chars AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents),
+hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY x),
+wx AS (
+  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         AS r2x
+  FROM hx),
+hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY y),
+wy AS (
+  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         AS r2y
+  FROM hy)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((r2x - r2y) * (r2x - r2y)) AS BIGINT) AS sum_d2_x4
+FROM t JOIN wx USING (x) JOIN wy USING (y)
+"""
+
+
+def s13_bloom_pruned_read(sf_dir: str, n_files: int = 8):
+    """File-level BLOOM pruning for point lookups (the Parquet
+    bloom-filter / Iceberg puffin pattern): the corpus stages as
+    TIME-partitioned files — so min/max stats on the probe column are
+    useless (every file spans the full custkey range, exactly where
+    s10's range pruning gives up) — a tiny per-file Bloom over
+    o_custkey is built IN PARALLEL (one task per file), and a point
+    lookup consults the manifest to read only Bloom-positive files.
+    Bloom negatives are exact, so the aggregate is bit-exact; the
+    query SELF-GATES that at least one file was actually skipped.
+
+    Probe key = the least-frequent custkey (tie: smallest) so the
+    pruning is exercised hardest; derived identically in the SQL.
+
+    Scale shape: build is one footer-sized task per file emitting a
+    KB-scale bitmap; the probe reads only chosen files with the
+    filter pushed into the scan."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+    from ..stages.bloom import BloomFilter
+
+    stage = (
+        "/tmp/naer_bloom_prune/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    src = _pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    ).sort_by("o_orderdate")
+    n = src.num_rows
+    for k in range(n_files):
+        part = src.slice(
+            k * n // n_files, (k + 1) * n // n_files - k * n // n_files
+        )
+        if part.num_rows:
+            _pq.write_table(
+                part.select(["o_custkey", "o_totalprice"]),
+                f"{stage}/part-{k}.parquet",
+            )
+    paths = sorted(
+        f"{stage}/{nm}" for nm in _os.listdir(stage)
+    )
+
+    # probe key: least-frequent custkey (tie: smallest) via a
+    # custkey-bounded count reduce
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"k": batch["o_custkey"].to_numpy(zero_copy_only=False), "n": 1}
+        )
+        return df.groupby("k", as_index=False)["n"].sum()
+
+    kc = (
+        bucketed_sum(
+            ds.map_batches(cnt, batch_format="pyarrow", batch_size=65536),
+            ["k"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values(["n", "k"])
+    )
+    probe = int(kc["k"].iloc[0])
+
+    # per-file Bloom manifest, one task per file
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p in batch["item"]:
+            col = _pq.read_table(p, columns=["o_custkey"])["o_custkey"]
+            bf = BloomFilter.sized(len(col), fpp=0.01)
+            bf.add_many(col.combine_chunks())
+            rows.append((p, bf.to_bytes(), bf.k))
+        return pd.DataFrame(rows, columns=["path", "bits", "k"])
+
+    manifest = (
+        ray.data.from_items(paths)
+        .map_batches(build, batch_format="pandas")
+        .to_pandas()
+    )
+    chosen = [
+        r.path
+        for r in manifest.itertuples()
+        if BloomFilter.from_bytes(r.bits, r.k).contains_many(
+            np.array([probe], np.int64)
+        )[0]
+    ]
+    if not (0 < len(chosen) < len(paths)):
+        raise RuntimeError(
+            f"bloom pruning ineffective: {len(chosen)}/{len(paths)} files "
+            f"chosen for key {probe}"
+        )
+
+    def agg(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["o_custkey"], probe))
+        cents = _cents(kept["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "n_orders": pa.array([kept.num_rows], pa.int64()),
+                "cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(chosen)
+        .map_batches(agg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    out = pd.DataFrame([parts.sum()]).astype("int64")
+    out.insert(0, "probe_key", np.int64(probe))
+    return out[["probe_key", "n_orders", "cents"]]
+
+
+S13_SQL = """
+WITH k AS (
+  SELECT o_custkey AS pk FROM orders
+  GROUP BY o_custkey ORDER BY COUNT(*), o_custkey LIMIT 1)
+SELECT CAST((SELECT pk FROM k) AS BIGINT) AS probe_key,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders WHERE o_custkey = (SELECT pk FROM k)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -15597,4 +15993,8 @@ REGISTRY: dict[str, tuple] = {
     "q40_segment_activity": (q40_segment_activity, Q40_SQL),
     "n13_lag1_autocov": (n13_lag1_autocov, N13_SQL),
     "i09_deletion_vectors": (i09_deletion_vectors, I09_SQL),
+    "g12_assortativity": (g12_assortativity, G12_SQL),
+    "w23_rfm": (w23_rfm, W23_SQL),
+    "n14_spearman": (n14_spearman, N14_SQL),
+    "s13_bloom_pruned_read": (s13_bloom_pruned_read, S13_SQL),
 }

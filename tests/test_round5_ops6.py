@@ -296,3 +296,117 @@ def test_i09_tombstone_semantics(ray_session):
     assert int(out["n"].sum()) == len(survivors)
     assert set(out["event_type"]) == set(survivors["event_type"])
     assert len(dv) > 0  # the DV path is actually exercised
+
+
+def test_g12_brute_force(ray_session):
+    """Re-derive assortativity sums from a brute-force edge build."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import g12_assortativity
+
+    out = g12_assortativity(SF).iloc[0]
+    li = pq.read_table(
+        SF + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    li = li[li["l_partkey"] % 7 == 0].drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(edges)
+    s1 = sum(deg[u] + deg[v] for u, v in edges)
+    s2 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    sp = sum(deg[u] * deg[v] for u, v in edges)
+    assert (int(out["m"]), int(out["s1"]), int(out["s2"]), int(out["sp"])) == (
+        m, s1, s2, sp,
+    )
+    assert m > 0
+
+
+def test_w23_quintile_invariants(ray_session):
+    """Each score column splits users into 5 near-equal tiles and is
+    monotone in its metric."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w23_rfm
+
+    out = w23_rfm(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    u = ev.groupby("user_id").agg(
+        r=("us", "max"), f=("us", "size"), m=("cents", "sum")
+    )
+    n = len(u)
+    assert len(out) == n
+    for col, metric in (("r_score", "r"), ("f_score", "f"), ("m_score", "m")):
+        sizes = out[col].value_counts()
+        assert set(sizes.index) <= {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1
+        merged = out.merge(u, left_on="user_id", right_index=True)
+        s = merged.sort_values([metric, "user_id"])
+        assert (np.diff(s[col].to_numpy()) >= 0).all()
+
+
+def test_n14_scipy_free_brute_force(ray_session):
+    """Re-derive Σ(2rx−2ry)² with average ranks computed directly."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import n14_spearman
+
+    out = n14_spearman(SF).iloc[0]
+    d = pq.read_table(
+        SF + "/documents.parquet", columns=["n_chars", "text"]
+    ).to_pandas()
+    x = d["n_chars"].to_numpy(np.int64)
+    y = np.array([len(t.split(" ")) for t in d["text"]], np.int64)
+
+    def avg_rank2(v):
+        # doubled average rank per element (integer)
+        order = np.argsort(v, kind="mergesort")
+        r2 = np.empty(len(v), np.int64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r2[order[i:j]] = (i + 1) + j  # 2*avg of ranks i+1..j
+            i = j
+        return r2
+
+    dd = avg_rank2(x) - avg_rank2(y)
+    assert int(out["n"]) == len(x)
+    assert int(out["sum_d2_x4"]) == int(np.sum(dd * dd))
+
+
+def test_s13_probe_key_and_pruning(ray_session):
+    """The probe key is the least-frequent custkey and the result is
+    an exact filter aggregate (Bloom negatives cannot drop rows)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s13_bloom_pruned_read
+
+    out = s13_bloom_pruned_read(SF).iloc[0]
+    o = pq.read_table(
+        SF + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    cnt = o.groupby("o_custkey").size().reset_index(name="n")
+    cnt = cnt.sort_values(["n", "o_custkey"])
+    probe = int(cnt["o_custkey"].iloc[0])
+    assert int(out["probe_key"]) == probe
+    sel = o[o["o_custkey"] == probe]
+    assert int(out["n_orders"]) == len(sel)
+    assert int(out["cents"]) == int(
+        np.floor(sel["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
+    )
