@@ -15761,6 +15761,420 @@ FROM orders WHERE o_custkey = (SELECT pk FROM k)
 """
 
 
+def m18_audio_zcr(sf_dir: str):
+    """Zero-crossing rate + total variation from REALLY decoded WAV
+    PCM (the speech/music discriminator and noisiness proxy every
+    audio-curation pass computes before spending model inference):
+    per clip, the count of strict sign changes between consecutive
+    samples and Σ|s_{j+1} − s_j| — both pure integers re-derived by
+    the oracle from the generator arithmetic, so any decode bug
+    (chunk offset, endianness, word alignment) breaks the hash.
+
+    Scale shape: stateless per-payload decode inside map_batches
+    (decode_wav needs no model state, so a task pool suffices — the
+    m04 actor pool exists to amortize nothing here); outputs are
+    clip-sized rows, no shuffle."""
+    from ..stages.multimodal import decode_wav, synth_wav_payload
+
+    def zcr(batch: pa.Table) -> pa.Table:
+        ids, zcs, tvs, ns = [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            _rate, s = decode_wav(payload)
+            a = s.astype(np.int64)
+            zcs.append(int(np.sum(a[:-1] * a[1:] < 0)))
+            tvs.append(int(np.abs(np.diff(a)).sum()))
+            ns.append(len(a))
+            ids.append(mid)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "n_zero_cross": pa.array(zcs, pa.int64()),
+                "total_variation": pa.array(tvs, pa.int64()),
+            }
+        )
+
+    return _media_rows(sf_dir, "a", synth_wav_payload).map_batches(
+        zcr, batch_format="pyarrow", batch_size=64
+    )
+
+
+M18_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + (doc_id * 89) % 193 AS n FROM documents),
+s AS (
+  SELECT doc_id, unnest(range(0, n)) AS j,
+         ((doc_id * 31 + unnest(range(0, n)) * 57) % 2048) - 1024 AS a
+  FROM dims),
+l AS (
+  SELECT doc_id, a,
+         LEAD(a) OVER (PARTITION BY doc_id ORDER BY j) AS b
+  FROM s)
+SELECT printf('a%07d', doc_id) AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COALESCE(SUM(CASE WHEN a * b < 0 THEN 1 END), 0) AS BIGINT)
+         AS n_zero_cross,
+       CAST(COALESCE(SUM(ABS(b - a)), 0) AS BIGINT) AS total_variation
+FROM l GROUP BY doc_id
+"""
+
+
+def g13_local_clustering(sf_dir: str, n_buckets: int = 64):
+    """Per-node LOCAL clustering sufficient stats: triangles incident
+    to each node plus its wedge capacity C(deg, 2) — the local
+    coefficient (tri/wedges by one division downstream) that separates
+    community cores from bridge hubs, which the global g02 count
+    cannot see.
+
+    Scale shape: g02's degree-orientation machinery (Latapy 2008) with
+    the wedge CENTER carried through: rank-oriented edges bucket on
+    the low endpoint, wedges emit (center, x, y), the close test is
+    the same tagged pair-hash co-partition — and every CLOSED wedge
+    emits +1 for each of its three corners into a node-keyed bucketed
+    sum.  Exchange volumes: wedges (subquadratic after orientation)
+    and 3x-triangles increments; degrees broadcast node-sized (the
+    g01 gate)."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    edges = _copurchase_edges(sf_dir, n_buckets)
+
+    def node_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [batch["u"].to_numpy(np.int64), batch["v"].to_numpy(np.int64)]
+        )
+        n, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": n, "deg": c.astype(np.int64)})
+
+    deg_df = bucketed_sum(
+        edges.map_batches(node_partial, batch_format="pandas"),
+        ["node"],
+        ["deg"],
+    ).to_pandas()
+    rank = pd.Series(
+        (deg_df["deg"].astype("int64").to_numpy() << 32)
+        | deg_df["node"].to_numpy(np.int64),
+        index=deg_df["node"].to_numpy(),
+    )
+    rank_ref = ray.put(rank)
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = r.loc[batch["u"].to_numpy(np.int64)].to_numpy()
+        rv = r.loc[batch["v"].to_numpy(np.int64)].to_numpy()
+        a = np.where(ru < rv, ru, rv)
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": np.where(ru < rv, rv, ru),
+                "bucket": (a % n_buckets).astype(np.int32),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas", batch_size=65536)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["a", "b"]].sort_values(["a", "b"])
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        cs, xs, ys = [], [], []
+        j = 1
+        while True:
+            same = a[j:] == a[:-j]
+            if not same.any():
+                break
+            cs.append(a[:-j][same])
+            xs.append(b[:-j][same])
+            ys.append(b[j:][same])
+            j += 1
+        if not xs:
+            return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"c": np.concatenate(cs), "x": np.concatenate(xs),
+             "y": np.concatenate(ys)}
+        )
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas"
+    )
+
+    def edge_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": np.full(len(batch), -1, np.int64),  # -1 marks an edge row
+                "x": batch["a"].to_numpy(np.int64),
+                "y": batch["b"].to_numpy(np.int64),
+            }
+        )
+
+    tagged = wedge_ds.union(
+        oriented.map_batches(edge_tag, batch_format="pandas", batch_size=65536)
+    )
+
+    def close_bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            batch["x"].to_numpy(np.int64) * np.int64(1_000_003)
+            + batch["y"].to_numpy(np.int64)
+        ) % n_buckets
+        return batch.assign(bucket=h.astype(np.int32))
+
+    def tri_increments(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"node": pd.Series([], dtype="int64"),
+                "n_triangles": pd.Series([], dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        c = g["c"].to_numpy(np.int64)
+        is_edge = c == -1
+        key = g["x"].to_numpy(np.int64) * np.int64(1 << 32) + g[
+            "y"
+        ].to_numpy(np.int64)
+        edge_keys = np.unique(key[is_edge])
+        wc, wx, wy = c[~is_edge], g["x"].to_numpy(np.int64)[~is_edge], g[
+            "y"
+        ].to_numpy(np.int64)[~is_edge]
+        hit = np.isin(key[~is_edge], edge_keys)
+        # corners of each closed wedge, ranks -> node ids (low 32 bits)
+        corners = np.concatenate([wc[hit], wx[hit], wy[hit]]) & np.int64(
+            0xFFFFFFFF
+        )
+        n, cnt = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": n, "n_triangles": cnt.astype(np.int64)})
+
+    tri = bucketed_sum(
+        tagged.map_batches(close_bucketize, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("bucket")
+        .map_groups(tri_increments, batch_format="pandas"),
+        ["node"],
+        ["n_triangles"],
+    ).to_pandas()
+
+    out = deg_df.rename(columns={"node": "node"}).merge(
+        tri, on="node", how="left"
+    )
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    d = out["deg"].to_numpy(np.int64)
+    out["n_wedges"] = d * (d - 1) // 2
+    return (
+        out[["node", "n_triangles", "n_wedges"]]
+        .astype({"node": "int64", "n_triangles": "int64", "n_wedges": "int64"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+G13_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % 7 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT a.u AS n1, a.v AS n2, b.v AS n3
+  FROM e0 a JOIN e0 b ON b.u = a.v
+            JOIN e0 c ON c.u = a.u AND c.v = b.v),
+tn AS (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM tn GROUP BY node),
+d AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY id)
+SELECT d.id AS node,
+       COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS n_wedges
+FROM d LEFT JOIN tc ON tc.node = d.id
+"""
+
+
+def t19_char_histogram(sf_dir: str):
+    """Corpus CHARACTER histogram — the character-coverage table a
+    tokenizer trainer (SentencePiece's character_coverage) consults
+    before fixing its alphabet, and the cheapest encoding-corruption
+    tripwire (mojibake shows up as impossible byte frequencies).
+
+    Scale shape: zero-copy — each batch bincounts the Arrow string
+    column's raw UTF-8 DATA BUFFER directly (no split, no per-row
+    anything; the offsets buffer only bounds the value range), and
+    only 128-long count vectors reduce to the driver.  ASCII-pure is
+    asserted so the byte==codepoint identity the oracle relies on
+    holds."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        arr = batch["text"].combine_chunks()
+        t = arr.type
+        width = 8 if (pa.types.is_large_string(t)) else 4
+        off_dtype = np.int64 if width == 8 else np.int32
+        offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        if len(data) and int(data.max()) > 127:
+            raise ValueError("non-ASCII text; byte histogram invalid")
+        cnt = np.bincount(data, minlength=128).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"code": nz.astype(np.int64), "n": cnt[nz]})
+
+    from ..stages.agg import bucketed_sum
+
+    h = (
+        bucketed_sum(
+            ds.map_batches(hist, batch_format="pyarrow", batch_size=65536),
+            ["code"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values("code")
+        .reset_index(drop=True)
+    )
+    h["ch"] = [chr(c) for c in h["code"].to_numpy(np.int64)]
+    return h[["ch", "n"]].astype({"n": "int64"})
+
+
+T19_SQL = """
+SELECT ch, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(text, '')) AS ch FROM documents)
+WHERE ch <> ''
+GROUP BY ch
+"""
+
+
+def j10_nearest_event_join(sf_dir: str):
+    """NEAREST-event join (either direction): each purchase pairs with
+    the same user's click MINIMIZING |Δt| — ties prefer the earlier
+    click, then the smaller event id — the sensor-alignment /
+    nearest-fill primitive that a backward-only AS-OF (j01, w22)
+    cannot express.
+
+    Scale shape: ONE user-hash bucket shuffle; inside a bucket one
+    sorted pass finds, for every purchase, its floor click (forward
+    maximum.accumulate, then snapped to the FIRST click of that
+    (user, ts) run for the tie rule) and its ceiling click (backward
+    minimum.accumulate — same-instant clicks sort before the purchase,
+    so the right-scan lands exactly on the first strictly-later
+    click); the winner is a vectorized compare.  No per-user loop, no
+    composite-key overflow arithmetic."""
+    from ..stages.agg import _key_hash
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        t = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "is_p": pc.equal(t["event_type"], "purchase")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int8),
+            }
+        )
+        df["bucket"] = (_key_hash(df, ["user_id"]) % 64).astype("int32")
+        return df
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "purchase_id": pd.Series([], dtype="int64"),
+            "click_id": pd.Series([], dtype="int64"),
+            "abs_lag_us": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values(
+            ["user_id", "ts_us", "is_p", "event_id"], kind="mergesort"
+        )
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        is_p = g["is_p"].to_numpy(np.int8)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        is_c = is_p == 0
+        # first index of each contiguous (user, ts) CLICK run
+        run_start = is_c.copy()
+        if n > 1:
+            run_start[1:] = is_c[1:] & ~(
+                is_c[:-1] & (user[1:] == user[:-1]) & (ts[1:] == ts[:-1])
+            )
+        rf = np.maximum.accumulate(np.where(run_start, idx, -1))
+        # floor click: last click at ts <= mine, snapped to its run head
+        floor = np.maximum.accumulate(np.where(is_c, idx, -1))
+        floor = np.where(floor >= 0, rf[np.maximum(floor, 0)], -1)
+        # ceiling click: first click strictly after me in sort order
+        ceil = np.full(n, n, np.int64)
+        nxt = n
+        rev = np.where(is_c, idx, n)
+        ceil[:-1] = np.minimum.accumulate(rev[::-1])[::-1][1:]
+        del nxt
+        p = is_p == 1
+        fl, ce = floor[p], ceil[p]
+        pu, pt, pe = user[p], ts[p], eid[p]
+        fl_ok = (fl >= 0) & (user[np.maximum(fl, 0)] == pu)
+        ce_ok = (ce < n) & (user[np.minimum(ce, n - 1)] == pu)
+        d_fl = np.where(fl_ok, pt - ts[np.maximum(fl, 0)], np.int64(2**62))
+        d_ce = np.where(ce_ok, ts[np.minimum(ce, n - 1)] - pt, np.int64(2**62))
+        use_fl = fl_ok & (~ce_ok | (d_fl <= d_ce))
+        chosen = np.where(use_fl, fl, ce)
+        ok = fl_ok | ce_ok
+        chosen = chosen[ok]
+        return pd.DataFrame(
+            {
+                "purchase_id": pe[ok],
+                "click_id": eid[chosen],
+                "abs_lag_us": np.where(use_fl[ok], d_fl[ok], d_ce[ok]),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(nearest, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("purchase_id").reset_index(drop=True).astype(
+        {"purchase_id": "int64", "click_id": "int64", "abs_lag_us": "int64"}
+    )
+
+
+J10_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         abs(epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(c.ts AS TIMESTAMP))) AS adist,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP))
+                        - epoch_us(CAST(c.ts AS TIMESTAMP))),
+                    c.ts, c.event_id) AS rk
+  FROM p JOIN c ON c.user_id = p.user_id)
+SELECT purchase_id, click_id, CAST(adist AS BIGINT) AS abs_lag_us
+FROM r WHERE rk = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -15997,4 +16411,8 @@ REGISTRY: dict[str, tuple] = {
     "w23_rfm": (w23_rfm, W23_SQL),
     "n14_spearman": (n14_spearman, N14_SQL),
     "s13_bloom_pruned_read": (s13_bloom_pruned_read, S13_SQL),
+    "m18_audio_zcr": (m18_audio_zcr, M18_SQL),
+    "g13_local_clustering": (g13_local_clustering, G13_SQL),
+    "t19_char_histogram": (t19_char_histogram, T19_SQL),
+    "j10_nearest_event_join": (j10_nearest_event_join, J10_SQL),
 }

@@ -410,3 +410,115 @@ def test_s13_probe_key_and_pruning(ray_session):
     assert int(out["cents"]) == int(
         np.floor(sel["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64).sum()
     )
+
+
+def test_m18_generator_rederivation(ray_session):
+    """ZCR/TV re-derived from the closed-form generator (independent
+    of the decoder)."""
+    from naer_ray.pipelines.queries import m18_audio_zcr
+
+    out = m18_audio_zcr(SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = out.set_index("media_id")
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    for doc_id in ids[:50]:
+        n = 64 + (doc_id * 89) % 193
+        j = np.arange(n, dtype=np.int64)
+        a = ((doc_id * 31 + j * 57) % 2048) - 1024
+        row = out.loc[f"a{doc_id:07d}"]
+        assert int(row["n_samples"]) == n
+        assert int(row["n_zero_cross"]) == int(np.sum(a[:-1] * a[1:] < 0))
+        assert int(row["total_variation"]) == int(np.abs(np.diff(a)).sum())
+
+
+def test_g13_brute_force_and_identity(ray_session):
+    """Per-node triangles re-derived by brute force; the 3T identity
+    and wedge formula hold."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import g13_local_clustering
+
+    out = g13_local_clustering(SF).set_index("node")
+    li = pq.read_table(
+        SF + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    li = li[li["l_partkey"] % 7 == 0].drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+            edges.add((a, b))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = defaultdict(int)
+    n_tri = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w since edges store u < v
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+                n_tri += 1
+    assert n_tri > 0
+    assert int(out["n_triangles"].sum()) == 3 * n_tri
+    for node in out.index:
+        assert int(out.loc[node, "n_triangles"]) == tri.get(node, 0), node
+        d = len(adj[node])
+        assert int(out.loc[node, "n_wedges"]) == d * (d - 1) // 2
+
+
+def test_t19_counter_rederivation(ray_session):
+    """Char histogram equals collections.Counter over all texts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import t19_char_histogram
+
+    out = t19_char_histogram(SF)
+    texts = pq.read_table(SF + "/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = Counter()
+    for t in texts:
+        want.update(t)
+    got = dict(zip(out["ch"], out["n"].astype(int)))
+    assert got == dict(want)
+    assert int(out["n"].sum()) == sum(len(t) for t in texts)
+
+
+def test_j10_brute_force(ray_session):
+    """Nearest-click join re-derived per purchase."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import j10_nearest_event_join
+
+    out = j10_nearest_event_join(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    expect = {}
+    clicks = ev[ev["event_type"] == "click"]
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        c = clicks[clicks["user_id"] == p["user_id"]].copy()
+        if not len(c):
+            continue
+        c["adist"] = (c["us"] - p["us"]).abs()
+        c = c.sort_values(["adist", "us", "event_id"]).iloc[0]
+        expect[int(p["event_id"])] = (int(c["event_id"]), int(c["adist"]))
+    got = {
+        int(r.purchase_id): (int(r.click_id), int(r.abs_lag_us))
+        for r in out.itertuples()
+    }
+    assert got == expect and len(expect) > 0
