@@ -16175,6 +16175,406 @@ FROM r WHERE rk = 1
 """
 
 
+def m19_distinct_colors(sf_dir: str):
+    """Color-palette cardinality from REALLY decoded PPM pixels: per
+    image, n_pix and the count of DISTINCT (r,g,b) colors — the
+    palette-size probe that decides indexed-color transcoding (8-bit
+    palette vs truecolor) in an image-curation pass.  Integers only;
+    the oracle re-derives both from the generator arithmetic, so any
+    decode slip (header walk, channel order, truncation) breaks the
+    hash.
+
+    Scale shape: stateless per-payload decode; distinct colors come
+    from ONE np.unique over the packed 24-bit keys per image —
+    image-sized rows out, no shuffle."""
+    from ..stages.multimodal import decode_ppm, synth_ppm_payload
+
+    def palette(batch: pa.Table) -> pa.Table:
+        ids, npx, ncol = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, pix = decode_ppm(payload)
+            key = (
+                pix[:, 0].astype(np.int64) * 65536
+                + pix[:, 1].astype(np.int64) * 256
+                + pix[:, 2].astype(np.int64)
+            )
+            ids.append(mid)
+            npx.append(w * h)
+            ncol.append(len(np.unique(key)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_pix": pa.array(npx, pa.int64()),
+                "n_colors": pa.array(ncol, pa.int64()),
+            }
+        )
+
+    return _media_rows(sf_dir, "m", synth_ppm_payload).map_batches(
+        palette, batch_format="pyarrow", batch_size=64
+    )
+
+
+M19_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + (doc_id * 131) % 29 AS w,
+         4 + (doc_id * 197) % 31 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         ((doc_id * 7 + unnest(range(0, w * h)) * 13) % 256) * 65536
+       + ((doc_id * 11 + unnest(range(0, w * h)) * 17) % 256) * 256
+       + ((doc_id * 13 + unnest(range(0, w * h)) * 23) % 256) AS key
+  FROM dims)
+SELECT printf('m%07d', doc_id) AS media_id,
+       CAST(MAX(w * h) AS BIGINT) AS n_pix,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_colors
+FROM px GROUP BY doc_id
+"""
+
+
+def w24_survival_table(sf_dir: str):
+    """Kaplan-Meier INPUT table for signup-to-first-purchase latency:
+    per whole-day duration, how many users CONVERTED at that duration
+    and how many were CENSORED there (signed up, never purchased
+    after — censoring time = corpus max ts) — the survival-analysis
+    staging every retention model starts from, with censoring done
+    right instead of silently dropping non-converters.
+
+    Scale shape: per-user sufficient stats (min signup ts, min
+    purchase-after-signup ts — both min-reduces) ride ONE user-hash
+    bucket shuffle; the corpus max ts is a tiny scalar pass; the
+    day-keyed histogram is user-bounded."""
+    from ..stages.agg import _key_hash
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    # exact route: ship only the filtered rows (signup+purchase, 2/5 of
+    # events) through the user-hash shuffle; the per-user pass is
+    # vectorized in-bucket ("first purchase AT/AFTER first signup" is
+    # not decomposable into per-batch partials, so the rows themselves
+    # must co-locate — the j01/w22 shape)
+    def rows(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        t = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "us": t["ts"]
+                .combine_chunks()
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(),
+                "is_s": pc.equal(t["event_type"], "signup")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int8),
+            }
+        )
+        df["bucket"] = (_key_hash(df, ["user_id"]) % 64).astype("int32")
+        return df
+
+    max_us = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "m": [
+                        int(
+                            b["ts"]
+                            .combine_chunks()
+                            .cast(pa.timestamp("us"))
+                            .cast(pa.int64())
+                            .to_numpy()
+                            .max()
+                        )
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "duration_days": pd.Series([], dtype="int64"),
+            "n_converted": pd.Series([], dtype="int64"),
+            "n_censored": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values(["user_id", "us"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        is_s = g["is_s"].to_numpy(np.int8) == 1
+        # first signup per user
+        first_of_user = np.zeros(len(g), bool)
+        first_of_user[0] = True
+        first_of_user[1:] = u[1:] != u[:-1]
+        uid_idx = np.cumsum(first_of_user) - 1
+        n_users = int(uid_idx[-1]) + 1
+        BIG = np.int64(2**62)
+        s_min = np.full(n_users, BIG, np.int64)
+        np.minimum.at(s_min, uid_idx[is_s], us[is_s])
+        # first purchase at/after the user's first signup
+        pm = np.full(n_users, BIG, np.int64)
+        pur = ~is_s
+        after = pur & (us >= s_min[uid_idx])
+        np.minimum.at(pm, uid_idx[after], us[after])
+        has_s = s_min < BIG
+        conv = has_s & (pm < BIG)
+        cens = has_s & ~(pm < BIG)
+        d_conv = (pm[conv] - s_min[conv]) // day_us
+        d_cens = (max_us - s_min[cens]) // day_us
+        rows_ = []
+        for d, flag in ((d_conv, "n_converted"), (d_cens, "n_censored")):
+            if len(d):
+                vals, cnts = np.unique(d, return_counts=True)
+                rows_.append(
+                    pd.DataFrame(
+                        {
+                            "duration_days": vals,
+                            "n_converted": cnts if flag == "n_converted" else 0,
+                            "n_censored": cnts if flag == "n_censored" else 0,
+                        }
+                    )
+                )
+        if not rows_:
+            return pd.DataFrame(cols)
+        out = pd.concat(rows_, ignore_index=True)
+        return out.groupby("duration_days", as_index=False)[
+            ["n_converted", "n_censored"]
+        ].sum()
+
+    parts = (
+        ds.map_batches(rows, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("duration_days", as_index=False)[
+        ["n_converted", "n_censored"]
+    ].sum()
+    return out.astype(
+        {"duration_days": "int64", "n_converted": "int64",
+         "n_censored": "int64"}
+    ).sort_values("duration_days").reset_index(drop=True)
+
+
+W24_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT s.user_id, s.s_us,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+  FROM s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= s.s_us
+  GROUP BY s.user_id, s.s_us),
+m AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events),
+d AS (
+  SELECT CASE WHEN p_us IS NOT NULL
+              THEN (p_us - s_us) // 86400000000
+              ELSE ((SELECT max_us FROM m) - s_us) // 86400000000
+         END AS duration_days,
+         (p_us IS NOT NULL) AS conv
+  FROM p)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(COUNT(*) FILTER (WHERE conv) AS BIGINT) AS n_converted,
+       CAST(COUNT(*) FILTER (WHERE NOT conv) AS BIGINT) AS n_censored
+FROM d GROUP BY 1
+"""
+
+
+def e09_entity_burstiness(sf_dir: str, n_buckets: int = 64):
+    """Entity BURSTINESS over the derived transcripts: per dictionary
+    entity, total turn-hits, distinct conversations touched, and the
+    maximum hits inside a single conversation — separates entities
+    that saturate one conversation (a burst — candidate for conv-level
+    salting, the SURVEY §4 hot-key scenario) from entities spread
+    thin everywhere.
+
+    Scale shape: per-batch (conv, entity) hit partials (the e07
+    discipline — a conversation's turns can split across batches, so
+    per-conv counts MUST merge before the max is taken) ride one
+    conv-hash bucket shuffle; buckets emit per-entity
+    (sum/count/max — all associative over complete conversations)
+    and the driver folds 7 rows."""
+    from ..stages.dedup import _fnv64_arr
+
+    ents_sorted = np.array(sorted(KG_ENTITIES))
+    ds = _derive_transcripts(sf_dir)
+
+    def hit_partial(batch: pa.Table) -> pd.DataFrame:
+        r, c = _entity_presence(batch["text"], ents_sorted)
+        conv = batch["conv_id"].combine_chunks().take(pa.array(r))
+        df = pd.DataFrame(
+            {"conv_id": conv.to_pandas(), "code": c, "n": 1}
+        )
+        g = df.groupby(["conv_id", "code"], as_index=False)["n"].sum()
+        g["bucket"] = (
+            _fnv64_arr(pa.array(g["conv_id"], pa.string()))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "code": pd.Series([], dtype="int64"),
+            "n_hits": pd.Series([], dtype="int64"),
+            "n_convs": pd.Series([], dtype="int64"),
+            "max_conv_hits": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(cols)
+        cv = g.groupby(["code", "conv_id"], as_index=False)["n"].sum()
+        out = cv.groupby("code", as_index=False).agg(
+            n_hits=("n", "sum"), n_convs=("n", "size"),
+            max_conv_hits=("n", "max"),
+        )
+        return out.astype(
+            {"code": "int64", "n_hits": "int64", "n_convs": "int64",
+             "max_conv_hits": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(hit_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("code", as_index=False).agg(
+        n_hits=("n_hits", "sum"), n_convs=("n_convs", "sum"),
+        max_conv_hits=("max_conv_hits", "max"),
+    )
+    agg["entity"] = ents_sorted[agg["code"].to_numpy(np.int64)]
+    return agg[["entity", "n_hits", "n_convs", "max_conv_hits"]].astype(
+        {"n_hits": "int64", "n_convs": "int64", "max_conv_hits": "int64"}
+    ).sort_values("entity").reset_index(drop=True)
+
+
+E09_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+h AS (
+  SELECT DISTINCT conv_id, turn_idx, e FROM (
+    SELECT conv_id, turn_idx, unnest(string_split(text, ' ')) AS e
+    FROM t)
+  WHERE e IN ({", ".join(f"'{e}'" for e in KG_ENTITIES)})),
+cv AS (
+  SELECT e, conv_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM h GROUP BY e, conv_id)
+SELECT e AS entity,
+       CAST(SUM(n) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(MAX(n) AS BIGINT) AS max_conv_hits
+FROM cv GROUP BY e
+"""
+
+
+def s14_partition_overwrite(sf_dir: str, days=(3, 7)):
+    """Dynamic partition OVERWRITE (Hive/Spark INSERT OVERWRITE
+    semantics, the lakehouse backfill primitive): the events table
+    stages day-partitioned; a correction job rewrites ONLY the named
+    day partitions (values re-stated at 2x cents — a deterministic
+    "late correction"), untouched partitions keep their original
+    files; the read-back union must reflect exactly the overwritten
+    days and nothing else.
+
+    Scale shape: the overwrite touches only the target partitions'
+    rows (partition-pruned read + rewrite); the verify aggregate scans
+    the merged layout once with day-bounded partials."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+
+    day_us = 86_400_000_000
+    stage = (
+        "/tmp/naer_part_overwrite/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    us = src["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    day0 = int(us.min() // day_us)
+    day = (us // day_us).astype(np.int64) - day0
+    cents = np.floor(src["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for d in np.unique(day):
+        part_dir = f"{stage}/day={d}"
+        _os.makedirs(part_dir)
+        sel = day == d
+        _pq.write_table(
+            pa.table({"day": day[sel], "cents": cents[sel]}),
+            f"{part_dir}/part-0.parquet",
+        )
+
+    # --- overwrite job: re-state the chosen partitions at 2x cents ---
+    for d in days:
+        part_dir = f"{stage}/day={d}"
+        if not _os.path.isdir(part_dir):
+            continue
+        sel = day == d
+        new = pa.table({"day": day[sel], "cents": cents[sel] * 2})
+        shutil.rmtree(part_dir)
+        _os.makedirs(part_dir)
+        _pq.write_table(new, f"{part_dir}/part-0.parquet")
+
+    paths = sorted(
+        f"{stage}/{p}/part-0.parquet" for p in _os.listdir(stage)
+    )
+    ds = ray.data.read_parquet(paths)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "day": batch["day"].to_numpy(zero_copy_only=False),
+                "cents": batch["cents"].to_numpy(zero_copy_only=False),
+                "n": 1,
+            }
+        )
+        return df.groupby("day", as_index=False)[["cents", "n"]].sum()
+
+    out = (
+        bucketed_sum(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["day"],
+            ["cents", "n"],
+        )
+        .to_pandas()
+        .astype({"day": "int64", "cents": "int64", "n": "int64"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+S14_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+         - (SELECT MIN(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                            AS BIGINT)) FROM events) AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT day,
+       CAST(SUM(CASE WHEN day IN (3, 7) THEN cents * 2 ELSE cents END)
+            AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY day
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -16415,4 +16815,8 @@ REGISTRY: dict[str, tuple] = {
     "g13_local_clustering": (g13_local_clustering, G13_SQL),
     "t19_char_histogram": (t19_char_histogram, T19_SQL),
     "j10_nearest_event_join": (j10_nearest_event_join, J10_SQL),
+    "m19_distinct_colors": (m19_distinct_colors, M19_SQL),
+    "w24_survival_table": (w24_survival_table, W24_SQL),
+    "e09_entity_burstiness": (e09_entity_burstiness, E09_SQL),
+    "s14_partition_overwrite": (s14_partition_overwrite, S14_SQL),
 }

@@ -3,6 +3,7 @@ x11) — exactness vs DuckDB is covered by test_queries_oracle; these
 check the structural invariants the SQL can't express."""
 
 import numpy as np
+import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
@@ -522,3 +523,120 @@ def test_j10_brute_force(ray_session):
         for r in out.itertuples()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_m19_generator_rederivation(ray_session):
+    """Distinct colors re-derived from the generator arithmetic."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import m19_distinct_colors
+
+    out = m19_distinct_colors(SF)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = out.set_index("media_id")
+    ids = pq.read_table(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    for doc_id in ids[:40]:
+        w = 4 + (doc_id * 131) % 29
+        h = 4 + (doc_id * 197) % 31
+        j = np.arange(w * h, dtype=np.int64)
+        key = (
+            ((doc_id * 7 + j * 13) % 256) * 65536
+            + ((doc_id * 11 + j * 17) % 256) * 256
+            + ((doc_id * 13 + j * 23) % 256)
+        )
+        row = out.loc[f"m{doc_id:07d}"]
+        assert int(row["n_pix"]) == w * h
+        assert int(row["n_colors"]) == len(np.unique(key))
+
+
+def test_w24_conservation_and_brute_force(ray_session):
+    """Every signed-up user appears exactly once (converted XOR
+    censored); durations re-derived per user."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w24_survival_table
+
+    out = w24_survival_table(SF)
+    ev = pq.read_table(
+        SF + "/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    max_us = int(ev["us"].max())
+    D = 86_400_000_000
+    conv, cens = {}, {}
+    for uid, g in ev.groupby("user_id"):
+        s = g.loc[g["event_type"] == "signup", "us"]
+        if not len(s):
+            continue
+        s0 = int(s.min())
+        p = g.loc[(g["event_type"] == "purchase") & (g["us"] >= s0), "us"]
+        if len(p):
+            d = (int(p.min()) - s0) // D
+            conv[d] = conv.get(d, 0) + 1
+        else:
+            d = (max_us - s0) // D
+            cens[d] = cens.get(d, 0) + 1
+    n_signed = ev[ev["event_type"] == "signup"]["user_id"].nunique()
+    assert int(out["n_converted"].sum() + out["n_censored"].sum()) == n_signed
+    got_conv = dict(
+        zip(out["duration_days"].astype(int), out["n_converted"].astype(int))
+    )
+    got_cens = dict(
+        zip(out["duration_days"].astype(int), out["n_censored"].astype(int))
+    )
+    assert {k: v for k, v in got_conv.items() if v} == conv
+    assert {k: v for k, v in got_cens.items() if v} == cens
+
+
+def test_e09_burstiness_invariants(ray_session):
+    """max_conv_hits <= n_hits; sum over convs equals n_hits (checked
+    by brute force); burstiness agrees with e07's hits total."""
+    from collections import defaultdict
+
+    from naer_ray.pipelines.queries import (
+        KG_ENTITIES,
+        e09_entity_burstiness,
+        q14_kg_transcripts,
+    )
+
+    out = e09_entity_burstiness(SF).set_index("entity")
+    t = q14_kg_transcripts(SF)
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    ents = set(KG_ENTITIES)
+    per = defaultdict(lambda: defaultdict(int))
+    for r in t.itertuples():
+        for w in set(r.text.split(" ")):
+            if w in ents:
+                per[w][r.conv_id] += 1
+    for e, convs in per.items():
+        row = out.loc[e]
+        assert int(row["n_hits"]) == sum(convs.values())
+        assert int(row["n_convs"]) == len(convs)
+        assert int(row["max_conv_hits"]) == max(convs.values())
+    assert set(out.index) == set(per)
+
+
+def test_s14_only_target_days_doubled(ray_session):
+    """Overwritten partitions read back at exactly 2x; all others
+    byte-identical to the source aggregation."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s14_partition_overwrite
+
+    out = s14_partition_overwrite(SF).set_index("day")
+    ev = pq.read_table(SF + "/events.parquet", columns=["ts", "value"]).to_pandas()
+    us = ev["ts"].astype("int64")
+    day = (us // 86_400_000_000) - (us.min() // 86_400_000_000)
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    base = (
+        pd.DataFrame({"day": day, "cents": cents})
+        .groupby("day")["cents"]
+        .sum()
+    )
+    for d, v in base.items():
+        mult = 2 if d in (3, 7) else 1
+        assert int(out.loc[d, "cents"]) == int(v) * mult, d
