@@ -16575,6 +16575,272 @@ FROM e GROUP BY day
 """
 
 
+def a13_maxsim_multivector(sf_dir: str, group: int = 4, k: int = 5):
+    """Late-interaction (ColBERT-style MaxSim) retrieval: each "doc" is
+    a GROUP of 4 consecutive vectors (vec_id // 4), the query is doc
+    0's 4 vectors, and score(doc) = Σ_q max_{d∈doc} ⟨q, d⟩ — the
+    multi-vector ranking a single-vector ANN (a01–a12) cannot express.
+    Scoring uses the x10/a05 QUANTIZED-integer discipline
+    (L2-normalize, scale 127, floor(x+0.5), int accumulate) so ranks
+    are bit-deterministic under any partitioning; top-k by
+    (score DESC, doc ASC).
+
+    Scale shape: the 4×64 quantized query broadcasts via ray.put; each
+    batch computes one int matmul and pre-MAXES per (doc, qvec) —
+    a doc's vectors can split across batches, so the per-batch max is
+    a PARTIAL merged by one doc-hash bucket max-reduce (max is
+    associative); the per-doc sum and top-k fold doc-bounded rows on
+    the driver."""
+    import ray
+
+    from ..stages.agg import _key_hash
+    from ..stages.ann import _as_matrix
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return np.clip(
+            np.floor(mat / norms * 127.0 + 0.5), -127, 127
+        ).astype(np.int64)
+
+    import pyarrow.parquet as _pq
+
+    emb = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids_all = emb["vec_id"].to_numpy()
+    sel = np.flatnonzero(np.isin(ids_all, np.arange(group)))
+    qm = np.array(
+        [emb["embedding"][int(i)].as_py() for i in sel], dtype=np.float64
+    )[np.argsort(ids_all[sel])]
+    q8 = quantize(qm)
+    q_ref = ray.put(q8)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        mat = _as_matrix(batch["embedding"])
+        m8 = quantize(mat)
+        dots = m8 @ q.T  # (rows, group) int64
+        doc = batch["vec_id"].to_numpy(zero_copy_only=False) // group
+        df = pd.DataFrame(
+            {"doc": np.repeat(doc, q.shape[0]),
+             "qi": np.tile(np.arange(q.shape[0]), len(doc)),
+             "dot": dots.ravel()}
+        )
+        g = df.groupby(["doc", "qi"], as_index=False)["dot"].max()
+        g["bucket"] = (_key_hash(g, ["doc"]) % 64).astype("int32")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="int64")}
+            )
+        mx = g.groupby(["doc", "qi"], as_index=False)["dot"].max()
+        sc = mx.groupby("doc", as_index=False)["dot"].sum()
+        return sc.rename(columns={"dot": "score"}).astype(
+            {"doc": "int64", "score": "int64"}
+        )
+
+    scores = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    order = np.lexsort(
+        (scores["doc"].to_numpy(np.int64), -scores["score"].to_numpy(np.int64))
+    )[:k]
+    return scores.iloc[order][["doc", "score"]].astype(
+        {"doc": "int64", "score": "int64"}
+    ).reset_index(drop=True)
+
+
+A13_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nr AS (
+  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM el GROUP BY vec_id),
+q AS (
+  SELECT el.vec_id, i,
+         GREATEST(-127, LEAST(127,
+           CAST(FLOOR(x / GREATEST(nrm, 1e-12) * 127 + 0.5) AS BIGINT)))
+           AS qx
+  FROM el JOIN nr USING (vec_id)),
+dots AS (
+  SELECT qq.vec_id AS qi, q.vec_id AS did,
+         CAST(SUM(qq.qx * q.qx) AS BIGINT) AS dot
+  FROM (SELECT * FROM q WHERE vec_id IN (0, 1, 2, 3)) qq
+  JOIN q ON q.i = qq.i
+  GROUP BY 1, 2),
+mx AS (
+  SELECT qi, did // 4 AS doc, MAX(dot) AS m FROM dots GROUP BY 1, 2),
+sc AS (SELECT doc, CAST(SUM(m) AS BIGINT) AS score FROM mx GROUP BY doc)
+SELECT CAST(doc AS BIGINT) AS doc, score
+FROM sc ORDER BY score DESC, doc LIMIT 5
+"""
+
+
+def x12_tiered_search(sf_dir: str, phrase: str = "hash vector", k: int = 10):
+    """Tiered (cascade) retrieval: documents matching the exact PHRASE
+    rank in tier 1, documents merely containing BOTH terms rank in
+    tier 2 — the precision-first fallback every search stack runs
+    before blending scores (x03 alone drops the fallback tier; x09
+    alone cannot prefer adjacency).  Top-k by (tier ASC, tf DESC,
+    doc_id ASC) where tf is the summed term frequency.
+
+    Scale shape: ONE streaming pass per batch reuses the t15 bigram
+    kernel (phrase counts) and a searchsorted token-code bincount
+    (term tfs); each doc lives in exactly one batch row, so per-batch
+    local top-k pools make the driver merge block-bounded — zero
+    shuffles."""
+    from ..stages.text import _batch_bigrams, _string_array
+
+    terms = np.array(sorted(phrase.split(" ")))
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        txt = _string_array(batch["text"])
+        n = len(txt)
+        # phrase occurrences (tier 1 signal)
+        bg, parents, _n = _batch_bigrams(txt)
+        ph = np.zeros(n, np.int64)
+        if len(bg):
+            eq = pc.equal(bg, phrase).to_numpy(zero_copy_only=False)
+            ph = np.bincount(parents[eq], minlength=n).astype(np.int64)
+        # per-term tf (tier 2 signal): token-code bincount
+        split = pc.split_pattern(txt, " ")
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        kT = len(terms)
+        tf = np.zeros((n, kT), np.int64)
+        if len(flat):
+            pos = np.minimum(np.searchsorted(terms, flat), kT - 1)
+            hit = terms[pos] == flat
+            np.add.at(tf, (row_of[hit], pos[hit]), 1)
+        has_all = (tf > 0).all(axis=1)
+        tier = np.where(ph > 0, 1, np.where(has_all, 2, 0))
+        keep = tier > 0
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "tier": tier[keep],
+                "tf": tf.sum(axis=1)[keep],
+            }
+        )
+        # local top-k pool bounds the driver merge
+        df = df.sort_values(
+            ["tier", "tf", "doc_id"], ascending=[True, False, True]
+        ).head(k)
+        return df
+
+    pool = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    pool = pool.sort_values(
+        ["tier", "tf", "doc_id"], ascending=[True, False, True]
+    ).head(k)
+    return pool.reset_index(drop=True).astype(
+        {"doc_id": "int64", "tier": "int64", "tf": "int64"}
+    )
+
+
+X12_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ph AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ph
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+    FROM l WHERE len(toks) >= 2)
+  WHERE b = 'hash vector' GROUP BY doc_id),
+tf AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_a,
+         CAST(SUM(CASE WHEN w = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
+  FROM (SELECT doc_id, unnest(toks) AS w FROM l)
+  GROUP BY doc_id),
+sc AS (
+  SELECT tf.doc_id,
+         CASE WHEN ph.n_ph > 0 THEN 1
+              WHEN tf.tf_a > 0 AND tf.tf_b > 0 THEN 2 END AS tier,
+         tf.tf_a + tf.tf_b AS tf
+  FROM tf LEFT JOIN ph USING (doc_id))
+SELECT doc_id, CAST(tier AS BIGINT) AS tier, CAST(tf AS BIGINT) AS tf
+FROM sc WHERE tier IS NOT NULL
+ORDER BY tier, tf DESC, doc_id LIMIT 10
+"""
+
+
+def r07_share_of_total(sf_dir: str):
+    """Ratio-to-report window: monthly revenue per order priority
+    ALONGSIDE its month total (share = cents/month_cents by one
+    division downstream — both integers so the compare is exact);
+    the contribution view every finance rollup renders.
+
+    Scale shape: one (month, priority)-bounded bucketed sum; the
+    window total is a groupby-transform over the month×priority-sized
+    result on the driver."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        m = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        df = pd.DataFrame(
+            {
+                "month_start": m.to_pandas(),
+                "pri": batch["o_orderpriority"].to_pandas(),
+                "cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        return df.groupby(["month_start", "pri"], as_index=False)[
+            "cents"
+        ].sum()
+
+    g = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["month_start", "pri"],
+            ["cents"],
+        )
+        .to_pandas()
+    )
+    g["month_cents"] = g.groupby("month_start")["cents"].transform("sum")
+    out = g.rename(columns={"pri": "o_orderpriority"})
+    return out[["month_start", "o_orderpriority", "cents", "month_cents"]].astype(
+        {"cents": "int64", "month_cents": "int64"}
+    ).sort_values(["month_start", "o_orderpriority"]).reset_index(drop=True)
+
+
+R07_SQL = """
+WITH t AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start,
+         o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+g AS (
+  SELECT month_start, o_orderpriority, CAST(SUM(c) AS BIGINT) AS cents
+  FROM t GROUP BY 1, 2)
+SELECT month_start, o_orderpriority, cents,
+       CAST(SUM(cents) OVER (PARTITION BY month_start) AS BIGINT)
+         AS month_cents
+FROM g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -16819,4 +17085,7 @@ REGISTRY: dict[str, tuple] = {
     "w24_survival_table": (w24_survival_table, W24_SQL),
     "e09_entity_burstiness": (e09_entity_burstiness, E09_SQL),
     "s14_partition_overwrite": (s14_partition_overwrite, S14_SQL),
+    "a13_maxsim_multivector": (a13_maxsim_multivector, A13_SQL),
+    "x12_tiered_search": (x12_tiered_search, X12_SQL),
+    "r07_share_of_total": (r07_share_of_total, R07_SQL),
 }
