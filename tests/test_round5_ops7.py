@@ -1,0 +1,110 @@
+"""Property gates for the round-5 batch-7 operators (a13, x12, r07) —
+exactness vs DuckDB is covered by test_queries_oracle; these check the
+structural invariants the SQL can't express."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_a13_brute_force(ray_session):
+    """MaxSim scores re-derived by the O(docs x group^2) definition on
+    the raw embeddings: quantize everything with the identical rule,
+    score(doc) = sum_q max_{d in doc} <q, d>, top-5 by
+    (score DESC, doc ASC)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import a13_maxsim_multivector
+
+    out = a13_maxsim_multivector(SF)
+
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat[np.argsort(ids)]
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    q8 = np.clip(np.floor(mat / norms * 127.0 + 0.5), -127, 127).astype(
+        np.int64
+    )
+    group = 4
+    qm = q8[:group]  # doc 0's vectors are the query
+    dots = q8 @ qm.T  # (n, group)
+    n_docs = len(q8) // group + (len(q8) % group > 0)
+    scores = np.zeros(n_docs, np.int64)
+    doc_of = np.arange(len(q8)) // group
+    for d in range(n_docs):
+        sub = dots[doc_of == d]
+        scores[d] = sub.max(axis=0).sum()
+    order = np.lexsort((np.arange(n_docs), -scores))[:5]
+    assert out["doc"].tolist() == order.tolist()
+    assert out["score"].tolist() == scores[order].tolist()
+    # doc 0 must score itself maximal (self-similarity of the query)
+    assert out["doc"].iloc[0] == 0
+    assert out["score"].iloc[0] == scores.max()
+
+
+def test_x12_tier_semantics(ray_session):
+    """Tier 1 docs must literally contain the phrase; tier 2 docs must
+    contain both terms but NOT the adjacent phrase; the pool ordering
+    is (tier ASC, tf DESC, doc_id ASC) and nothing outside the top-k
+    could displace a returned row."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x12_tiered_search
+
+    out = x12_tiered_search(SF)
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+
+    # re-derive the full scored pool in plain Python
+    pool = []
+    for did, text in docs["text"].items():
+        toks = text.split(" ")
+        ph = sum(
+            1 for a, b in zip(toks, toks[1:]) if a == "hash" and b == "vector"
+        )
+        tf_a, tf_b = toks.count("hash"), toks.count("vector")
+        tier = 1 if ph > 0 else (2 if tf_a > 0 and tf_b > 0 else 0)
+        if tier:
+            pool.append((tier, -(tf_a + tf_b), did))
+    pool.sort()
+    expect = [(d, t, -ntf) for t, ntf, d in pool[:10]]
+    got = list(zip(out["doc_id"], out["tier"], out["tf"]))
+    assert got == expect
+    for did, tier, _tf in got:
+        text = docs.loc[did, "text"]
+        if tier == 1:
+            assert "hash vector" in text
+        else:
+            toks = text.split(" ")
+            assert "hash" in toks and "vector" in toks
+            assert not any(
+                a == "hash" and b == "vector" for a, b in zip(toks, toks[1:])
+            )
+
+
+def test_r07_conservation(ray_session):
+    """Per-month share denominators: month_cents must equal the sum of
+    that month's per-priority cents, be constant within a month, and
+    the grand total must equal the raw orders total."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import r07_share_of_total
+
+    out = r07_share_of_total(SF)
+    g = out.groupby("month_start")
+    assert (g["cents"].transform("sum") == out["month_cents"]).all()
+    assert (g["month_cents"].nunique() == 1).all()
+    raw = pq.read_table(SF + "/orders.parquet", columns=["o_totalprice"])
+    total = int(
+        np.floor(raw["o_totalprice"].to_numpy() * 100 + 0.5)
+        .astype(np.int64)
+        .sum()
+    )
+    assert int(out["cents"].sum()) == total
+    # shares within a month sum to exactly 1 in integer space
+    assert (g["cents"].sum().to_numpy()
+            == g["month_cents"].first().to_numpy()).all()
