@@ -16841,6 +16841,252 @@ FROM g
 """
 
 
+def n15_chi2_contingency(sf_dir: str):
+    """Chi-square-of-independence INPUTS for lang x source as pure
+    integers: per cell the observed count ``o``, its marginals
+    ``r_tot``/``c_tot``, the grand total ``n`` and the signed
+    deviation ``dev = o*n - r_tot*c_tot`` (the chi-square numerator
+    before squaring; |dev| <= n^2/4 so int64 is safe to sf>=1) — the
+    categorical-drift / independence monitor that the continuous
+    drift tests (n10 KS, n12 Mann-Whitney) cannot express.
+
+    Scale shape: ONE corpus pass emits per-batch (lang, source)
+    partial counts (exchange bounded by distinct cell pairs, never
+    rows); marginals and deviations are closed-form passes over that
+    cell table on the driver."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+                "o": 1,
+            }
+        )
+        return df.groupby(["lang", "source"], as_index=False)["o"].sum()
+
+    cells = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["lang", "source"],
+            ["o"],
+        )
+        .to_pandas()
+    )
+    cells["r_tot"] = cells.groupby("lang")["o"].transform("sum")
+    cells["c_tot"] = cells.groupby("source")["o"].transform("sum")
+    n = int(cells["o"].sum())
+    cells["n"] = np.int64(n)
+    cells["dev"] = (
+        cells["o"].to_numpy(np.int64) * n
+        - cells["r_tot"].to_numpy(np.int64) * cells["c_tot"].to_numpy(np.int64)
+    )
+    out = cells.sort_values(["lang", "source"]).reset_index(drop=True)
+    return out[["lang", "source", "o", "r_tot", "c_tot", "n", "dev"]].astype(
+        {c: "int64" for c in ["o", "r_tot", "c_tot", "n", "dev"]}
+    )
+
+
+N15_SQL = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+m AS (
+  SELECT lang, source, o,
+         CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r_tot,
+         CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c_tot,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cell)
+SELECT lang, source, o, r_tot, c_tot, n,
+       CAST(o * n - r_tot * c_tot AS BIGINT) AS dev
+FROM m ORDER BY lang, source
+"""
+
+
+def s15_bitmap_index(sf_dir: str, n_files: int = 8):
+    """Persisted per-file BITMAP index (the Parquet/ORC bitmap-index /
+    Roaring pattern for low-cardinality predicates): lineitem stages
+    as time-partitioned files; the build phase writes ONE packed
+    bit-per-row bitmap per (file, column, value) to the index dir;
+    the query phase answers three conjunctive predicates
+    (returnflag, linestatus) by AND-ing two KB-scale bitmaps per file
+    and popcounting — the staged parquet DATA is never re-read.
+    Self-gates that each single-column bitmap family partitions the
+    file's rows exactly (popcounts sum to the row count).
+
+    Scale shape: build is one task per file emitting n_rows/8 bytes
+    per value; query reads only bitmap files (row-count/8 bytes per
+    predicate arm) and the driver sums file-level popcounts."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    stage = (
+        "/tmp/naer_bitmap_index/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(f"{stage}/bitmaps")
+    src = _pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate"],
+    ).sort_by("l_shipdate")
+    n = src.num_rows
+    for k in range(n_files):
+        part = src.slice(
+            k * n // n_files, (k + 1) * n // n_files - k * n // n_files
+        )
+        if part.num_rows:
+            _pq.write_table(
+                part.select(["l_returnflag", "l_linestatus"]),
+                f"{stage}/part-{k}.parquet",
+            )
+    paths = sorted(
+        f"{stage}/{nm}" for nm in _os.listdir(stage) if nm.endswith(".parquet")
+    )
+
+    # build: one task per file, one packed bitmap per (column, value)
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p in batch["item"]:
+            t = _pq.read_table(p)
+            base = _os.path.basename(p)[: -len(".parquet")]
+            for col in ("l_returnflag", "l_linestatus"):
+                arr = t[col].to_numpy(zero_copy_only=False)
+                vals = np.unique(arr)
+                pops = 0
+                for v in vals:
+                    bits = np.packbits(arr == v)
+                    bp = f"{stage}/bitmaps/{base}.{col}.{v}.bin"
+                    with open(bp, "wb") as f:
+                        f.write(bits.tobytes())
+                    pops += int(np.unpackbits(bits).sum())
+                if pops != t.num_rows:  # bitmap family must partition rows
+                    raise RuntimeError(f"bitmap popcounts {pops} != rows")
+            rows.append((base, t.num_rows))
+        return pd.DataFrame(rows, columns=["file", "n_rows"])
+
+    manifest = (
+        ray.data.from_items(paths)
+        .map_batches(build, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # query: AND two bitmaps per file, popcount — no parquet re-read
+    combos = [("A", "F"), ("N", "O"), ("R", "F")]
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples():
+            for flag, status in combos:
+                cnt = 0
+                fa = f"{stage}/bitmaps/{r.file}.l_returnflag.{flag}.bin"
+                fb = f"{stage}/bitmaps/{r.file}.l_linestatus.{status}.bin"
+                if _os.path.exists(fa) and _os.path.exists(fb):
+                    a = np.frombuffer(open(fa, "rb").read(), np.uint8)
+                    b = np.frombuffer(open(fb, "rb").read(), np.uint8)
+                    cnt = int(np.unpackbits(a & b).sum())
+                rows.append((flag, status, cnt))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "l_linestatus", "cnt"]
+        )
+
+    per_file = (
+        ray.data.from_pandas(manifest)
+        .map_batches(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    out = (
+        per_file.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            "cnt"
+        ]
+        .sum()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"cnt": "int64"})
+
+
+S15_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'), ('R', 'F'))
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def w25_peak_concurrency(sf_dir: str, window_min: int = 30):
+    """Peak concurrency by sweep-line: every event opens a half-open
+    interval [ts, ts+30min); the answer is the maximum number of
+    simultaneously open intervals and the EARLIEST instant it is
+    reached — the capacity-planning statistic (max concurrent
+    sessions) that per-user interval coverage (w15) cannot see
+    because overlap is global across users.
+
+    Scale shape: each batch emits (+1 at ts, -1 at ts+window) deltas
+    pre-summed per distinct timestamp; one bucketed sum bounds the
+    exchange by distinct boundary instants; the driver's sort+cumsum
+    folds that boundary-sized table (scale path: range-partition the
+    boundaries and carry per-partition totals left-to-right)."""
+    from ..stages.agg import bucketed_sum
+
+    win_us = np.int64(window_min * 60 * 1_000_000)
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def deltas(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "t_us": np.concatenate([us, us + win_us]),
+                "dlt": np.concatenate(
+                    [np.ones(len(us), np.int64), -np.ones(len(us), np.int64)]
+                ),
+            }
+        )
+        return df.groupby("t_us", as_index=False)["dlt"].sum()
+
+    g = (
+        bucketed_sum(
+            ds.map_batches(deltas, batch_format="pyarrow", batch_size=65536),
+            ["t_us"],
+            ["dlt"],
+        )
+        .to_pandas()
+        .sort_values("t_us")
+    )
+    conc = g["dlt"].to_numpy(np.int64).cumsum()
+    peak = int(conc.max())
+    at = int(g["t_us"].to_numpy(np.int64)[int(np.argmax(conc))])
+    return pd.DataFrame(
+        {
+            "peak": pd.Series([peak], dtype="int64"),
+            "peak_ts": pd.Series(
+                pa.array([at], pa.timestamp("us")).to_pandas()
+            ),
+        }
+    )
+
+
+W25_SQL = """
+WITH d AS (
+  SELECT ts AS t, CAST(1 AS BIGINT) AS dlt FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE, CAST(-1 AS BIGINT) FROM events),
+g AS (SELECT t, CAST(SUM(dlt) AS BIGINT) AS dlt FROM d GROUP BY t),
+r AS (SELECT t, SUM(dlt) OVER (ORDER BY t) AS conc FROM g)
+SELECT CAST((SELECT MAX(conc) FROM r) AS BIGINT) AS peak,
+       (SELECT MIN(t) FROM r WHERE conc = (SELECT MAX(conc) FROM r))
+         AS peak_ts
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -17088,4 +17334,7 @@ REGISTRY: dict[str, tuple] = {
     "a13_maxsim_multivector": (a13_maxsim_multivector, A13_SQL),
     "x12_tiered_search": (x12_tiered_search, X12_SQL),
     "r07_share_of_total": (r07_share_of_total, R07_SQL),
+    "n15_chi2_contingency": (n15_chi2_contingency, N15_SQL),
+    "s15_bitmap_index": (s15_bitmap_index, S15_SQL),
+    "w25_peak_concurrency": (w25_peak_concurrency, W25_SQL),
 }

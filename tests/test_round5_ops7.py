@@ -108,3 +108,75 @@ def test_r07_conservation(ray_session):
     # shares within a month sum to exactly 1 in integer space
     assert (g["cents"].sum().to_numpy()
             == g["month_cents"].first().to_numpy()).all()
+
+
+def test_n15_contingency_identities(ray_session):
+    """Chi-square input identities: marginals recompose the cells,
+    deviations sum to zero within every row and column band, and the
+    grand total matches the corpus."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import n15_chi2_contingency
+
+    out = n15_chi2_contingency(SF)
+    n = out["n"].iloc[0]
+    assert (out["n"] == n).all()
+    assert int(out["o"].sum()) == n
+    assert (out.groupby("lang")["o"].transform("sum") == out["r_tot"]).all()
+    assert (out.groupby("source")["o"].transform("sum") == out["c_tot"]).all()
+    # dev re-derived cell by cell from the raw table
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["lang", "source"]
+    ).to_pandas()
+    assert n == len(docs)
+    for r in out.itertuples():
+        o = int(((docs["lang"] == r.lang) & (docs["source"] == r.source)).sum())
+        rt = int((docs["lang"] == r.lang).sum())
+        ct = int((docs["source"] == r.source).sum())
+        assert (r.o, r.r_tot, r.c_tot) == (o, rt, ct)
+        assert r.dev == o * n - rt * ct
+
+
+def test_s15_bitmap_counts(ray_session):
+    """The bitmap-index answers must equal direct column counts, and
+    the three probed combos must each be non-empty at this sf."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s15_bitmap_index
+
+    out = s15_bitmap_index(SF)
+    li = pq.read_table(
+        SF + "/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    ).to_pandas()
+    for r in out.itertuples():
+        direct = int(
+            (
+                (li["l_returnflag"] == r.l_returnflag)
+                & (li["l_linestatus"] == r.l_linestatus)
+            ).sum()
+        )
+        assert r.cnt == direct and r.cnt > 0
+
+
+def test_w25_sweep_brute_force(ray_session):
+    """Peak concurrency re-derived by the O(n^2) definition: for each
+    event start t, count events with start in (t - 30min, t]."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import w25_peak_concurrency
+
+    out = w25_peak_concurrency(SF)
+    ts = (
+        pq.read_table(SF + "/events.parquet", columns=["ts"])["ts"]
+        .cast("int64")
+        .to_numpy()
+    )
+    win = 30 * 60 * 1_000_000
+    starts = np.sort(ts)
+    # concurrency evaluated at every start instant (peaks occur there)
+    conc = np.searchsorted(starts, starts, side="right") - np.searchsorted(
+        starts, starts - win, side="right"
+    )
+    assert int(out["peak"].iloc[0]) == int(conc.max())
+    best = starts[conc == conc.max()].min()
+    assert int(out["peak_ts"].astype("int64").iloc[0]) == int(best)
