@@ -17087,6 +17087,294 @@ SELECT CAST((SELECT MAX(conc) FROM r) AS BIGINT) AS peak,
 """
 
 
+def q41_temporal_anti_join(sf_dir: str, grace_days: int = 30):
+    """Temporal ABSENCE detection: orders with NO lineitem shipped
+    within ``grace_days`` of the order date (including orders with no
+    lineitems at all) — the SLA-breach / missing-follow-up shape that
+    a plain anti-join (q19) cannot express because the predicate is
+    an inequality on the matched side's MINIMUM, counted per order
+    priority with integer-cents revenue at stake.
+
+    Scale shape: lineitem folds to per-order MIN-shipdate partials
+    inside each batch (min is associative, so partials merge exactly);
+    orders and those partials co-partition through ONE orderkey-hash
+    bucket exchange; each bucket kernel merges locally and emits
+    priority-sized partial counts the driver sums."""
+    from ..stages.agg import _key_hash, bucketed_sum
+
+    grace_us = np.int64(grace_days) * 86_400_000_000
+    n_buckets = 64
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def o_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "k": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "t_us": batch["o_orderdate"]
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                "pri": batch["o_orderpriority"].to_pandas(),
+                "cents": _cents(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+                "side": np.int8(0),
+            }
+        )
+        df["bucket"] = (_key_hash(df, ["k"]) % n_buckets).astype("int32")
+        return df
+
+    def l_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "k": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "t_us": batch["l_shipdate"]
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("k", as_index=False)["t_us"].min()  # batch partial
+        g["pri"] = ""
+        g["cents"] = np.int64(0)
+        g["side"] = np.int8(1)
+        g["bucket"] = (_key_hash(g, ["k"]) % n_buckets).astype("int32")
+        return g[["k", "t_us", "pri", "cents", "side", "bucket"]]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["side"] == 0]
+        l = group[group["side"] == 1]
+        ms = l.groupby("k")["t_us"].min()
+        m = ms.reindex(o["k"]).to_numpy()
+        slow = np.isnan(m) | (m > o["t_us"].to_numpy() + grace_us)
+        kept = o.loc[slow]
+        if kept.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_slow": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        out = kept.groupby("pri", as_index=False).agg(
+            n_slow=("k", "size"), cents=("cents", "sum")
+        )
+        return out.rename(columns={"pri": "o_orderpriority"})
+
+    both = orders.map_batches(
+        o_rows, batch_format="pyarrow", batch_size=65536
+    ).union(
+        line.map_batches(l_rows, batch_format="pyarrow", batch_size=65536)
+    )
+    parts = (
+        both.groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)[["n_slow", "cents"]]
+        .sum()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_slow": "int64", "cents": "int64"})
+
+
+Q41_SQL = """
+WITH ms AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS m FROM lineitem GROUP BY l_orderkey)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_slow,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders o LEFT JOIN ms ON o.o_orderkey = ms.l_orderkey
+WHERE ms.m IS NULL OR ms.m > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def x13_min_should_match(
+    sf_dir: str, terms=("join", "merge", "sort", "stream"), m: int = 3,
+    k: int = 10,
+):
+    """Minimum-should-match retrieval (the WAND / Lucene ``mm``
+    operator): documents matching AT LEAST ``m`` of ``k`` query terms,
+    ranked by (n matched terms DESC, summed tf DESC, doc_id ASC) —
+    the graded middle ground between x09's hard boolean AND and
+    x02's purely soft BM25.
+
+    Scale shape: one streaming pass; per batch a searchsorted
+    token-code bincount yields the (doc x term) tf matrix, matched =
+    row-wise nonzero count; per-batch local top-k pools bound the
+    driver merge — zero shuffles."""
+    from ..stages.text import _string_array
+
+    tarr = np.array(sorted(terms))
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        txt = _string_array(batch["text"])
+        n = len(txt)
+        split = pc.split_pattern(txt, " ")
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy()
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        kT = len(tarr)
+        tf = np.zeros((n, kT), np.int64)
+        if len(flat):
+            pos = np.minimum(np.searchsorted(tarr, flat), kT - 1)
+            hit = tarr[pos] == flat
+            np.add.at(tf, (row_of[hit], pos[hit]), 1)
+        matched = (tf > 0).sum(axis=1)
+        keep = matched >= m
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                "matched": matched[keep],
+                "tf": tf.sum(axis=1)[keep],
+            }
+        )
+        return df.sort_values(
+            ["matched", "tf", "doc_id"], ascending=[False, False, True]
+        ).head(k)
+
+    pool = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    pool = pool.sort_values(
+        ["matched", "tf", "doc_id"], ascending=[False, False, True]
+    ).head(k)
+    return pool.reset_index(drop=True).astype(
+        {"doc_id": "int64", "matched": "int64", "tf": "int64"}
+    )
+
+
+X13_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN w = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN w = 'sort' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM w GROUP BY doc_id),
+sc AS (
+  SELECT doc_id,
+         CAST((a > 0)::INT + (b > 0)::INT + (c > 0)::INT + (d > 0)::INT
+              AS BIGINT) AS matched,
+         a + b + c + d AS tf
+  FROM tf)
+SELECT doc_id, matched, tf FROM sc WHERE matched >= 3
+ORDER BY matched DESC, tf DESC, doc_id LIMIT 10
+"""
+
+
+def i10_partition_evolution(sf_dir: str):
+    """Partition-scheme EVOLUTION read (the Iceberg spec-v2 shape): a
+    table whose older files are laid out ``month=YYYY-MM/`` and newer
+    files ``day=YYYY-MM-DD/`` (cutoff = first event date + 14 days)
+    is read as ONE logical view — the coarse layout recovers the day
+    from row timestamps, the fine layout could prune on the directory
+    key alone — and aggregated per day with integer-cents values.
+
+    Scale shape: each layout is an independent pruned parquet read;
+    the per-day reduce is a bucketed sum bounded by day cardinality;
+    nothing reads both layouts twice or materializes raw rows."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from ..stages.agg import bucketed_sum
+
+    stage = (
+        "/tmp/naer_part_evolution/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    src = _pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    us = src["ts"].cast(pa.int64()).to_numpy()
+    day_us = us // 86_400_000_000 * 86_400_000_000
+    cutoff = day_us.min() + 14 * 86_400_000_000
+    old = src.filter(pa.array(day_us < cutoff))
+    new = src.filter(pa.array(day_us >= cutoff))
+    month = pc.floor_temporal(old["ts"], unit="month")
+    for mv in pc.unique(month).to_pylist():
+        d = f"{stage}/old/month={mv:%Y-%m}"
+        _os.makedirs(d)
+        _pq.write_table(
+            old.filter(pc.equal(month, mv)), f"{d}/part-0.parquet"
+        )
+    nday = pc.floor_temporal(new["ts"], unit="day")
+    for dv in pc.unique(nday).to_pylist():
+        d = f"{stage}/new/day={dv:%Y-%m-%d}"
+        _os.makedirs(d)
+        _pq.write_table(
+            new.filter(pc.equal(nday, dv)), f"{d}/part-0.parquet"
+        )
+
+    def norm_old(batch: pa.Table) -> pd.DataFrame:
+        # coarse layout: day recovered from row timestamps
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        return pd.DataFrame(
+            {
+                "day_start": day.to_pandas(),
+                "n_events": np.int64(1),
+                "cents": _cents(
+                    batch["value"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    def norm_new(batch: pa.Table) -> pd.DataFrame:
+        # fine layout: day comes straight from the partition key
+        day = pd.to_datetime(
+            batch["day"].to_pandas(), format="%Y-%m-%d"
+        ).astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "day_start": day,
+                "n_events": np.int64(1),
+                "cents": _cents(
+                    batch["value"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{stage}/old").map_batches(
+        norm_old, batch_format="pyarrow", batch_size=65536
+    ).union(
+        ray.data.read_parquet(f"{stage}/new").map_batches(
+            norm_new, batch_format="pyarrow", batch_size=65536
+        )
+    )
+    out = (
+        bucketed_sum(ds, ["day_start"], ["n_events", "cents"])
+        .to_pandas()
+        .sort_values("day_start")
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out.astype({"n_events": "int64", "cents": "int64"})
+
+
+I10_SQL = """
+SELECT date_trunc('day', ts) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -17337,4 +17625,7 @@ REGISTRY: dict[str, tuple] = {
     "n15_chi2_contingency": (n15_chi2_contingency, N15_SQL),
     "s15_bitmap_index": (s15_bitmap_index, S15_SQL),
     "w25_peak_concurrency": (w25_peak_concurrency, W25_SQL),
+    "q41_temporal_anti_join": (q41_temporal_anti_join, Q41_SQL),
+    "x13_min_should_match": (x13_min_should_match, X13_SQL),
+    "i10_partition_evolution": (i10_partition_evolution, I10_SQL),
 }

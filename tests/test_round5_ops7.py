@@ -180,3 +180,84 @@ def test_w25_sweep_brute_force(ray_session):
     assert int(out["peak"].iloc[0]) == int(conc.max())
     best = starts[conc == conc.max()].min()
     assert int(out["peak_ts"].astype("int64").iloc[0]) == int(best)
+
+
+def test_q41_brute_force_nonempty(ray_session):
+    """Slow-start orders re-derived by a plain pandas merge; the
+    filter must be non-trivial at this sf (some orders slow, some
+    not)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import q41_temporal_anti_join
+
+    out = q41_temporal_anti_join(SF)
+    o = pq.read_table(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority",
+                 "o_totalprice"],
+    ).to_pandas()
+    li = pq.read_table(
+        SF + "/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    ms = li.groupby("l_orderkey")["l_shipdate"].min()
+    m = ms.reindex(o["o_orderkey"]).to_numpy()
+    grace = np.timedelta64(30, "D")
+    slow = pd.isna(m) | (m > (o["o_orderdate"].to_numpy() + grace))
+    kept = o.loc[slow]
+    assert 0 < len(kept) < len(o)  # non-trivial both ways
+    expect = kept.groupby("o_orderpriority").agg(
+        n_slow=("o_orderkey", "size"),
+        cents=("o_totalprice",
+               lambda s: int(np.floor(s.to_numpy() * 100 + 0.5).sum())),
+    )
+    got = out.set_index("o_orderpriority")
+    assert got["n_slow"].to_dict() == expect["n_slow"].to_dict()
+    assert got["cents"].to_dict() == expect["cents"].to_dict()
+
+
+def test_x13_mm_semantics(ray_session):
+    """Every returned doc must contain >= 3 distinct query terms;
+    ranking re-derived in plain Python over the full corpus."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x13_min_should_match
+
+    out = x13_min_should_match(SF)
+    assert len(out) > 0
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    terms = ("join", "merge", "sort", "stream")
+    pool = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        tfs = [toks.count(t) for t in terms]
+        matched = sum(1 for x in tfs if x > 0)
+        if matched >= 3:
+            pool.append((-matched, -sum(tfs), did))
+    pool.sort()
+    expect = [(d, -mm, -tf) for mm, tf, d in pool[:10]]
+    got = list(zip(out["doc_id"], out["matched"], out["tf"]))
+    assert got == expect
+
+
+def test_i10_layout_split_and_totals(ray_session):
+    """The evolved-layout read must agree with a direct per-day count,
+    and the 14-day cutoff must put events in BOTH layouts at this
+    sf."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import i10_partition_evolution
+
+    out = i10_partition_evolution(SF)
+    ev = pq.read_table(SF + "/events.parquet", columns=["ts"])
+    us = ev["ts"].cast("int64").to_numpy()
+    day = us // 86_400_000_000 * 86_400_000_000
+    cutoff = day.min() + 14 * 86_400_000_000
+    assert (day < cutoff).any() and (day >= cutoff).any()
+    per_day = pd.Series(day).value_counts()
+    got = dict(
+        zip(out["day_start"].astype("int64"), out["n_events"].astype(int))
+    )
+    assert got == per_day.to_dict()
+    assert int(out["n_events"].sum()) == len(us)
