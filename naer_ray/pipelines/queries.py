@@ -17375,6 +17375,233 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def x14_keyset_pagination(sf_dir: str, page_size: int = 10, page: int = 3):
+    """Keyset (seek-cursor) pagination: page ``page`` of the listing
+    ORDER BY (o_orderdate, o_orderkey) fetched WITHOUT an OFFSET scan
+    — pass 1 derives the cursor (the last tuple of the previous
+    pages) from a bounded local-top-k pool, pass 2 filters strictly
+    beyond the cursor AT THE SCAN and pools a fresh top-``page_size``
+    — the deep-pagination discipline that keeps page N as cheap as
+    page 1 (OFFSET re-reads and re-sorts N*page_size rows every
+    request).
+
+    Scale shape: two streaming passes, each with per-batch local
+    top-k pools bounding the driver merge to blocks x k rows — zero
+    shuffles, no global sort."""
+    skip = page_size * (page - 1)
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def pool(k: int, cursor=None):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "o_orderkey": batch["o_orderkey"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "d_us": batch["o_orderdate"]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                    "cents": _cents(
+                        batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                    ),
+                }
+            )
+            if cursor is not None:
+                cd, ck = cursor
+                keep = (df["d_us"] > cd) | (
+                    (df["d_us"] == cd) & (df["o_orderkey"] > ck)
+                )
+                df = df.loc[keep]
+            return df.sort_values(["d_us", "o_orderkey"]).head(k)
+
+        return f
+
+    head = (
+        ds.map_batches(pool(skip), batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .sort_values(["d_us", "o_orderkey"])
+        .head(skip)
+    )
+    cursor = (int(head["d_us"].iloc[-1]), int(head["o_orderkey"].iloc[-1]))
+    pg = (
+        ds.map_batches(
+            pool(page_size, cursor), batch_format="pyarrow", batch_size=65536
+        )
+        .to_pandas()
+        .sort_values(["d_us", "o_orderkey"])
+        .head(page_size)
+        .reset_index(drop=True)
+    )
+    pg["o_orderdate"] = pd.Series(
+        pa.array(pg["d_us"].to_numpy(np.int64), pa.timestamp("us")).to_pandas()
+    )
+    return pg[["o_orderkey", "o_orderdate", "cents"]].astype(
+        {"o_orderkey": "int64", "cents": "int64"}
+    )
+
+
+X14_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders ORDER BY o_orderdate, o_orderkey
+LIMIT 10 OFFSET 20
+"""
+
+
+def i11_write_audit_publish(sf_dir: str):
+    """Write-Audit-Publish (the lakehouse WAP / staging-branch
+    pattern): the per-(day, event_type) aggregate is WRITTEN to an
+    audit directory, AUDITED against an independently computed
+    row-count invariant plus structural constraints (no null keys, no
+    duplicate key pairs), then atomically PUBLISHED by directory
+    rename; the returned result is read back from the published
+    location — consumers can never observe unaudited data.
+
+    Scale shape: the aggregate itself is one bucketed sum bounded by
+    day x type cardinality; the audit reads only the staged
+    (dimension-sized) output plus one count aggregate of the source;
+    publish is a metadata-only rename."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.agg import bucketed_sum
+
+    root = (
+        "/tmp/naer_wap/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    audit_dir, pub_dir = f"{root}/audit", f"{root}/published"
+    _os.makedirs(audit_dir)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        df = pd.DataFrame(
+            {
+                "day_start": day.to_pandas(),
+                "event_type": batch["event_type"].to_pandas(),
+                "n_events": np.int64(1),
+            }
+        )
+        return df.groupby(
+            ["day_start", "event_type"], as_index=False
+        )["n_events"].sum()
+
+    agg = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["day_start", "event_type"],
+            ["n_events"],
+        )
+        .to_pandas()
+        .sort_values(["day_start", "event_type"])
+        .reset_index(drop=True)
+        .astype({"n_events": "int64"})
+    )
+    _pq.write_table(
+        pa.Table.from_pandas(agg, preserve_index=False),
+        f"{audit_dir}/part-0.parquet",
+    )
+
+    # audit: independent source count + structural constraints
+    staged = _pq.read_table(f"{audit_dir}/part-0.parquet").to_pandas()
+    src_rows = ds.count()
+    if int(staged["n_events"].sum()) != src_rows:
+        raise RuntimeError("WAP audit failed: row-count conservation")
+    if staged[["day_start", "event_type"]].isna().any().any():
+        raise RuntimeError("WAP audit failed: null partition key")
+    if staged.duplicated(["day_start", "event_type"]).any():
+        raise RuntimeError("WAP audit failed: duplicate key pair")
+
+    _os.rename(audit_dir, pub_dir)  # atomic publish
+    out = _pq.read_table(f"{pub_dir}/part-0.parquet").to_pandas()
+    shutil.rmtree(root, ignore_errors=True)
+    return out.astype({"n_events": "int64"})
+
+
+I11_SQL = """
+SELECT date_trunc('day', ts) AS day_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def p06_token_budget_trim(
+    sf_dir: str, budget: int = 40, head: int = 25, tail: int = 15
+):
+    """Context-window trimming plan: documents over a ``budget``-token
+    limit keep their first ``head`` and last ``tail`` tokens (the
+    head+tail truncation LLM data loaders apply before tokenization);
+    emits per over-budget doc the token count and the EXACT kept
+    character length (token bytes + single-space separators) — the
+    byte-accounting a packing planner (p01) needs downstream.
+
+    Scale shape: one streaming pass; token lengths come from one
+    vectorized utf8_length over the flattened split, per-row head/tail
+    sums are two prefix-array lookups — no shuffle, rows out are only
+    the over-budget docs."""
+    from ..stages.text import _string_array
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        txt = _string_array(batch["text"])
+        n = len(txt)
+        split = pc.split_pattern(txt, " ")
+        offs = split.offsets.to_numpy()
+        lens = pc.utf8_length(split.flatten()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_tok = np.diff(offs)
+        P = np.concatenate(([0], np.cumsum(lens)))
+        s, e = offs[:-1], offs[1:]
+        over = n_tok > budget
+        head_sum = P[s + head] - P[s]
+        tail_sum = P[e] - P[e - tail]
+        kept = head_sum + tail_sum + (head + tail - 1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[
+                    over
+                ],
+                "n_tok": n_tok[over],
+                "kept_chars": kept[over],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"doc_id": "int64", "n_tok": "int64", "kept_chars": "int64"}
+    )
+
+
+P06_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         length(array_to_string(toks[1:25], ' '))
+           + 1
+           + length(array_to_string(toks[len(toks) - 14:len(toks)], ' '))
+           AS kept_chars
+  FROM t WHERE len(toks) > 40)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(kept_chars AS BIGINT) AS kept_chars
+FROM s ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -17628,4 +17855,7 @@ REGISTRY: dict[str, tuple] = {
     "q41_temporal_anti_join": (q41_temporal_anti_join, Q41_SQL),
     "x13_min_should_match": (x13_min_should_match, X13_SQL),
     "i10_partition_evolution": (i10_partition_evolution, I10_SQL),
+    "x14_keyset_pagination": (x14_keyset_pagination, X14_SQL),
+    "i11_write_audit_publish": (i11_write_audit_publish, I11_SQL),
+    "p06_token_budget_trim": (p06_token_budget_trim, P06_SQL),
 }

@@ -261,3 +261,71 @@ def test_i10_layout_split_and_totals(ray_session):
     )
     assert got == per_day.to_dict()
     assert int(out["n_events"].sum()) == len(us)
+
+
+def test_x14_seek_equals_offset(ray_session):
+    """The keyset page must equal the OFFSET-based slice of the fully
+    sorted listing, and the cursor filter must be strict (no overlap
+    with previous pages)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import x14_keyset_pagination
+
+    out = x14_keyset_pagination(SF)
+    o = pq.read_table(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    o["cents"] = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    full = o.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+    expect = full.iloc[20:30].reset_index(drop=True)
+    assert out["o_orderkey"].tolist() == expect["o_orderkey"].tolist()
+    assert out["cents"].tolist() == expect["cents"].tolist()
+    assert (
+        out["o_orderdate"].astype("int64").tolist()
+        == expect["o_orderdate"].astype("int64").tolist()
+    )
+
+
+def test_i11_wap_audit_gate(ray_session):
+    """The published result conserves the source row count; a
+    corrupted audit (duplicate key) must refuse to publish — exercised
+    by monkeypatching the staged file between write and audit is
+    overkill here, so we gate the invariant directly: totals match
+    and keys are unique."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import i11_write_audit_publish
+
+    out = i11_write_audit_publish(SF)
+    ev = pq.read_table(SF + "/events.parquet", columns=["event_type"])
+    assert int(out["n_events"].sum()) == ev.num_rows
+    assert not out.duplicated(["day_start", "event_type"]).any()
+    assert out["n_events"].gt(0).all()
+
+
+def test_p06_trim_brute_force(ray_session):
+    """Kept char length re-derived by literally joining the head/tail
+    token slices; the over-budget filter must be non-trivial."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import p06_token_budget_trim
+
+    out = p06_token_budget_trim(SF)
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    expect = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        if len(toks) > 40:
+            kept = " ".join(toks[:25]) + " " + " ".join(toks[-15:])
+            expect[int(did)] = (len(toks), len(kept))
+    assert 0 < len(expect) < len(docs)
+    got = {
+        int(r.doc_id): (int(r.n_tok), int(r.kept_chars))
+        for r in out.itertuples()
+    }
+    assert got == expect
