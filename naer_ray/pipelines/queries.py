@@ -17602,6 +17602,237 @@ FROM s ORDER BY doc_id
 """
 
 
+def s16_sorted_run_topk(sf_dir: str, n_runs: int = 8, k: int = 20):
+    """Merge-on-read top-k over INDEPENDENTLY sorted runs with
+    zone-map early termination (the LSM / sorted-ingest read shape):
+    orders stage as ``n_runs`` hash-split files, EACH internally
+    sorted by (o_orderdate, o_orderkey) and written with small row
+    groups; the reader walks row groups in ascending zone-map (min)
+    order and STOPS as soon as the k-th best row in hand beats every
+    unread group's min — self-gated to prove it read strictly fewer
+    row groups than exist.
+
+    Scale shape: the manifest is row-group-sized metadata (footer
+    stats only); each step reads ONE row group; the candidate heap
+    never exceeds k + one row group."""
+    import heapq
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    stage = (
+        "/tmp/naer_sorted_runs/"
+        f"{_os.getpid()}-{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _os.makedirs(stage)
+    src = _pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    keys = src["o_orderkey"].to_numpy()
+    for r in range(n_runs):
+        part = src.filter(pa.array(keys % n_runs == r)).sort_by(
+            [("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+        )
+        if part.num_rows:
+            _pq.write_table(
+                part, f"{stage}/run-{r}.parquet", row_group_size=64
+            )
+    paths = sorted(f"{stage}/{nm}" for nm in _os.listdir(stage))
+
+    # manifest: (path, group index, zone-map min tuple) from footers only
+    def manifest_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p in batch["item"]:
+            md = _pq.ParquetFile(p).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                dmin = rg.column(cols["o_orderdate"]).statistics.min
+                kmin = rg.column(cols["o_orderkey"]).statistics.min
+                rows.append((p, g, int(dmin.timestamp() * 1e6), int(kmin)))
+        return pd.DataFrame(rows, columns=["path", "grp", "d_min", "k_min"])
+
+    man = (
+        ray.data.from_items(paths)
+        .map_batches(manifest_rows, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["d_min", "k_min"])
+        .reset_index(drop=True)
+    )
+    n_groups_total = len(man)
+
+    heap: list = []  # max-heap of the best k rows via negated keys
+    read = 0
+    for m in man.itertuples():
+        if len(heap) == k and (-heap[0][0], -heap[0][1]) <= (
+            m.d_min, m.k_min
+        ):
+            break  # every unread group's min is beyond the current k-th
+        t = _pq.ParquetFile(m.path).read_row_group(m.grp)
+        read += 1
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        kk = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        for i in range(t.num_rows):
+            item = (-int(d[i]), -int(kk[i]), -int(c[i]))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    if not (0 < read < n_groups_total):
+        raise RuntimeError(
+            f"zone-map termination ineffective: read {read}/{n_groups_total}"
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    rows = sorted((-a, -b, -c) for a, b, c in heap)
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.Series([r[1] for r in rows], dtype="int64"),
+            "o_orderdate": pd.Series(
+                pa.array([r[0] for r in rows], pa.timestamp("us")).to_pandas()
+            ),
+            "cents": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+S16_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20
+"""
+
+
+def e11_relation_cardinality(sf_dir: str):
+    """KG relation-cardinality audit: per subject entity of the
+    ``precedes`` relation (e02's adjacency triples) — total pair
+    occurrences, distinct objects, the hottest object and its count
+    (tie: lexicographically smallest object) — the 1:N fan-out
+    profile that decides whether a predicate is functional enough to
+    canonicalize or needs hot-key salting (SURVEY §4).
+
+    Scale shape: composes e02's vectorized bincount kernel; the fold
+    from the K^2-bounded pair table to K subject rows is driver-side
+    arithmetic on a dictionary-sized frame."""
+    pairs = e02_adjacent_relations(sf_dir)
+    top = pairs.sort_values(
+        ["subj", "n", "obj"], ascending=[True, False, True]
+    ).groupby("subj", as_index=False).first()
+    agg = pairs.groupby("subj", as_index=False).agg(
+        n_pairs=("n", "sum"), n_obj=("obj", "nunique")
+    )
+    out = agg.merge(
+        top[["subj", "obj", "n"]].rename(
+            columns={"obj": "top_obj", "n": "top_n"}
+        ),
+        on="subj",
+    )
+    return out.sort_values("subj").reset_index(drop=True).astype(
+        {"n_pairs": "int64", "n_obj": "int64", "top_n": "int64"}
+    )
+
+
+E11_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT ws[CAST(j AS INT)] AS subj, ws[CAST(j AS INT) + 1] AS obj
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(j)),
+d(entity) AS (VALUES {", ".join(f"('{e}')" for e in KG_ENTITIES)}),
+pc AS (
+  SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p
+  WHERE subj IN (SELECT entity FROM d) AND obj IN (SELECT entity FROM d)
+  GROUP BY subj, obj),
+rk AS (
+  SELECT subj, obj, n,
+         ROW_NUMBER() OVER (PARTITION BY subj ORDER BY n DESC, obj) AS r
+  FROM pc)
+SELECT pc.subj, CAST(SUM(pc.n) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT pc.obj) AS BIGINT) AS n_obj,
+       MAX(CASE WHEN rk.r = 1 THEN rk.obj END) AS top_obj,
+       CAST(MAX(CASE WHEN rk.r = 1 THEN rk.n END) AS BIGINT) AS top_n
+FROM pc JOIN rk ON pc.subj = rk.subj AND pc.obj = rk.obj
+GROUP BY pc.subj ORDER BY pc.subj
+"""
+
+
+def p07_epoch_shuffle(sf_dir: str, k: int = 10):
+    """Deterministic training-EPOCH shuffle plan: each epoch orders
+    the corpus by the modular bijection ``(doc_id * A_e) % M``
+    (M prime > any doc_id, A_e coprime to M) — a seeded, reproducible,
+    coordination-free permutation every data loader can compute
+    locally, with provably different inter-epoch order; emits the
+    first ``k`` docs of epochs 1 and 2.
+
+    Scale shape: one streaming pass per epoch computes the key and
+    pools a local top-k per batch — zero shuffles; the full epoch
+    ordering at scale is a key-ranged write, never a global sort on
+    the driver."""
+    M = np.int64(1_000_000_007)
+    A = {1: np.int64(2_654_435_761 % M), 2: np.int64(40_503)}
+
+    def pool(a):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            key = (ids * a) % M
+            df = pd.DataFrame({"doc_id": ids, "key": key})
+            return df.sort_values(["key", "doc_id"]).head(k)
+
+        return f
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    frames = []
+    for epoch, a in A.items():
+        top = (
+            ds.map_batches(pool(a), batch_format="pyarrow", batch_size=65536)
+            .to_pandas()
+            .sort_values(["key", "doc_id"])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        top.insert(0, "epoch", np.int64(epoch))
+        top.insert(1, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+        frames.append(top)
+    out = pd.concat(frames, ignore_index=True)
+    return out[["epoch", "rank", "doc_id", "key"]].astype(
+        {c: "int64" for c in ["epoch", "rank", "doc_id", "key"]}
+    )
+
+
+P07_SQL = """
+WITH e1 AS (
+  SELECT 1 AS epoch,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY (doc_id * (2654435761 % 1000000007)) % 1000000007,
+                    doc_id) AS BIGINT) AS rank,
+         doc_id,
+         CAST((doc_id * (2654435761 % 1000000007)) % 1000000007 AS BIGINT)
+           AS key
+  FROM documents),
+e2 AS (
+  SELECT 2 AS epoch,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY (doc_id * 40503) % 1000000007, doc_id) AS BIGINT)
+           AS rank,
+         doc_id, CAST((doc_id * 40503) % 1000000007 AS BIGINT) AS key
+  FROM documents)
+SELECT CAST(epoch AS BIGINT) AS epoch, rank, doc_id, key
+FROM (SELECT * FROM e1 WHERE rank <= 10
+      UNION ALL SELECT * FROM e2 WHERE rank <= 10)
+ORDER BY epoch, rank
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -17858,4 +18089,7 @@ REGISTRY: dict[str, tuple] = {
     "x14_keyset_pagination": (x14_keyset_pagination, X14_SQL),
     "i11_write_audit_publish": (i11_write_audit_publish, I11_SQL),
     "p06_token_budget_trim": (p06_token_budget_trim, P06_SQL),
+    "s16_sorted_run_topk": (s16_sorted_run_topk, S16_SQL),
+    "e11_relation_cardinality": (e11_relation_cardinality, E11_SQL),
+    "p07_epoch_shuffle": (p07_epoch_shuffle, P07_SQL),
 }

@@ -329,3 +329,65 @@ def test_p06_trim_brute_force(ray_session):
         for r in out.itertuples()
     }
     assert got == expect
+
+
+def test_s16_equals_global_sort(ray_session):
+    """The early-terminated merge-on-read must equal the top-20 of a
+    full global sort (the self-gate inside the query already proves
+    strictly fewer row groups were read than exist)."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import s16_sorted_run_topk
+
+    out = s16_sorted_run_topk(SF)
+    o = pq.read_table(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    full = o.sort_values(["o_orderdate", "o_orderkey"]).head(20)
+    assert out["o_orderkey"].tolist() == full["o_orderkey"].tolist()
+    assert (
+        out["o_orderdate"].astype("int64").tolist()
+        == full["o_orderdate"].astype("int64").tolist()
+    )
+
+
+def test_e11_composes_e02(ray_session):
+    """Fan-out stats re-derived from the e02 pair table itself."""
+    from naer_ray.pipelines.queries import (
+        e02_adjacent_relations,
+        e11_relation_cardinality,
+    )
+
+    pairs = e02_adjacent_relations(SF)
+    out = e11_relation_cardinality(SF).set_index("subj")
+    for subj, g in pairs.groupby("subj"):
+        row = out.loc[subj]
+        assert row["n_pairs"] == g["n"].sum()
+        assert row["n_obj"] == g["obj"].nunique()
+        best = g.sort_values(["n", "obj"], ascending=[False, True]).iloc[0]
+        assert (row["top_obj"], row["top_n"]) == (best["obj"], best["n"])
+
+
+def test_p07_bijection_and_divergence(ray_session):
+    """Each epoch's key must be a BIJECTION over doc ids (no key
+    collisions), and the two epoch orderings must actually differ."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import p07_epoch_shuffle
+
+    out = p07_epoch_shuffle(SF)
+    ids = pq.read_table(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    M = 1_000_000_007
+    for epoch, a in ((1, 2_654_435_761 % M), (2, 40_503)):
+        keys = (ids.astype(np.int64) * a) % M
+        assert len(np.unique(keys)) == len(ids)  # bijection
+        got = out[out["epoch"] == epoch]
+        order = np.argsort(keys, kind="mergesort")[:10]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+        assert got["key"].tolist() == keys[order].tolist()
+    e1 = out[out["epoch"] == 1]["doc_id"].tolist()
+    e2 = out[out["epoch"] == 2]["doc_id"].tolist()
+    assert e1 != e2  # epochs genuinely reshuffle
