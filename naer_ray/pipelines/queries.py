@@ -17833,6 +17833,104 @@ ORDER BY epoch, rank
 """
 
 
+def v09_table_checksum(sf_dir: str):
+    """Order-independent table CONTENT checksum (the replication /
+    migration integrity probe): per row a polynomial fingerprint
+    ``(o_orderkey * 2654435761 + cents) % 1000000007`` summed as plain
+    int64 — commutative, so any partitioning, block order or executor
+    schedule yields the SAME value, and any single-row corruption
+    (dropped, duplicated, or value-flipped) changes it.
+
+    Scale shape: one streaming pass, one vectorized modular fingerprint
+    per batch, a scalar partial per block — zero shuffle."""
+    M = np.int64(1_000_000_007)
+    A = np.int64(2_654_435_761 % M)
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        fp = ((k % M) * A + cents % M) % M
+        return pa.table(
+            {
+                "n_rows": pa.array([len(k)], pa.int64()),
+                "checksum": pa.array([int(fp.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    return pd.DataFrame([parts.sum()]).astype("int64")[
+        ["n_rows", "checksum"]
+    ]
+
+
+V09_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(((o_orderkey % 1000000007) * (2654435761 % 1000000007)
+                 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   % 1000000007) % 1000000007) AS BIGINT) AS checksum
+FROM orders
+"""
+
+
+def q42_grouped_concat(sf_dir: str):
+    """Deterministic ordered string aggregation (``string_agg ...
+    ORDER BY``): per nation the comma-joined, alphabetically sorted
+    list of DISTINCT market segments among its customers — the
+    list-valued rollup (array_agg) that plain aggregates cannot
+    express and that is only reproducible WITH an explicit order.
+
+    Scale shape: the distinct (nation, segment) reduce bounds the
+    exchange by dimension cardinality; the join-to-string fold runs on
+    that dimension-sized table on the driver."""
+    from ..stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": batch["c_nationkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "seg": batch["c_mktsegment"].to_pandas(),
+                "one": np.int64(1),
+            }
+        )
+        return df.drop_duplicates(["c_nationkey", "seg"])
+
+    pairs = (
+        bucketed_sum(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            ["c_nationkey", "seg"],
+            ["one"],
+        )
+        .to_pandas()
+        .sort_values(["c_nationkey", "seg"])
+    )
+    out = pairs.groupby("c_nationkey", as_index=False).agg(
+        segments=("seg", lambda s: ",".join(s)),
+        n_segments=("seg", "size"),
+    )
+    return out.sort_values("c_nationkey").reset_index(drop=True).astype(
+        {"c_nationkey": "int64", "n_segments": "int64"}
+    )
+
+
+Q42_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_revenue_orders": (q02_top_revenue_orders, Q02_SQL),
@@ -18092,4 +18190,6 @@ REGISTRY: dict[str, tuple] = {
     "s16_sorted_run_topk": (s16_sorted_run_topk, S16_SQL),
     "e11_relation_cardinality": (e11_relation_cardinality, E11_SQL),
     "p07_epoch_shuffle": (p07_epoch_shuffle, P07_SQL),
+    "v09_table_checksum": (v09_table_checksum, V09_SQL),
+    "q42_grouped_concat": (q42_grouped_concat, Q42_SQL),
 }

@@ -391,3 +391,50 @@ def test_p07_bijection_and_divergence(ray_session):
     e1 = out[out["epoch"] == 1]["doc_id"].tolist()
     e2 = out[out["epoch"] == 2]["doc_id"].tolist()
     assert e1 != e2  # epochs genuinely reshuffle
+
+
+def test_v09_order_independence_and_sensitivity(ray_session):
+    """The checksum must be invariant to row order (re-derived from a
+    shuffled copy) and sensitive to a single-cent corruption."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import v09_table_checksum
+
+    out = v09_table_checksum(SF)
+    t = pq.read_table(
+        SF + "/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    M, A = 1_000_000_007, 2_654_435_761 % 1_000_000_007
+    k = t["o_orderkey"].to_numpy(np.int64)
+    cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    fp = ((k % M) * A + cents % M) % M
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(fp))
+    assert int(out["checksum"].iloc[0]) == int(fp.sum()) == int(
+        fp[perm].sum()
+    )
+    assert int(out["n_rows"].iloc[0]) == len(fp)
+    corrupt = fp.copy()
+    corrupt[0] = ((k[0] % M) * A + (cents[0] + 1) % M) % M
+    assert int(corrupt.sum()) != int(fp.sum())
+
+
+def test_q42_list_semantics(ray_session):
+    """Each nation's segment list must be the sorted distinct set of
+    its customers' segments, comma-joined."""
+    import pyarrow.parquet as pq
+
+    from naer_ray.pipelines.queries import q42_grouped_concat
+
+    out = q42_grouped_concat(SF)
+    c = pq.read_table(
+        SF + "/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    ).to_pandas()
+    for r in out.itertuples():
+        segs = sorted(
+            c.loc[c["c_nationkey"] == r.c_nationkey, "c_mktsegment"].unique()
+        )
+        assert r.segments == ",".join(segs)
+        assert r.n_segments == len(segs)
